@@ -1,0 +1,75 @@
+"""Portable hashing / shingling primitives for dedup & fingerprinting.
+
+"Portable" = the exact same value is computable in ANSI-ish SQL on DuckDB
+(the correctness oracle), so every dedup operator can be hash-verified. That
+rules out engine-native hash() (implementation-specific); everything here is
+built on md5 hex strings, which agree across engines:
+
+  Spark:  md5(s)                      DuckDB: md5(s)
+  Spark:  conv(substring(md5(s),1,15),16,10)   DuckDB: ('0x'||substring(md5(s),1,15))::BIGINT
+
+15 hex chars = 60 bits => always a non-negative BIGINT in both engines.
+
+These are north-star operators (SURVEY §2.7 ★): the reference has no dedup;
+this is the LLM-training-pipeline surface built Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def md5_long(col: Column) -> Column:
+    """Portable 60-bit hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def seeded_md5(col: Column, seed: int) -> Column:
+    """One member of a family of independent hash functions (seed-prefixed md5)."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), col))
+
+
+def seeded_md5_long(col: Column, seed: int) -> Column:
+    return F.conv(F.substring(seeded_md5(col, seed), 1, 15), 16, 10).cast("bigint")
+
+
+def word_tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased text (matches DuckDB
+    string_split(lower(s), ' ') on single-space-separated corpora)."""
+    return F.split(F.lower(col), " ")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """n-word shingles as space-joined strings; whole text when shorter than n.
+
+    DuckDB equivalent:
+      list_transform(generate_series(1, greatest(1, len(toks)-n+1)),
+                     i -> array_to_string(toks[i:i+n-1], ' '))
+    """
+    toks = word_tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Character n-grams; whole string when shorter than n.
+
+    DuckDB equivalent:
+      list_transform(generate_series(1, greatest(1, length(s)-n+1)),
+                     i -> substring(s, i, n))
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(col) - F.lit(n - 1)))
+    return F.transform(idx, lambda i: col.substr(i, F.lit(n)))
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for exact dedup / fingerprinting: lowercase, collapse
+    whitespace, strip non [a-z0-9 ]."""
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(stripped, r" +", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (portable)."""
+    return F.md5(normalized_text(col))

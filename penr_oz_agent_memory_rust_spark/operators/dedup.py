@@ -1,0 +1,296 @@
+"""Deduplication suite (north-star pipeline operators, SURVEY §2.7 ★).
+
+All variants are oracle-verifiable: hashing is md5-based (portable to the
+DuckDB oracle — see functions/hashing.py) and candidate generation is pure
+relational algebra, so every operator has an equivalent ANSI SQL.
+
+Scale notes per operator:
+  exact        — one hash-aggregate shuffle on the fingerprint; map-side
+                 partial aggregation makes this ~free.
+  minhash LSH  — explode(shingles) is the heavy stage; the band equi-join
+                 touches only (doc, band) pairs, never the N² cross product.
+  n-gram jaccard — candidate pairs come from an equi-join on shared shingles
+                 (inverted index), so cost ~ sum of posting-list² per
+                 shingle, not N²; a document-frequency cap on hot shingles
+                 bounds skew (the classic stop-shingle trick).
+  simhash      — per-token bit votes -> 16-bit signature; duplicate buckets
+                 are signature equality groups (hamming-0; bands of the
+                 signature would give hamming-k).
+  embedding    — exact cosine over LSH-bucketed or brute-forced pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from penr_oz_agent_memory_rust_spark.functions import hashing, similarity
+
+
+def _blocked_candidate_pairs(
+    vectors: DataFrame, id_col: str, vec_col: str, min_score: float, id_type: str
+) -> DataFrame:
+    """f32 BLAS candidate generation: broadcast the L2-normalized matrix,
+    one partition-block × full-matrix matmul per task, emit (a, b) with
+    a < b and f32-cosine >= min_score. Superset of the exact answer for any
+    margin larger than f32 rounding error."""
+    rows = vectors.select(id_col, vec_col).collect()
+    ids = np.asarray([r[0] for r in rows])
+    M = np.asarray([r[1] for r in rows], dtype=np.float32)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    keep = norms[:, 0] > 0
+    ids, M = ids[keep], M[keep] / norms[keep]
+    bc = vectors.sparkSession.sparkContext.broadcast((ids, M, float(min_score)))
+
+    def gen(batches):
+        all_ids, Mn, t = bc.value
+        index_of = {v: i for i, v in enumerate(all_ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            part_ids = pdf[id_col].to_numpy()
+            rows_idx = np.asarray([index_of[v] for v in part_ids if v in index_of])
+            if rows_idx.size == 0:
+                continue
+            S = Mn[rows_idx] @ Mn.T  # (p, N) float32
+            pi, nj = np.nonzero(S >= t)
+            a_ids = all_ids[rows_idx[pi]]
+            b_ids = all_ids[nj]
+            mask = a_ids < b_ids
+            yield pd.DataFrame({"a": a_ids[mask], "b": b_ids[mask]})
+
+    return vectors.select(id_col).mapInPandas(gen, schema=f"a {id_type}, b {id_type}")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact near-identity dedup: group by normalized-text fingerprint, keep
+    the smallest id as canonical. Output: (doc_id, fp, dup_count)."""
+    return (
+        docs.withColumn("fp", hashing.fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "fp", "dup_count")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: hash function j is a 5-hex-char (20-bit)
+    slice of a seed-prefixed md5 — 6 independent functions per md5, so only
+    ceil(n/6) digests per (doc, shingle) row; min is lexicographic over the
+    hex slice (portable to the SQL oracle). Output: (doc_id, h0..h{n-1})."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(hashing.word_shingles(F.col(text_col), shingle_words))).alias(
+            "sh"
+        ),
+    )
+    n_groups = (n_hashes + 5) // 6
+    grouped = sh.select(
+        F.col(id_col),
+        *[hashing.seeded_md5(F.col("sh"), g).alias(f"g{g}") for g in range(n_groups)],
+    )
+    aggs = [
+        F.min(F.substring(F.col(f"g{j // 6}"), 1 + 5 * (j % 6), 5)).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return grouped.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding: docs sharing any band of the signature are
+    candidate near-duplicates. Output: distinct (a, b) with a < b.
+
+    rows-per-band = n_hashes/bands; similarity threshold ~ (1/bands)^(1/rows).
+    """
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_words)
+    band_cols = [
+        F.concat_ws("", *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.col(f"band{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    return (
+        left.join(right, F.col(f"l.bucket") == F.col(f"r.bucket"))
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over candidate pairs from an inverted
+    shingle index. Output: (a, b, jaccard) for pairs with jaccard >= threshold.
+
+    `max_doc_freq` drops shingles appearing in more than that many docs
+    (stop-shingles) — bounds the posting-list join at scale.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.array_distinct(hashing.word_shingles(F.col(text_col), n))).alias("sh"),
+    )
+    if max_doc_freq is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_doc_freq).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    # the shingle index feeds three subtrees (sizes + both join sides);
+    # persist it so the explode/split runs once, not three times
+    sh = sh.persist()
+    sizes = sh.groupBy("did").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "sh")
+        .filter(F.col("l.did") < F.col("r.did"))
+        .groupBy(F.col("l.did").alias("a"), F.col("r.did").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("did", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("did", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash: per token, md5-derived bit pattern votes +1/-1 per position;
+    the signature is the sign vector packed into a bigint. Portable: bit i of
+    a token's hash = (hash >> i) & 1 over the md5-60-bit value.
+    Output: (doc_id, simhash)."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(hashing.word_tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("th", hashing.md5_long(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return per_doc.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def simhash_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Documents with identical simhash signatures (hamming distance 0).
+    Output: (simhash, doc_id=min id, dup_count) for groups of size > 1."""
+    return (
+        simhash_signatures(docs, id_col, text_col, bits)
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    blocked_prefilter: bool = True,
+    margin: float = 0.005,
+    id_type: str = "bigint",
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: all pairs with cosine >= threshold.
+
+    Exact result. With `blocked_prefilter` (default), a float32 BLAS pass
+    (mapInPandas, one matmul per partition against a broadcast of the
+    normalized matrix) emits only CANDIDATE pairs with f32-cosine >=
+    threshold - margin — a guaranteed superset since f32 error ≪ margin —
+    and the exact f64 column expression re-scores just those candidates.
+    That replaces O(N²) interpreted-HOF scoring with O(N²/p) BLAS + O(C)
+    exact scoring. Without it: plain pair self-join (the oracle's shape).
+    At 100 TB scale the prefilter becomes LSH bucketing (see knn.py);
+    the exact re-score stage is unchanged.
+    Output: (a, b, score) with a < b, score rounded to 6 dp (f64 math to
+    match the DuckDB oracle's double accumulation).
+    """
+    if blocked_prefilter:
+        cand = _blocked_candidate_pairs(vectors, id_col, vec_col, threshold - margin, id_type)
+        base = vectors.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            similarity.norm_f64(F.col(vec_col)).alias("__n"),
+        ).filter(F.col("__n") > 0)
+        left = base.select(F.col("__id").alias("a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+        right = base.select(F.col("__id").alias("b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
+        return (
+            cand.join(left, "a")
+            .join(right, "b")
+            .withColumn(
+                "score",
+                F.round(
+                    similarity.dot_f64(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                ),
+            )
+            .filter(F.col("score") >= threshold)
+            .select("a", "b", "score")
+        )
+    base = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        similarity.norm_f64(F.col(vec_col)).alias("__n"),
+    ).filter(F.col("__n") > 0)
+    left = base.select(
+        F.col("__id").alias("a"), F.col("__v").alias("va"), F.col("__n").alias("na")
+    )
+    right = base.select(
+        F.col("__id").alias("b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+    )
+    # norms precomputed per row (O(N) not O(N²)); only the dot runs per pair
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .withColumn(
+            "score",
+            F.round(
+                similarity.dot_f64(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
+    )

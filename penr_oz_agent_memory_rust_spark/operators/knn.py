@@ -1,0 +1,190 @@
+"""KNN join / similarity search (SURVEY §7 step 7 — north-star scale op).
+
+The reference's S5 search handles ONE query vector per request via Qdrant's
+HNSW. At pipeline scale the shape is a *batch KNN join*: Q query vectors ×
+N corpus vectors -> top-k per query. Three strategies, cheapest first:
+
+  1. expr_knn_join  — broadcast the (small) query side, score with the native
+     column kernel, window top-k per query. Pure Catalyst, whole-stage
+     codegen, one shuffle on query_id for the window.
+  2. blocked_knn_join — Arrow-batched mapInPandas: the query matrix is a
+     broadcast variable, each corpus partition does ONE float32 BLAS matmul
+     and emits only its local top-k per query, so the shuffle input is
+     Q×k×partitions rows, not Q×N. This is the 100 TB path.
+  3. lsh_knn_join  — random-hyperplane LSH bucketing (deterministic seed):
+     equi-join on bucket signature, exact re-score inside buckets.
+     Approximate; trades recall for avoiding the full scan.
+
+Brute force is exact (recall 1.0) and embarrassingly parallel — the idiomatic
+Spark replacement for HNSW per SURVEY §4.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from penr_oz_agent_memory_rust_spark.functions import similarity
+from penr_oz_agent_memory_rust_spark.operators.topk import top_k_per_group
+
+
+def expr_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    precision: str = "f64",
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    corpus_id: str = "id",
+    corpus_vec: str = "vec",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Strategy 1: broadcast-nested-loop scoring + per-query top-k.
+
+    Output: (query_id, id, score), k rows per query, ties broken by id ASC.
+    `round_to` rounds the score BEFORE ranking so an external oracle ranking
+    rounded scores agrees at top-k boundaries.
+    """
+    q = F.broadcast(queries.select(query_id, query_vec))
+    score = similarity.score_expr(metric, F.col(corpus_vec), F.col(query_vec), precision)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = (
+        corpus.select(corpus_id, corpus_vec)
+        .crossJoin(q)
+        .withColumn("score", score)
+        .filter(F.col("score").isNotNull())
+        .select(query_id, corpus_id, "score")
+    )
+    return top_k_per_group(scored, [query_id], "score", k, tiebreak=corpus_id)
+
+
+def blocked_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    corpus_id: str = "id",
+    corpus_vec: str = "vec",
+    id_type: str = "bigint",
+) -> DataFrame:
+    """Strategy 2: per-partition BLAS matmul + local top-k, then global top-k.
+
+    The query side must fit on the driver (it is the broadcast dimension) —
+    the same assumption Qdrant makes about a search request. Math is float32,
+    matching the reference kernel (reference src/memory.rs:150-161).
+    """
+    q_rows = queries.select(query_id, query_vec).collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], f"{query_id} {id_type}, {corpus_id} {id_type}, score double"
+        )
+    qids = [r[0] for r in q_rows]
+    Q = np.asarray([r[1] for r in q_rows], dtype=np.float32)  # (q, d)
+    if metric == "cosine":
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        qn[qn == 0] = np.inf  # zero-norm query matches nothing (P2 semantics)
+        Q = Q / qn
+    bc = queries.sparkSession.sparkContext.broadcast((qids, Q, metric, k))
+
+    def score_partition(batches):
+        qids_, Q_, metric_, k_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float32)  # (n, d)
+            if metric_ == "cosine":
+                vn = np.linalg.norm(V, axis=1, keepdims=True)
+                vn[vn == 0] = np.inf
+                S = (V / vn) @ Q_.T  # (n, q)
+            elif metric_ == "dot":
+                S = V @ Q_.T
+            else:  # euclid: smaller is better -> negate so top-k logic is uniform
+                S = -np.sqrt(
+                    np.maximum(
+                        (V * V).sum(1)[:, None] - 2 * V @ Q_.T + (Q_ * Q_).sum(1)[None, :], 0
+                    )
+                )
+            ids = pdf[corpus_id].to_numpy()
+            kk = min(k_, S.shape[0])
+            # local top-k per query: argpartition is O(n) per column
+            part_idx = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (k, q)
+            out_qid, out_id, out_score = [], [], []
+            for j, qid in enumerate(qids_):
+                rows = part_idx[:, j]
+                out_qid.extend([qid] * len(rows))
+                out_id.extend(ids[rows])
+                out_score.extend(S[rows, j].astype(float))
+            yield pd.DataFrame({query_id: out_qid, corpus_id: out_id, "score": out_score})
+
+    local = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        score_partition, schema=f"{query_id} {id_type}, {corpus_id} {id_type}, score double"
+    )
+    out = top_k_per_group(local, [query_id], "score", k, tiebreak=corpus_id)
+    if metric == "euclid":
+        out = out.withColumn("score", -F.col("score"))
+    return out
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.Generator(
+        np.random.PCG64(int.from_bytes(hashlib.md5(f"lsh{seed}".encode()).digest()[:8], "little"))
+    )
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def lsh_signature_expr(vec_col: F.Column, planes: np.ndarray) -> F.Column:
+    """Random-hyperplane signature as a native expression: one sign bit per
+    plane folded into a bigint. Deterministic (seeded planes as literals)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col.cast("array<double>"), lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("bigint")
+
+
+def lsh_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    corpus_id: str = "id",
+    corpus_vec: str = "vec",
+) -> DataFrame:
+    """Strategy 3: bucket by hyperplane signature, exact cosine inside buckets.
+
+    Equi-join on the signature replaces the full cross product — at scale the
+    shuffle moves each side once, partitioned by bucket. Approximate: a true
+    neighbor in a different bucket is missed (recall < 1); n_planes tunes the
+    bucket count (2^n_planes) vs recall trade-off.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    qb = queries.withColumn("__bucket", lsh_signature_expr(F.col(query_vec), planes))
+    cb = corpus.withColumn("__bucket", lsh_signature_expr(F.col(corpus_vec), planes))
+    scored = (
+        cb.join(qb, "__bucket")
+        .withColumn(
+            "score", similarity.score_expr("cosine", F.col(corpus_vec), F.col(query_vec), "f64")
+        )
+        .filter(F.col("score").isNotNull())
+        .select(query_id, corpus_id, "score")
+    )
+    return top_k_per_group(scored, [query_id], "score", k, tiebreak=corpus_id)

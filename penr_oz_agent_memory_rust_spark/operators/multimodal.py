@@ -1,0 +1,96 @@
+"""Multimodal column plumbing (north-star, ★ — not in the reference).
+
+Images/audio/video are opaque `binary` columns with typed metadata
+(schemas.MEDIA_SCHEMA). The Spark-side plumbing — schema, partition-friendly
+batch iteration, Arrow transfer shape, UDF signatures — is real and tested;
+the actual codec work is STUBBED (image/audio libraries are not in this
+container): `decode_media` raises NotImplementedError unless a deterministic
+fake decoder is requested, which produces stable pseudo-pixels from the
+payload hash so downstream operators are testable end-to-end.
+
+Scale notes: all media ops run through mapInPandas so each task handles an
+Arrow batch of blobs; binary payloads never pass through Python row-by-row,
+and feature vectors come back as array<float> columns ready for the KNN /
+dedup operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = "media_id string, kind string, features array<float>"
+FRAMES_SCHEMA = "media_id string, frame_idx int, frame binary"
+
+
+def synthesize_media_from_documents(
+    docs: DataFrame, kind: str = "image", id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic fake media table: payload = md5 bytes of the text,
+    repeated — a stand-in blob for plumbing tests."""
+    return docs.select(
+        F.concat(F.lit(f"{kind}-"), F.col(id_col).cast("string")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.repeat(F.unhex(F.md5(F.col(text_col))), 8).cast("binary").alias("payload"),
+        F.lit(f"application/x-fake-{kind}").alias("mime"),
+        F.create_map(F.lit("src_doc"), F.col(id_col).cast("string")).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic pseudo-decode: hash the blob into a stable float vector.
+    Stands in for a real image/audio decoder (REAL DECODER NOT AVAILABLE —
+    see module docstring)."""
+    seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:8], "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def extract_features(media: DataFrame, fake: bool = True, dim: int = FEATURE_DIM) -> DataFrame:
+    """Decode + feature-extract as a mapInPandas batch stage.
+
+    With `fake=False` this is where a real codec (PIL/librosa/ffmpeg) would
+    run per Arrow batch; those libraries are absent here, so it raises.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decoding requires codec libraries not present in this environment"
+                )
+            feats = [
+                [float(x) for x in _fake_decode(p if p is not None else b"", dim)]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "features": feats}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=f"media_id string, kind string, features array<float>"
+    )
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 16, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: slice the payload into fixed-size 'frames'.
+    For real video this is where ffmpeg keyframe extraction would run."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_frame = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                blob = payload or b""
+                for i in range(min(max_frames, max(1, len(blob) // every_n_bytes))):
+                    out_id.append(mid)
+                    out_idx.append(i)
+                    out_frame.append(blob[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"media_id": out_id, "frame_idx": out_idx, "frame": out_frame})
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FRAMES_SCHEMA)

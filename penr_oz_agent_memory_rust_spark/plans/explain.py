@@ -1,0 +1,30 @@
+"""Plan-inspection helpers: assert the physical plan is the one we want.
+
+Used by tests to pin scale-critical properties: parquet filter pushdown,
+column pruning (ReadSchema), broadcast joins, TakeOrderedAndProject for
+top-k, absence of unexpected exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def assert_in_plan(df: DataFrame, *needles: str) -> None:
+    plan = physical_plan(df)
+    for needle in needles:
+        assert needle in plan, f"expected {needle!r} in physical plan:\n{plan}"
+
+
+def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
+    plan = physical_plan(df)
+    for needle in needles:
+        assert needle not in plan, f"did not expect {needle!r} in physical plan:\n{plan}"
+
+
+def count_exchanges(df: DataFrame) -> int:
+    return physical_plan(df).count("Exchange")

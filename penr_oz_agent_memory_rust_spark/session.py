@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the local[N] harness and oracle parity.
+
+Scale notes (100 TB target): every knob here is a *local-mode stand-in* for a
+cluster setting — AQE handles runtime coalesce/skew on a real cluster, UTC
+session timezone keeps results portable, Arrow keeps the pandas-UDF path
+(embedding providers, KNN kernels) batched instead of row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "penr-oz-agent-memory-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (else all cores). Shuffle
+    partitions default to the core count — correct for local mode where 200
+    default partitions just add scheduling overhead on small-SF data; on a
+    real cluster AQE coalesces to the right number at runtime anyway.
+    """
+    cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 4)
+        except (TypeError, ValueError):
+            shuffle_partitions = 32
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,85 @@
+"""Table IO seam (SURVEY §7 "Hard parts: mutability on immutable storage").
+
+All engine tables are partitioned Parquet. Mutations (delete S3, upsert S4,
+touch C3) are read-modify-overwrite behind this seam so a Delta/Iceberg
+backend can be swapped in without touching operators. ``ensure_table``
+reproduces the reference's create-if-absent collection DDL
+(reference src/vector_store.rs:112-200) as "write an empty DataFrame with the
+declared schema when the path does not exist".
+
+Scale notes: overwrite-based mutation is O(table) — fine for the harness; the
+seam is exactly where MERGE INTO lands when a transactional format is on the
+classpath. Reads go through ``spark.read.parquet`` so Catalyst gets pushdown,
+pruning, and partition elimination for free.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+
+def testdata_path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Scan one driver-generated testdata table (TESTDATA.md).
+
+    events.parquet carries TIMESTAMP(NANOS), which the vectorized Parquet
+    reader rejects; read it as int64 (legacy.parquet.nanosAsLong) and
+    truncate ns -> µs with integer division (exactly what DuckDB's ns->µs
+    coercion does, keeping the oracle in agreement).
+    """
+    path = testdata_path(sf_dir, table)
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+class ParquetTable:
+    """A mutable-by-overwrite Parquet table with a declared schema."""
+
+    def __init__(self, spark: SparkSession, path: str, schema: T.StructType):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def ensure(self) -> None:
+        """CREATE TABLE IF NOT EXISTS semantics (reference
+        src/vector_store.rs:112-200 ensure_collection)."""
+        if not self.exists():
+            empty = self.spark.createDataFrame([], self.schema)
+            empty.write.mode("overwrite").parquet(self.path)
+
+    def read(self) -> DataFrame:
+        self.ensure()
+        return self.spark.read.schema(self.schema).parquet(self.path)
+
+    def append(self, df: DataFrame) -> None:
+        self.ensure()
+        df.select(*[f.name for f in self.schema.fields]).write.mode("append").parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Full rewrite via a temp location (safe read-then-overwrite: Spark
+        cannot overwrite a path it is concurrently reading)."""
+        tmp = tempfile.mkdtemp(prefix="poz_tbl_") + "/data"
+        df.select(*[f.name for f in self.schema.fields]).write.mode("overwrite").parquet(tmp)
+        materialized = self.spark.read.schema(self.schema).parquet(tmp)
+        materialized.write.mode("overwrite").parquet(self.path)
+        shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)

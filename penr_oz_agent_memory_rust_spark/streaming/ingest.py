@@ -1,0 +1,112 @@
+"""Structured Streaming ingestion (SURVEY §7 ★ — optional extension).
+
+The reference's write path (§3.2: validate -> FK check -> embed -> upsert ->
+touch) is request/response; the Spark-native recast is a micro-batch stream:
+readStream over an inbox directory -> the SAME validation/embedding pipeline
+(reused batch operators) applied per micro-batch via foreachBatch -> upsert
+into the memories table and touch sessions. foreachBatch gives exactly-once
+per-epoch semantics against the ParquetTable seam.
+
+Also provides the standard streaming-analytics shape the reference lacks:
+watermarked tumbling-window aggregation over the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from penr_oz_agent_memory_rust_spark.operators import memory_store, session_store, vector_store
+from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable
+
+INBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("session", T.StringType(), True),
+    ]
+)
+
+
+def ingest_stream(
+    spark: SparkSession,
+    inbox_dir: str,
+    memories_table: ParquetTable,
+    sessions_table: ParquetTable | None,
+    embed_udf,
+    checkpoint_dir: str,
+):
+    """Start the micro-batch ingest pipeline; returns the StreamingQuery.
+
+    Per micro-batch (reference §3.2 write path, batched):
+      P4 non-empty text -> P9 FK check vs sessions -> S8 embed (pandas UDF)
+      -> S2 id/timestamp assignment -> append -> C3 touch.
+    """
+    stream = spark.readStream.schema(INBOX_SCHEMA).parquet(inbox_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ok, _rejects = memory_store.validate_nonempty_text(batch_df)
+        if sessions_table is not None:
+            sessions_df = sessions_table.read()
+            with_fk = ok.withColumnRenamed("session", "session_id")
+            valid, _fk_rejects = session_store.fk_check(with_fk, sessions_df)
+            ok = valid.withColumnRenamed("session_id", "session")
+        embedded = ok.withColumn("embedding", embed_udf(F.col("text")))
+        prepared = memory_store.store_memories(embedded)
+        memories_table.append(prepared)
+        if sessions_table is not None:
+            touched_ids = [
+                r[0]
+                for r in prepared.select("session").filter(F.col("session").isNotNull()).distinct().collect()
+            ]
+            if touched_ids:
+                sessions_table.overwrite(
+                    session_store.touch_sessions(sessions_table.read(), touched_ids)
+                )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation over events
+    (ts, event_type, value) — late rows beyond the watermark are dropped."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(win, "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def batch_windowed_event_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """The batch-equivalent plan of `windowed_event_counts` (same results on
+    bounded input; used for the oracle comparison)."""
+    win = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(win, "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,84 @@
+"""Dedup operator behavior on hand-built corpora with planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "The quick brown fox jumps over the lazy dog!"),  # exact dup after normalize
+    (3, "the quick brown fox jumps over the sleepy dog"),  # near dup (1 word)
+    (4, "completely different content about spark engines"),
+    (5, "completely different content about spark engines"),  # byte-identical
+    (6, "pyspark dataframes distribute computation across executors"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups_normalized_duplicates(spark, docs):
+    out = {r["doc_id"]: r["dup_count"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[1] == 2  # 1 & 2 normalize identically
+    assert out[4] == 2  # 4 & 5 identical
+    assert out[3] == 1 and out[6] == 1
+    assert len(out) == 4
+
+
+def test_minhash_lsh_finds_near_duplicates(spark, docs):
+    pairs = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs, n_hashes=12, bands=6).collect()}
+    assert (1, 2) in pairs
+    assert (4, 5) in pairs
+    assert (1, 6) not in pairs and (4, 6) not in pairs
+
+
+def test_ngram_jaccard_scores(spark, docs):
+    out = {(r["a"], r["b"]): r["jaccard"] for r in
+           dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    # shingling lowercases but keeps punctuation: "dog" vs "dog!" differ,
+    # so 1-2 score high but below 1.0
+    assert 0.5 <= out[(1, 2)] < 1.0
+    assert out[(4, 5)] == 1.0
+    assert 0.3 <= out[(1, 3)] < 1.0  # one word differs
+    assert (1, 6) not in out
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # a shingle shared by ALL docs is dropped when over max_doc_freq
+    rows = [(i, f"common prefix shingle unique{i} tail{i} end{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with_cap = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.01, max_doc_freq=5)
+    assert with_cap.count() == 0  # only the hot shingle linked them
+
+
+def test_simhash_identical_docs_collide(spark, docs):
+    groups = dedup.simhash_dup_groups(docs).collect()
+    by_min = {r["doc_id"]: r["dup_count"] for r in groups}
+    assert by_min.get(4) == 2  # identical text => identical signature
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[1] != sigs[6]  # unrelated docs diverge
+
+
+def test_embedding_neardup_threshold(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0]),  # zero vector: excluded
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    pairs = {(r["a"], r["b"]): r["score"] for r in
+             dedup.embedding_neardup_pairs(df, threshold=0.9).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.99
+
+
+def test_minhash_is_deterministic(spark, docs):
+    s1 = dedup.minhash_signatures(docs, n_hashes=4).collect()
+    s2 = dedup.minhash_signatures(docs, n_hashes=4).collect()
+    assert sorted(map(str, s1)) == sorted(map(str, s2))

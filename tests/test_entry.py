@@ -1,0 +1,77 @@
+"""Local replica of the driver's correctness gate: every queries() entry runs
+on Spark AND its oracle_sql() runs on DuckDB over the same parquet; row
+count, column names, and exact values must agree (FIXTURES.md §4 determinism
+rules). Catches engine/oracle drift before the driver does."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from penr_oz_agent_memory_rust_spark.schemas import TESTDATA_TABLES
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+ORACLES = entrymod.oracle_sql()
+ALL_QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = ALL_QUERIES[name]
+    sdf = q(spark, sf_dir)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    cols = sorted(sdf.columns)
+
+    con = _duck(sf_dir)
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [dict(zip(duck_cols, r)) for r in res.fetchall()]
+    con.close()
+
+    assert sorted(duck_cols) == cols, f"{name}: column mismatch {duck_cols} vs {sdf.columns}"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} (spark) vs {len(duck_rows)} (duckdb)"
+    )
+    s_norm = _normalize(spark_rows, cols)
+    d_norm = _normalize(duck_rows, cols)
+    mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} value mismatches, first: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ORACLES)))
+def test_no_oracle_queries_run(spark, sf_dir, name):
+    """Rows-only check for the intentionally oracle-less queries."""
+    df = ALL_QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,71 @@
+"""KNN strategies agree with each other and produce sane plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.operators import knn
+from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+
+def sides(spark, sf_dir, n_q=5):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    return q, c
+
+
+def test_blocked_matches_expr_strategy(spark, sf_dir):
+    """The float32 BLAS path must return the same neighbor IDS as the exact
+    f64 expression path (scores differ in ulps; ranking must agree)."""
+    q, c = sides(spark, sf_dir)
+    expr = knn.expr_knn_join(q, c, k=5, precision="f64")
+    blocked = knn.blocked_knn_join(q, c, k=5)
+    e = {(r["query_id"], r["id"]) for r in expr.collect()}
+    b = {(r["query_id"], r["id"]) for r in blocked.collect()}
+    # allow boundary flips from f32-vs-f64 at rank 5: require >= 4/5 overlap per query
+    assert len(e & b) >= int(0.8 * len(e)), f"only {len(e & b)}/{len(e)} pairs agree"
+
+
+def test_expr_knn_returns_k_per_query(spark, sf_dir):
+    q, c = sides(spark, sf_dir, n_q=3)
+    out = knn.expr_knn_join(q, c, k=4).groupBy("query_id").count().collect()
+    assert all(r["count"] == 4 for r in out)
+
+
+def test_self_is_own_nearest_neighbor(spark, sf_dir):
+    q, c = sides(spark, sf_dir, n_q=3)
+    top1 = knn.expr_knn_join(q, c, k=1)
+    for r in top1.collect():
+        assert r["query_id"] == r["id"]
+        assert abs(r["score"] - 1.0) < 1e-9
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    """LSH is approximate; with 6 planes recall@5 should still be decent and
+    every returned pair must be a true bucket-cohabitant (sanity, not exact)."""
+    q, c = sides(spark, sf_dir, n_q=5)
+    exact = {(r["query_id"], r["id"]) for r in knn.expr_knn_join(q, c, k=5).collect()}
+    approx = {(r["query_id"], r["id"]) for r in knn.lsh_knn_join(q, c, k=5, n_planes=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+    # self-match always lands in its own bucket
+    assert all((i, i) in approx for i in range(5))
+
+
+def test_blocked_knn_is_map_in_pandas(spark, sf_dir):
+    from penr_oz_agent_memory_rust_spark.plans import explain
+
+    q, c = sides(spark, sf_dir, n_q=2)
+    plan = explain.physical_plan(knn.blocked_knn_join(q, c, k=2))
+    assert "MapInPandas" in plan
+
+
+def test_expr_knn_broadcasts_query_side(spark, sf_dir):
+    from penr_oz_agent_memory_rust_spark.plans import explain
+
+    q, c = sides(spark, sf_dir, n_q=2)
+    plan = explain.physical_plan(knn.expr_knn_join(q, c, k=2))
+    assert "Broadcast" in plan

@@ -1,0 +1,86 @@
+"""Structured Streaming ingest + windowed aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.schemas import MEMORIES_SCHEMA, SESSIONS_SCHEMA
+from penr_oz_agent_memory_rust_spark.sources.embedding_providers import hash_embed_udf
+from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable
+from penr_oz_agent_memory_rust_spark.streaming import ingest
+
+
+def test_ingest_stream_end_to_end(spark, tmp_path):
+    """Micro-batch ingest: inbox parquet -> validate -> embed -> memories
+    table; invalid (empty-text) rows dropped; sessions touched."""
+    import datetime as dt
+
+    inbox = str(tmp_path / "inbox")
+    rows = spark.createDataFrame(
+        [
+            ("m1", "hello spark streaming", {"k": "v"}, "s1"),
+            ("m2", "", None, None),  # rejected: empty text
+            ("m3", "another memory", None, "missing-session"),  # rejected: FK
+            ("m4", "unlinked memory", None, None),
+        ],
+        ingest.INBOX_SCHEMA,
+    )
+    rows.write.parquet(inbox)
+
+    sessions_t = ParquetTable(spark, str(tmp_path / "sessions"), SESSIONS_SCHEMA)
+    t0 = dt.datetime(2026, 1, 1)
+    sessions_t.append(
+        spark.createDataFrame([("s1", t0, t0, ["tag"])], SESSIONS_SCHEMA)
+    )
+    memories_t = ParquetTable(spark, str(tmp_path / "memories"), MEMORIES_SCHEMA)
+
+    q = ingest.ingest_stream(
+        spark, inbox, memories_t, sessions_t, hash_embed_udf(16), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    mem = memories_t.read().collect()
+    ids = {r["id"] for r in mem}
+    assert ids == {"m1", "m4"}
+    by_id = {r["id"]: r for r in mem}
+    assert len(by_id["m1"]["embedding"]) == 16
+    assert by_id["m1"]["session"] == "s1"
+    # session s1 was touched (updated_at advanced past created_at)
+    s1 = sessions_t.read().filter(F.col("id") == "s1").first()
+    assert s1["updated_at"] > s1["created_at"]
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    """The streaming windowed agg on bounded input equals the batch plan."""
+    import datetime as dt
+
+    src = str(tmp_path / "events_src")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 3, "click" if i % 2 else "view", float(i), "{}")
+        for i in range(20)
+    ]
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = ingest.windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    batch = ingest.batch_windowed_event_counts(spark.read.parquet(src), minutes=5)
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == expect and len(got) > 0

@@ -1,0 +1,82 @@
+"""Text-analysis operator behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.functions import hashing
+from penr_oz_agent_memory_rust_spark.operators import text_ops
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the cat and the dog of a house is here"),
+        (2, "der hund und die katze ist nicht hier"),
+        (3, "el gato que la casa es una maravilla los dias"),
+        (4, "xyzzy qwerty plugh"),
+        (5, "Hello, world! 123 foo-bar."),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["lang"] for r in docs.select(
+        "doc_id", text_ops.lang_id_expr(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_token_counts(spark, docs):
+    row = docs.filter(F.col("doc_id") == 5).select(
+        text_ops.token_count_ws(F.col("text")).alias("ws"),
+        text_ops.token_count_bpe_ish(F.col("text")).alias("bpe"),
+    ).first()
+    assert row["ws"] == 4  # Hello, world! 123 foo-bar.
+    # hello , world ! 123 foo - bar .  => 9
+    assert row["bpe"] == 9
+
+
+def test_quality_score_bounds(spark, docs):
+    scores = [r["q"] for r in docs.select(
+        text_ops.quality_score_expr(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    # punctuation soup scores worse than clean prose of similar length
+    soup = spark.createDataFrame([(1, "!!! ??? ;;; ***" * 3)], "i int, text string")
+    clean = spark.createDataFrame([(1, "a clean readable sentence here" )], "i int, text string")
+    s_soup = soup.select(text_ops.quality_score_expr(F.col("text")).alias("q")).first()["q"]
+    s_clean = clean.select(text_ops.quality_score_expr(F.col("text")).alias("q")).first()["q"]
+    assert s_clean > s_soup
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different")],
+        "doc_id bigint, text string",
+    )
+    fps = [r["fp"] for r in df.select(hashing.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_analyze_documents_shape(spark, docs):
+    out = text_ops.analyze_documents(docs)
+    assert out.columns == ["doc_id", "pred_lang", "n_tokens_ws", "n_tokens_bpe", "quality", "fp"]
+    assert out.count() == 5
+
+
+def test_portable_hash_matches_duckdb(spark):
+    """md5_long must equal DuckDB's ('0x'||substring(md5(s),1,15))::BIGINT —
+    the foundation of every oracle-checked dedup operator."""
+    import duckdb
+
+    words = ["alpha", "beta", "gamma delta", ""]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", hashing.md5_long(F.col("s")).alias("h")).collect()}
+    for w in words:
+        expect = duckdb.sql(
+            f"SELECT ('0x' || substring(md5('{w}'), 1, 15))::BIGINT"
+        ).fetchone()[0]
+        assert got[w] == expect, w

@@ -1,0 +1,142 @@
+"""Qdrant-path parity — ports the reference vector-store tests minus HTTP
+mocking (reference src/vector_store.rs:383-653): upsert id generation /
+custom id / reserved-key rejection; search parse with "text" stripped from
+metadata; threshold; empty results; collection ensure."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.operators import vector_store
+from penr_oz_agent_memory_rust_spark.schemas import MEMORY_POINTS_SCHEMA
+
+
+def ts(i: int) -> dt.datetime:
+    return dt.datetime(2026, 1, 1, 0, 0, i)
+
+
+NULLABLE_POINTS_DDL = (
+    "id string, vector array<float>, text string, session_id string, "
+    "metadata map<string,string>, updated_at timestamp"
+)
+
+
+def points_df(spark, rows):
+    # id nullable on input: the reference accepts id: Option<Uuid>
+    # (src/routes.rs:193-195) and generates one when absent.
+    return spark.createDataFrame(rows, NULLABLE_POINTS_DDL)
+
+
+@pytest.fixture()
+def points(spark):
+    return points_df(
+        spark,
+        [
+            ("p1", [1.0, 0.0], "first", None, {"k": "v"}, ts(1)),
+            ("p2", [0.9, 0.1], "second", "sess-1", {"session_id": "sess-1"}, ts(1)),
+            ("p3", [0.0, 1.0], "third", None, None, ts(1)),
+        ],
+    )
+
+
+def test_upsert_generates_id_when_null(spark, points):
+    # src/vector_store.rs:486-510
+    new = points_df(spark, [(None, [0.5, 0.5], "new point", None, None, ts(2))])
+    out = vector_store.upsert(points, new)
+    assert out.count() == 4
+    new_row = out.filter(F.col("text") == "new point").first()
+    assert new_row["id"] and len(new_row["id"]) == 36
+
+
+def test_upsert_custom_id_replaces(spark, points):
+    # src/vector_store.rs:513-535: same id => last writer wins
+    new = points_df(spark, [("p1", [0.0, 0.1], "replaced", None, None, ts(2))])
+    out = vector_store.upsert(points, new)
+    assert out.count() == 3
+    assert out.filter(F.col("id") == "p1").first()["text"] == "replaced"
+
+
+def test_reserved_key_rejection(spark):
+    # src/vector_store.rs:538-567 + src/routes.rs:231-240
+    rows = points_df(
+        spark,
+        [
+            ("a", [1.0], "ok", None, {"good": "1"}, ts(1)),
+            ("b", [1.0], "bad-text-key", None, {"text": "x"}, ts(1)),
+            ("c", [1.0], "bad-session-key", None, {"session_id": "x"}, ts(1)),
+            ("d", [1.0], "no-meta", None, None, ts(1)),
+        ],
+    )
+    valid, rejects = vector_store.validate_reserved_keys(rows)
+    assert {r["id"] for r in valid.collect()} == {"a", "d"}
+    assert {r["id"] for r in rejects.collect()} == {"b", "c"}
+
+
+def test_enrich_session_id(spark):
+    # P8, src/routes.rs:271-274
+    rows = points_df(
+        spark,
+        [
+            ("a", [1.0], "linked", "s9", {"k": "v"}, ts(1)),
+            ("b", [1.0], "unlinked", None, {"k": "v"}, ts(1)),
+        ],
+    )
+    out = {r["id"]: r["metadata"] for r in vector_store.enrich_session_id(rows).collect()}
+    assert out["a"] == {"k": "v", "session_id": "s9"}
+    assert out["b"] == {"k": "v"}
+
+
+def test_search_projects_hit_and_strips_reserved(spark, points):
+    # P7, src/vector_store.rs:574-613: "text"/"session_id" stripped from metadata
+    rows = vector_store.search(points, [1.0, 0.0], limit=2).collect()
+    assert [r["text"] for r in rows] == ["first", "second"]
+    assert rows[0]["metadata"] == {"k": "v"}
+    assert rows[1]["metadata"] == {}  # session_id stripped
+    assert list(rows[0].asDict()) == ["id", "score", "text", "metadata"]
+
+
+def test_search_default_limit_is_5(spark):
+    # src/routes.rs:167,334
+    many = points_df(
+        spark,
+        [(f"p{i}", [1.0, float(i) / 10], f"t{i}", None, None, ts(1)) for i in range(10)],
+    )
+    assert vector_store.search(many, [1.0, 0.0]).count() == 5
+
+
+def test_search_score_threshold(spark, points):
+    # P3, src/vector_store.rs:283-285
+    rows = vector_store.search(points, [1.0, 0.0], limit=10, score_threshold=0.5).collect()
+    assert {r["text"] for r in rows} == {"first", "second"}
+
+
+def test_search_empty_results(spark):
+    # src/vector_store.rs:616-635
+    empty = points_df(spark, [])
+    assert vector_store.search(empty, [1.0, 0.0], limit=5).count() == 0
+
+
+def test_ensure_collection_semantics(spark, tmp_path):
+    # S6, src/vector_store.rs:112-200: create-if-absent, no-op when present
+    from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "points"), MEMORY_POINTS_SCHEMA)
+    assert not t.exists()
+    t.ensure()
+    assert t.exists() and t.read().count() == 0
+    t.append(points_df(spark, [("x", [1.0], "t", None, None, ts(1))]))
+    t.ensure()  # second ensure must not clobber
+    assert t.read().count() == 1
+
+
+def test_table_overwrite_roundtrip(spark, tmp_path):
+    from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "points"), MEMORY_POINTS_SCHEMA)
+    t.append(points_df(spark, [("x", [1.0], "t", None, None, ts(1))]))
+    survivors = t.read().filter(F.col("id") != "x")
+    t.overwrite(survivors)
+    assert t.read().count() == 0
