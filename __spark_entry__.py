@@ -609,8 +609,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_sql(12, 4),
         "dedup_ngram_jaccard": f"""
-            WITH sh AS (
-              SELECT doc_id AS did, unnest(list_distinct({_DK_SHINGLES3})) AS sh FROM documents
+            WITH sh0 AS (
+              SELECT doc_id AS did, unnest(list_distinct({_DK_SHINGLES3})) AS s FROM documents
+            ), sh AS (
+              SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT AS sh FROM sh0
             ), sizes AS (
               SELECT did, count(*) AS sz FROM sh GROUP BY did
             ), inter AS (

@@ -163,6 +163,10 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("did"),
         F.explode(F.array_distinct(hashing.word_shingles(F.col(text_col), n))).alias("sh"),
     )
+    # join on a 60-bit portable hash instead of the raw shingle string:
+    # fixed-width bigint keys shuffle and compare far cheaper than strings,
+    # and the oracle can compute the identical hash
+    sh = sh.select("did", hashing.md5_long(F.col("sh")).alias("sh"))
     if max_doc_freq is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_doc_freq).select("sh")
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")

@@ -1,0 +1,97 @@
+"""Physical-plan pins for scale-critical properties.
+
+Correctness says the operator works at sf0.01; these tests say the PLAN
+would survive 100×: filters reach the parquet scan, projections prune
+columns (never read a 3 KB embedding array to answer a metadata query),
+small sides broadcast, and top-k runs shuffle-free."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.operators import memory_store
+from penr_oz_agent_memory_rust_spark.plans import explain
+from penr_oz_agent_memory_rust_spark.schemas import MEMORIES_SCHEMA
+from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable, load_table
+
+
+@pytest.fixture(scope="module")
+def memories_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "memories")
+    t = ParquetTable(spark, path, MEMORIES_SCHEMA)
+    rows = [
+        (f"m{i}", f"text {i}", {"k": str(i)}, "s1" if i % 2 else "s2", [1.0, float(i)], None)
+        for i in range(100)
+    ]
+    t.append(spark.createDataFrame(rows, MEMORIES_SCHEMA))
+    return t
+
+
+def test_session_filter_pushed_to_parquet_scan(spark, memories_table):
+    """P1 must reach the scan: at 100 TB this is the difference between
+    reading one session's row groups and reading everything."""
+    df = memory_store.search(memories_table.read(), [1.0, 0.0], limit=5, session="s1")
+    plan = explain.physical_plan(df)
+    assert "PushedFilters" in plan and "session" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_projection_prunes_embedding_column(spark, memories_table):
+    """A query that doesn't need the embedding must not read it: ReadSchema
+    should exclude the widest column in the table."""
+    df = memories_table.read().select("id", "session").filter(F.col("session") == "s1")
+    plan = explain.physical_plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "embedding" not in read_schema, read_schema
+
+
+def test_topk_search_has_no_shuffle(spark, memories_table):
+    """T1: TakeOrderedAndProject = per-partition heaps + driver merge; an
+    Exchange here would mean sorting the whole table."""
+    df = memory_store.search(memories_table.read(), [1.0, 0.0], limit=5)
+    plan = explain.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert explain.count_exchanges(df) == 0, plan
+
+
+def test_delete_broadcasts_id_side(spark, memories_table):
+    df = memory_store.delete(memories_table.read(), ["m1", "m2"])
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_fk_semi_join_broadcasts_sessions(spark, sf_dir):
+    from penr_oz_agent_memory_rust_spark.operators.session_store import fk_check
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "session_id")
+    sessions = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    valid, _ = fk_check(orders, sessions)
+    plan = explain.physical_plan(valid)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_tpch_q3_join_order_and_broadcast(spark, sf_dir):
+    """The filtered customer dim must broadcast; lineitem (the fact) must
+    never be broadcast."""
+    import __spark_entry__ as m
+
+    df = m.queries()["tpch_q3_shipping_priority"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # final top-10 is heap-based
+
+
+def test_threshold_filter_below_topk(spark, memories_table):
+    """P3: score >= t is applied before the TakeOrdered, not after."""
+    from penr_oz_agent_memory_rust_spark.operators import vector_store
+
+    pts = memories_table.read().select(
+        "id", F.col("embedding").alias("vector"), "text", F.col("session").alias("session_id"),
+        "metadata", F.lit(None).cast("timestamp").alias("updated_at"),
+    )
+    df = vector_store.search(pts, [1.0, 0.0], limit=5, score_threshold=0.5)
+    plan = explain.physical_plan(df)
+    take_pos = plan.find("TakeOrderedAndProject")
+    filter_pos = plan.find("Filter")
+    assert take_pos != -1 and filter_pos != -1
