@@ -362,6 +362,65 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ IVF-bucketed approximate NN: k-means cells + probe-limited exact
+    scoring (no oracle: approximate by design; recall pinned in tests)."""
+    corpus = _emb(spark, sf_dir).select(F.col("vec_id"), F.col("embedding").alias("vec"))
+    cents = knn.train_ivf_centroids(corpus, n_centroids=8, n_iters=3)
+    out = knn.ivf_knn_join(
+        _query_side(spark, sf_dir),
+        corpus,
+        cents,
+        k=5,
+        n_probes=2,
+        query_id="qid",
+        query_vec="qv",
+        corpus_id="vec_id",
+        corpus_vec="vec",
+    )
+    return out.select("qid", "vec_id")
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (the KNN reduction shape on relational data): top-3
+    lineitems by revenue within each supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+    out = topk.top_k_per_group(
+        revenue, ["l_suppkey"], "revenue", 3, tiebreak=["l_orderkey", "l_linenumber"]
+    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "revenue")
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ composed training-data pipeline: validate -> quality gate ->
+    exact-dedup (keep lowest doc_id) -> language ID + token counts. The
+    flagship composition a 100 TB corpus-cleaning job runs."""
+    docs, _ = memory_store.validate_nonempty_text(_docs(spark, sf_dir))
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        text_ops.quality_score_expr(t).alias("quality"),
+        hashing.fingerprint(t).alias("fp"),
+    ).filter(F.col("quality") >= 0.5)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    survivors = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return survivors.select(
+        "doc_id",
+        text_ops.lang_id_expr(F.col("text")).alias("pred_lang"),
+        text_ops.token_count_ws(F.col("text")).cast("bigint").alias("n_tokens"),
+        "quality",
+    )
+
+
 def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General agg surface (bench headliner on the largest table)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -446,27 +505,47 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "multimodal_features": q_multimodal_features,
+        "ivf_ann": q_ivf_ann,
+        "topk_per_group": q_topk_per_group,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
 }
 
 
 # ---------------------------------------------------------------- oracles
 
 
-def _lang_case_sql() -> str:
+def _lang_hits_cols(text_ref: str = "text") -> str:
     codes = sorted(text_ops.LANG_MARKERS)
-    hits = {
-        c: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(text_ops.LANG_MARKERS[c])})\\b'))"
+    return ", ".join(
+        f"len(regexp_extract_all(lower({text_ref}), "
+        f"'\\b({'|'.join(text_ops.LANG_MARKERS[c])})\\b')) AS h_{c}"
         for c in codes
-    }
+    )
+
+
+def _lang_case() -> str:
+    codes = sorted(text_ops.LANG_MARKERS)
     whens = []
     for c in codes:
         conds = [f"h_{c} >= h_{o}" for o in codes if o != c] + [f"h_{c} >= 1"]
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{c}'")
-    hit_cols = ", ".join(f"{expr} AS h_{c}" for c, expr in hits.items())
+    return f"CASE {' '.join(whens)} ELSE 'und' END"
+
+
+def _lang_case_sql() -> str:
     return (
-        f"WITH h AS (SELECT doc_id, {hit_cols} FROM documents) "
-        f"SELECT doc_id, CASE {' '.join(whens)} ELSE 'und' END AS pred_lang FROM h"
+        f"WITH h AS (SELECT doc_id, {_lang_hits_cols()} FROM documents) "
+        f"SELECT doc_id, {_lang_case()} AS pred_lang FROM h"
     )
+
+
+_DK_QUALITY = r"""round(0.4 * least(1.0, length(text) / 500.0)
+    + 0.5 * (CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+             ELSE 0 END)
+    + 0.1 * (1.0 - least(1.0, 4.0 * (CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 / length(text)
+             ELSE 0 END))), 6)"""
 
 
 _DK_NORM = (
@@ -633,18 +712,39 @@ def oracle_sql() -> dict[str, str]:
               AND {_dk_cos('l.embedding', 'r.embedding')} >= 0.4
         """,
         "text_lang_id": _lang_case_sql(),
-        "text_quality_tokens": r"""
+        "text_quality_tokens": rf"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens_ws,
                    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_tokens_bpe,
-                   round(0.4 * least(1.0, length(text) / 500.0)
-                       + 0.5 * (CASE WHEN length(text) > 0
-                                THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
-                                ELSE 0 END)
-                       + 0.1 * (1.0 - least(1.0, 4.0 * (CASE WHEN length(text) > 0
-                                THEN length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 / length(text)
-                                ELSE 0 END))), 6) AS quality
+                   {_DK_QUALITY} AS quality
             FROM documents
+        """,
+        "topk_per_group": """
+            SELECT l_suppkey, l_orderkey, l_linenumber, revenue FROM (
+              SELECT l_suppkey, l_orderkey, l_linenumber,
+                     round(l_extendedprice * (1 - l_discount), 4) AS revenue
+              FROM lineitem
+            )
+            QUALIFY row_number() OVER (
+              PARTITION BY l_suppkey ORDER BY revenue DESC, l_orderkey, l_linenumber) <= 3
+        """,
+        "pipeline_clean_corpus": rf"""
+            WITH valid AS (
+              SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+            ), scored AS (
+              SELECT doc_id, text, {_DK_QUALITY} AS quality, md5({_DK_NORM}) AS fp
+              FROM valid
+            ), surv AS (
+              SELECT doc_id, text, quality FROM scored
+              WHERE quality >= 0.5
+              QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+            ), h AS (
+              SELECT doc_id, quality,
+                     len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+                     {_lang_hits_cols()}
+              FROM surv
+            )
+            SELECT doc_id, {_lang_case()} AS pred_lang, n_tokens, quality FROM h
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_DK_NORM}) AS fp FROM documents

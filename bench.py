@@ -38,6 +38,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "multimodal_features",
+    "ivf_ann",
+    "topk_per_group",
+    "pipeline_clean_corpus",
 ]
 
 

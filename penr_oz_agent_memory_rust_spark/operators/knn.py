@@ -157,6 +157,116 @@ def lsh_signature_expr(vec_col: F.Column, planes: np.ndarray) -> F.Column:
     return sig.cast("bigint")
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "vec",
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train IVF centroids: k-means on a (sampled) collect of the corpus.
+
+    Deterministic: seeded init, fixed iteration count. At real scale the
+    sample (not the full corpus) comes to the driver — k-means on a 1%
+    sample is the standard IVF recipe (FAISS does the same); assignment
+    stays fully distributed.
+    """
+    df = corpus.select(vec_col)
+    if sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    X = np.asarray([r[0] for r in df.collect()], dtype=np.float32)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    X = X / norms
+    rng = np.random.Generator(
+        np.random.PCG64(int.from_bytes(hashlib.md5(f"ivf{seed}".encode()).digest()[:8], "little"))
+    )
+    k = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine assignment on unit vectors
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C.astype(np.float32)
+
+
+def ivf_assign_expr(vec_col: F.Column, centroids: np.ndarray) -> F.Column:
+    """Nearest-centroid id as a native expression: argmax of centroid dots.
+
+    The centroid matrix is tiny (k × d literals), so assignment is pure
+    codegen — no Python, no shuffle; ideal as a *partition column* when
+    writing an IVF-indexed table (`df.write.partitionBy("ivf_bucket")`),
+    which turns probe-limited search into partition pruning at the scan.
+    """
+    dots = []
+    for j, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(vec_col.cast("array<double>"), lit_c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                F.zip_with(vec_col.cast("array<double>"), vec_col.cast("array<double>"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        dots.append(F.struct((dot / norm).alias("s"), F.lit(j).alias("j")))
+    return F.array_max(F.array(*dots)).getField("j")
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probes: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    corpus_id: str = "id",
+    corpus_vec: str = "vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate KNN: corpus rows live in their
+    nearest-centroid bucket; each query probes its `n_probes` nearest
+    buckets and exact-scores only those rows.
+
+    vs LSH: buckets follow the data distribution (k-means cells) instead of
+    random hyperplanes — better recall at equal candidate count on clustered
+    data. The equi-join on bucket is the only shuffle; with the corpus
+    pre-partitioned by bucket it disappears entirely.
+    """
+    cb = corpus.withColumn("__bucket", ivf_assign_expr(F.col(corpus_vec), centroids))
+    # query side: explode its n_probes nearest centroids
+    probe_structs = []
+    for j, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(F.col(query_vec).cast("array<double>"), lit_c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        probe_structs.append(F.struct(dot.alias("s"), F.lit(j).alias("j")))
+    probes = F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, n_probes)
+    qb = queries.withColumn("__bucket", F.explode(probes.getField("j")))
+    scored = (
+        cb.join(qb, "__bucket")
+        .withColumn(
+            "score", similarity.score_expr("cosine", F.col(corpus_vec), F.col(query_vec), "f64")
+        )
+        .filter(F.col("score").isNotNull())
+        .select(query_id, corpus_id, "score")
+    )
+    return top_k_per_group(scored, [query_id], "score", k, tiebreak=corpus_id)
+
+
 def lsh_knn_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -25,13 +25,18 @@ def top_k(df: DataFrame, score_col: str, k: int, tiebreak: str | Column | None =
 
 
 def top_k_per_group(
-    df: DataFrame, group_cols: list[str], score_col: str, k: int, tiebreak: str | None = None
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    k: int,
+    tiebreak: str | list[str] | None = None,
 ) -> DataFrame:
     """Top-k within each group (the KNN-join reduction): one shuffle on the
     group key, then a per-partition window — rank column is dropped."""
     order = [F.col(score_col).desc()]
     if tiebreak:
-        order.append(F.col(tiebreak).asc())
+        for tb in [tiebreak] if isinstance(tiebreak, str) else tiebreak:
+            order.append(F.col(tb).asc())
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
 

@@ -95,6 +95,43 @@ def windowed_event_counts(
     )
 
 
+def running_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user running (count, value-sum) maintained across micro-batches.
+
+    This is the arbitrary-state shape the built-in windowed aggs can't
+    express (state survives indefinitely, update-mode emission per batch).
+    State is two scalars per user — bounded; at scale the group key
+    partitions the state store across executors.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, total_events bigint, total_value double"
+    state_schema = "n bigint, v double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_events": [n], "total_value": [round(v, 6)]}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def batch_user_totals(events: DataFrame) -> DataFrame:
+    """Batch plan equal to the FINAL state of `running_user_totals`."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("total_events"), F.round(F.sum("value"), 6).alias("total_value")
+    )
+
+
 def batch_windowed_event_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
     """The batch-equivalent plan of `windowed_event_counts` (same results on
     bounded input; used for the oracle comparison)."""

@@ -55,6 +55,31 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     assert all((i, i) in approx for i in range(5))
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with 2 probes over 8 cells should beat LSH-grade recall on
+    clustered data; self-match must always survive (own cell is probe #1)."""
+    q, c = sides(spark, sf_dir, n_q=5)
+    cents = knn.train_ivf_centroids(c, n_centroids=8, n_iters=3)
+    assert cents.shape[1] == 64
+    exact = {(r["query_id"], r["id"]) for r in knn.expr_knn_join(q, c, k=5).collect()}
+    approx = {
+        (r["query_id"], r["id"])
+        for r in knn.ivf_knn_join(q, c, cents, k=5, n_probes=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    assert all((i, i) in approx for i in range(5))
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    _, c = sides(spark, sf_dir, n_q=1)
+    import numpy as np
+
+    c1 = knn.train_ivf_centroids(c, n_centroids=4, n_iters=2)
+    c2 = knn.train_ivf_centroids(c, n_centroids=4, n_iters=2)
+    assert np.array_equal(c1, c2)
+
+
 def test_blocked_knn_is_map_in_pandas(spark, sf_dir):
     from penr_oz_agent_memory_rust_spark.plans import explain
 

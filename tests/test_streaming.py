@@ -51,6 +51,44 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
     assert s1["updated_at"] > s1["created_at"]
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches —
+    maxFilesPerTrigger=1 forces two batches; the final update per user must
+    equal the batch aggregate over both files."""
+    import datetime as dt
+
+    src = str(tmp_path / "ev")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    base = dt.datetime(2026, 1, 1)
+    f1 = [(i, base, i % 2, "a", 1.0, "{}") for i in range(10)]
+    f2 = [(100 + i, base, i % 2, "b", 2.0, "{}") for i in range(10)]
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        ingest.running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.sql("SELECT * FROM totals_out").collect()
+    # state carried across batches => more than one update row per user,
+    # and the LAST update equals the full batch aggregate
+    assert len(updates) > 2
+    final = {}
+    for r in updates:  # memory sink appends updates in batch order
+        final[r["user_id"]] = (r["total_events"], r["total_value"])
+    expect = {
+        r["user_id"]: (r["total_events"], r["total_value"])
+        for r in ingest.batch_user_totals(spark.read.parquet(src)).collect()
+    }
+    assert final == expect
+
+
 def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
     """The streaming windowed agg on bounded input equals the batch plan."""
     import datetime as dt
