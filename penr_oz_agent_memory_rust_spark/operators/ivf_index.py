@@ -1,0 +1,86 @@
+"""Persisted IVF index: the batch index-building job that is this engine's
+north-star workload (BASELINE.json: "batch index building fits Spark").
+
+`build_ivf_index` writes the corpus as Parquet **partitioned by IVF cell**;
+`search_ivf_index` probes only the n_probes nearest cells, which Catalyst
+turns into *partition pruning at the scan* — the 100 TB search never reads
+the other cells' files. This is the durable version of knn.ivf_knn_join
+(which buckets on the fly): build once, search many.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from penr_oz_agent_memory_rust_spark.functions import similarity
+from penr_oz_agent_memory_rust_spark.operators import knn
+from penr_oz_agent_memory_rust_spark.operators.topk import top_k
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train centroids, assign every row a cell, write partitioned by cell.
+
+    Parquet lands under <path>/data (partitioned by cell); centroids.json
+    sits BESIDE it, not inside — a non-parquet sidecar in the table root
+    corrupts the file listing. Persisted centroids mean searches need no
+    retraining. Assignment is the pure column expression from
+    knn.ivf_assign_expr — no Python in the write path.
+    """
+    cents = knn.train_ivf_centroids(
+        corpus, vec_col=vec_col, n_centroids=n_centroids, n_iters=n_iters,
+        sample_fraction=sample_fraction, seed=seed,
+    )
+    indexed = corpus.withColumn("ivf_cell", knn.ivf_assign_expr(F.col(vec_col), cents))
+    indexed.write.mode("overwrite").partitionBy("ivf_cell").parquet(os.path.join(path, "data"))
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(cents.tolist(), f)
+    return cents
+
+
+def load_centroids(path: str) -> np.ndarray:
+    with open(os.path.join(path, "centroids.json")) as f:
+        return np.asarray(json.load(f), dtype=np.float32)
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-query probe-limited search.
+
+    The `ivf_cell IN (...)` literal filter sits on the partition column, so
+    the scan's PartitionFilters prune every non-probed cell before any file
+    is opened (plan-pinned in tests/test_ivf_index.py). Scoring inside the
+    probed cells is the exact §3.1 pipeline.
+    """
+    cents = load_centroids(path)
+    q = np.asarray(query_vec, dtype=np.float32)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    order = np.argsort(-(cents @ q))
+    probes = [int(c) for c in order[: min(n_probes, len(order))]]
+    df = spark.read.parquet(os.path.join(path, "data")).filter(F.col("ivf_cell").isin(probes))
+    scored = df.withColumn(
+        "score",
+        similarity.cosine_f32(F.col(vec_col), similarity.query_vec_lit([float(x) for x in query_vec])),
+    ).filter(F.col("score").isNotNull())
+    return top_k(scored, "score", k, tiebreak=id_col).select(id_col, "score")

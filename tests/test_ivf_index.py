@@ -1,0 +1,56 @@
+"""Persisted IVF index: build, partition-pruned search, recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.operators import ivf_index, memory_store
+from penr_oz_agent_memory_rust_spark.plans import explain
+from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "emb_index")
+    corpus = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_index.build_ivf_index(corpus, path, n_centroids=8, n_iters=3)
+    assert cents.shape == (8, 64)
+    return path
+
+
+def test_index_layout_partitioned_by_cell(spark, index_path):
+    import os
+
+    cells = [d for d in os.listdir(f"{index_path}/data") if d.startswith("ivf_cell=")]
+    assert len(cells) >= 2  # data actually spread over cells
+    assert os.path.exists(f"{index_path}/centroids.json")
+
+
+def test_search_prunes_partitions(spark, sf_dir, index_path):
+    qv = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()["embedding"]
+    df = ivf_index.search_ivf_index(spark, index_path, list(qv), k=5, n_probes=2)
+    plan = explain.physical_plan(df)
+    # the probe filter must land in PartitionFilters (pruning), not a post-scan Filter
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ivf_cell" in part_section, part_section
+
+
+def test_search_recall_and_self_match(spark, sf_dir, index_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    got = ivf_index.search_ivf_index(spark, index_path, qv, k=5, n_probes=3).collect()
+    assert got[0]["vec_id"] == 0 and abs(got[0]["score"] - 1.0) < 1e-5
+    # recall vs exact brute force over the full corpus
+    mem = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.lit("t").alias("text"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("string").alias("session"),
+        F.col("embedding"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+    )
+    exact = {int(r["id"]) for r in memory_store.search(mem, qv, limit=5).collect()}
+    approx = {r["vec_id"] for r in got}
+    assert len(exact & approx) / len(exact) >= 0.4
