@@ -280,6 +280,25 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id")
 
 
+def q_knn_self_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ all-pairs similarity join: every vector queries the whole corpus
+    (the embedding-dedup / nearest-neighbor-graph workload). BLAS-blocked:
+    one broadcast of the query matrix, one matmul per partition, shuffle is
+    only N×k rows. No oracle (f32 BLAS); the expr strategy pins exactness."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    out = knn.blocked_knn_join(
+        q,
+        emb.select(F.col("vec_id"), F.col("embedding").alias("vec")),
+        k=3,
+        query_id="qid",
+        corpus_id="vec_id",
+        query_vec="qv",
+        corpus_vec="vec",
+    )
+    return out.select("qid", "vec_id")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ exact dedup by normalized-text fingerprint."""
     return dedup.exact_dedup(_docs(spark, sf_dir))
@@ -508,6 +527,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_ann": q_ivf_ann,
         "topk_per_group": q_topk_per_group,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "knn_self_all_pairs": q_knn_self_all_pairs,
 }
 
 

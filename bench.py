@@ -41,6 +41,7 @@ HEADLINE = [
     "ivf_ann",
     "topk_per_group",
     "pipeline_clean_corpus",
+    "knn_self_all_pairs",
 ]
 
 

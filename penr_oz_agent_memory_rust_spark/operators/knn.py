@@ -115,12 +115,11 @@ def blocked_knn_join(
             kk = min(k_, S.shape[0])
             # local top-k per query: argpartition is O(n) per column
             part_idx = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (k, q)
-            out_qid, out_id, out_score = [], [], []
-            for j, qid in enumerate(qids_):
-                rows = part_idx[:, j]
-                out_qid.extend([qid] * len(rows))
-                out_id.extend(ids[rows])
-                out_score.extend(S[rows, j].astype(float))
+            nq = len(qids_)
+            # vectorized emit (no per-query Python loop): column-major flatten
+            out_id = ids[part_idx].T.reshape(-1)  # (q*k,)
+            out_score = S[part_idx, np.arange(nq)].T.reshape(-1).astype(float)
+            out_qid = np.repeat(np.asarray(qids_), kk)
             yield pd.DataFrame({query_id: out_qid, corpus_id: out_id, "score": out_score})
 
     local = corpus.select(corpus_id, corpus_vec).mapInPandas(

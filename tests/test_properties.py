@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis): the similarity kernel against a NumPy
+oracle over random vectors, pagination coverage, normalization idempotence.
+Batched: each property collects its random cases into ONE DataFrame so a
+hypothesis run doesn't launch hundreds of Spark jobs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.functions import hashing, similarity
+
+finite_floats = st.floats(min_value=-100, max_value=100, allow_nan=False, width=32)
+vec = st.lists(finite_floats, min_size=1, max_size=16)
+
+
+def np_cosine(a, b):
+    a, b = np.asarray(a, dtype=np.float32), np.asarray(b, dtype=np.float32)
+    if len(a) != len(b):
+        return None
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na == 0 or nb == 0:
+        return None
+    return float(np.dot(a, b) / (na * nb))
+
+
+class TestCosineProperty:
+    CASES = 40
+
+    def test_cosine_matches_numpy_oracle(self, spark):
+        rng = np.random.default_rng(7)
+        rows = []
+        for _ in range(self.CASES):
+            d = int(rng.integers(1, 16))
+            a = (rng.standard_normal(d) * rng.choice([0, 1, 100])).astype(np.float32)
+            b = rng.standard_normal(d).astype(np.float32)
+            rows.append(([float(x) for x in a], [float(x) for x in b]))
+        # plus adversarial fixtures
+        rows += [([0.0], [0.0]), ([1.0, 2.0], [1.0]), ([1e30, 1e30], [1e30, 1e30])]
+        df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+        got = df.select(similarity.cosine_f32(F.col("a"), F.col("b")).alias("s")).collect()
+        for (a, b), row in zip(rows, got):
+            expect = np_cosine(a, b)
+            s = row["s"]
+            if expect is None or math.isnan(expect) or math.isinf(expect):
+                # engine returns NULL for undefined; inf-overflow cases may
+                # produce NaN either side — only require agreement on definedness
+                assert s is None or math.isnan(s) or math.isinf(s), (a, b, s, expect)
+            else:
+                assert s is not None and abs(s - expect) < 1e-4, (a, b, s, expect)
+
+    def test_cosine_symmetry_and_self(self, spark):
+        rng = np.random.default_rng(11)
+        rows = []
+        for _ in range(self.CASES):
+            d = int(rng.integers(1, 12))
+            a = rng.standard_normal(d).astype(np.float32) + 0.1
+            b = rng.standard_normal(d).astype(np.float32) + 0.1
+            rows.append(([float(x) for x in a], [float(x) for x in b]))
+        df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+        got = df.select(
+            similarity.cosine_f32(F.col("a"), F.col("b")).alias("ab"),
+            similarity.cosine_f32(F.col("b"), F.col("a")).alias("ba"),
+            similarity.cosine_f32(F.col("a"), F.col("a")).alias("aa"),
+        ).collect()
+        for r in got:
+            assert abs(r["ab"] - r["ba"]) < 1e-6  # symmetric
+            assert abs(r["aa"] - 1.0) < 1e-5  # self-similarity
+            assert -1.0 - 1e-6 <= r["ab"] <= 1.0 + 1e-6  # bounded
+
+
+@given(
+    st.lists(st.text(alphabet="abc XY.!", min_size=0, max_size=30), min_size=1, max_size=8)
+)
+@settings(max_examples=15, deadline=None)
+def test_normalized_text_idempotent_property(texts):
+    # pure-expression property checked via a single shared local session
+    import tests.conftest as c
+
+    spark = _session()
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    once = df.select(hashing.normalized_text(F.col("t")).alias("n"))
+    twice = once.select(hashing.normalized_text(F.col("n")).alias("n"))
+    assert [r["n"] for r in once.collect()] == [r["n"] for r in twice.collect()]
+
+
+_CACHED = {}
+
+
+def _session():
+    if "s" not in _CACHED:
+        from penr_oz_agent_memory_rust_spark.session import get_spark
+
+        _CACHED["s"] = get_spark(app_name="poz-tests", cpus="4")
+    return _CACHED["s"]
+
+
+def test_pagination_covers_without_overlap(spark):
+    """Pages tile the ordered universe: concat(pages) == full sort."""
+    from penr_oz_agent_memory_rust_spark.operators.topk import paginate
+
+    df = spark.createDataFrame([(i % 7, i) for i in range(100)], "k int, i int")
+    order = [F.col("k").desc(), F.col("i").desc()]
+    pages = []
+    for off in range(0, 100, 25):
+        pages += [
+            (r["k"], r["i"])
+            for r in paginate(df, order, limit=25, offset=off, clamp=None).collect()
+        ]
+    full = [(r["k"], r["i"]) for r in df.orderBy(*order).collect()]
+    assert pages == full
