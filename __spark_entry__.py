@@ -299,6 +299,27 @@ def q_knn_self_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id")
 
 
+def q_embed_documents_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ S8-S11 end-to-end: embed the documents table with the deterministic
+    hash-projection pandas UDF, then run the §3.1 search plan over the fresh
+    embeddings. No oracle (the embedder is not SQL-expressible); rows-only —
+    determinism is pinned by unit tests."""
+    from penr_oz_agent_memory_rust_spark.sources.embedding_providers import (
+        hash_embed,
+        hash_embed_udf,
+    )
+
+    docs = _docs(spark, sf_dir)
+    embedded = docs.select(
+        "doc_id", hash_embed_udf(64)(F.col("text")).alias("embedding")
+    )
+    qv = similarity.query_vec_lit(hash_embed("spark query join table scan", 64), "f64")
+    scored = embedded.withColumn(
+        "score", F.round(similarity.cosine_f64(F.col("embedding"), qv), 6)
+    ).filter(F.col("score").isNotNull())
+    return topk.top_k(scored, "score", 10, tiebreak="doc_id").select("doc_id", "score")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ exact dedup by normalized-text fingerprint."""
     return dedup.exact_dedup(_docs(spark, sf_dir))
@@ -528,6 +549,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "topk_per_group": q_topk_per_group,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "knn_self_all_pairs": q_knn_self_all_pairs,
+        "embed_documents_search": q_embed_documents_search,
 }
 
 

@@ -85,12 +85,7 @@ def minhash_signatures(
     slice of a seed-prefixed md5 — 6 independent functions per md5, so only
     ceil(n/6) digests per (doc, shingle) row; min is lexicographic over the
     hex slice (portable to the SQL oracle). Output: (doc_id, h0..h{n-1})."""
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(hashing.word_shingles(F.col(text_col), shingle_words))).alias(
-            "sh"
-        ),
-    )
+    sh = hashing.word_shingle_rows(docs, id_col, text_col, shingle_words)
     n_groups = (n_hashes + 5) // 6
     grouped = sh.select(
         F.col(id_col),
@@ -159,10 +154,7 @@ def ngram_jaccard_pairs(
     `max_doc_freq` drops shingles appearing in more than that many docs
     (stop-shingles) — bounds the posting-list join at scale.
     """
-    sh = docs.select(
-        F.col(id_col).alias("did"),
-        F.explode(F.array_distinct(hashing.word_shingles(F.col(text_col), n))).alias("sh"),
-    )
+    sh = hashing.word_shingle_rows(docs, id_col, text_col, n).withColumnRenamed(id_col, "did")
     # join on a 60-bit portable hash instead of the raw shingle string:
     # fixed-width bigint keys shuffle and compare far cheaper than strings,
     # and the oracle can compute the identical hash

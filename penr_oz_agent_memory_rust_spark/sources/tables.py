@@ -49,6 +49,30 @@ def register_testdata_views(spark: SparkSession, sf_dir: str, tables: tuple[str,
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def read_memories_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest memories from JSON-lines — the wire format of the reference's
+    store requests ({text, metadata?, session?, id?}; reference
+    src/routes.rs:189-203). Schema is declared, never inferred; unknown keys
+    are ignored, missing keys become NULL (serde-default semantics)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+            T.StructField("session", T.StringType(), True),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
+def read_memories_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV ingest variant (id,text,session header expected); metadata is not
+    representable in flat CSV and comes back NULL."""
+    schema = "id string, text string, session string"
+    df = spark.read.option("header", "true").schema(schema).csv(path)
+    return df.withColumn("metadata", F.lit(None).cast("map<string,string>"))
+
+
 class ParquetTable:
     """A mutable-by-overwrite Parquet table with a declared schema."""
 

@@ -132,6 +132,35 @@ def test_ensure_collection_semantics(spark, tmp_path):
     assert t.read().count() == 1
 
 
+def test_jsonl_and_csv_ingest(spark, tmp_path):
+    """S13 wire-format parity: JSON-lines rows flow into the batch store
+    pipeline; unknown keys ignored, missing keys NULL (src/routes.rs:189-203)."""
+    from penr_oz_agent_memory_rust_spark.operators import memory_store
+    from penr_oz_agent_memory_rust_spark.sources.tables import (
+        read_memories_csv,
+        read_memories_jsonl,
+    )
+
+    jl = tmp_path / "inbox.jsonl"
+    jl.write_text(
+        '{"text": "hello", "metadata": {"k": "v"}, "session": "s1", "unknown_key": 1}\n'
+        '{"id": "fixed-id", "text": "world"}\n'
+        '{"text": ""}\n'
+    )
+    df = read_memories_jsonl(spark, str(jl))
+    ok, bad = memory_store.validate_nonempty_text(df)
+    rows = {r["text"]: r for r in ok.collect()}
+    assert set(rows) == {"hello", "world"}
+    assert rows["hello"]["metadata"] == {"k": "v"} and rows["hello"]["session"] == "s1"
+    assert rows["world"]["id"] == "fixed-id" and rows["world"]["metadata"] is None
+    assert bad.count() == 1
+
+    csvf = tmp_path / "inbox.csv"
+    csvf.write_text("id,text,session\nc1,csv text,s2\n")
+    out = read_memories_csv(spark, str(csvf)).first()
+    assert out["id"] == "c1" and out["text"] == "csv text" and out["metadata"] is None
+
+
 def test_table_overwrite_roundtrip(spark, tmp_path):
     from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable
 
