@@ -73,12 +73,18 @@ def blocked_knn_join(
     corpus_id: str = "id",
     corpus_vec: str = "vec",
     id_type: str = "bigint",
+    query_block: int = 2048,
 ) -> DataFrame:
     """Strategy 2: per-partition BLAS matmul + local top-k, then global top-k.
 
     The query side must fit on the driver (it is the broadcast dimension) —
     the same assumption Qdrant makes about a search request. Math is float32,
     matching the reference kernel (reference src/memory.rs:150-161).
+
+    `query_block` bounds per-task memory: the score matrix is computed in
+    (partition_rows × query_block) chunks, so a 1M-query all-pairs job
+    allocates ~partition_rows*block*4 bytes per task instead of one giant
+    (n × Q) matrix — the scale_probe.py finding that motivated this.
     """
     q_rows = queries.select(query_id, query_vec).collect()
     if not q_rows:
@@ -91,10 +97,11 @@ def blocked_knn_join(
         qn = np.linalg.norm(Q, axis=1, keepdims=True)
         qn[qn == 0] = np.inf  # zero-norm query matches nothing (P2 semantics)
         Q = Q / qn
-    bc = queries.sparkSession.sparkContext.broadcast((qids, Q, metric, k))
+    bc = queries.sparkSession.sparkContext.broadcast((qids, Q, metric, k, query_block))
 
     def score_partition(batches):
-        qids_, Q_, metric_, k_ = bc.value
+        qids_, Q_, metric_, k_, block = bc.value
+        qids_arr = np.asarray(qids_)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -102,25 +109,27 @@ def blocked_knn_join(
             if metric_ == "cosine":
                 vn = np.linalg.norm(V, axis=1, keepdims=True)
                 vn[vn == 0] = np.inf
-                S = (V / vn) @ Q_.T  # (n, q)
-            elif metric_ == "dot":
-                S = V @ Q_.T
-            else:  # euclid: smaller is better -> negate so top-k logic is uniform
-                S = -np.sqrt(
-                    np.maximum(
-                        (V * V).sum(1)[:, None] - 2 * V @ Q_.T + (Q_ * Q_).sum(1)[None, :], 0
-                    )
-                )
+                V = V / vn
             ids = pdf[corpus_id].to_numpy()
-            kk = min(k_, S.shape[0])
-            # local top-k per query: argpartition is O(n) per column
-            part_idx = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (k, q)
-            nq = len(qids_)
-            # vectorized emit (no per-query Python loop): column-major flatten
-            out_id = ids[part_idx].T.reshape(-1)  # (q*k,)
-            out_score = S[part_idx, np.arange(nq)].T.reshape(-1).astype(float)
-            out_qid = np.repeat(np.asarray(qids_), kk)
-            yield pd.DataFrame({query_id: out_qid, corpus_id: out_id, "score": out_score})
+            kk = min(k_, V.shape[0])
+            for lo in range(0, len(qids_arr), block):
+                Qb = Q_[lo : lo + block]  # (b, d)
+                if metric_ in ("cosine", "dot"):
+                    S = V @ Qb.T  # (n, b)
+                else:  # euclid: smaller is better -> negate so top-k is uniform
+                    S = -np.sqrt(
+                        np.maximum(
+                            (V * V).sum(1)[:, None] - 2 * V @ Qb.T + (Qb * Qb).sum(1)[None, :], 0
+                        )
+                    )
+                # local top-k per query: argpartition is O(n) per column
+                part_idx = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (k, b)
+                nb = S.shape[1]
+                # vectorized emit: column-major flatten, no per-query loop
+                out_id = ids[part_idx].T.reshape(-1)  # (b*k,)
+                out_score = S[part_idx, np.arange(nb)].T.reshape(-1).astype(float)
+                out_qid = np.repeat(qids_arr[lo : lo + nb], kk)
+                yield pd.DataFrame({query_id: out_qid, corpus_id: out_id, "score": out_score})
 
     local = corpus.select(corpus_id, corpus_vec).mapInPandas(
         score_partition, schema=f"{query_id} {id_type}, {corpus_id} {id_type}, score double"
@@ -129,6 +138,27 @@ def blocked_knn_join(
     if metric == "euclid":
         out = out.withColumn("score", -F.col("score"))
     return out
+
+
+def cosine_pairs_udf():
+    """Arrow-batched cosine over aligned (a, b) array columns — the rescore
+    kernel for approximate paths (LSH/IVF candidates). f32 BLAS; rows with a
+    zero norm come back NaN (caller filters). Exact oracle-checked paths
+    keep the f64 column expression instead."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float32)
+        B = np.stack(b.to_numpy()).astype(np.float32)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        denom = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = (A * B).sum(axis=1) / denom
+        s[denom == 0] = np.nan
+        return pd.Series(s.astype(float))
+
+    return _cos
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -257,13 +287,27 @@ def ivf_knn_join(
     qb = queries.withColumn("__bucket", F.explode(probes.getField("j")))
     scored = (
         cb.join(qb, "__bucket")
-        .withColumn(
-            "score", similarity.score_expr("cosine", F.col(corpus_vec), F.col(query_vec), "f64")
-        )
-        .filter(F.col("score").isNotNull())
+        .withColumn("score", cosine_pairs_udf()(F.col(corpus_vec), F.col(query_vec)))
+        .filter(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
         .select(query_id, corpus_id, "score")
     )
     return top_k_per_group(scored, [query_id], "score", k, tiebreak=corpus_id)
+
+
+def lsh_signature_udf(planes: np.ndarray):
+    """Arrow-batched signature: one (batch × planes) matmul instead of
+    n_planes interpreted fold expressions per row — the scale-probe finding
+    was ~10× on bucket assignment over 50k vectors."""
+    P = planes.astype(np.float32)
+    weights = (1 << np.arange(len(P), dtype=np.int64))
+
+    @F.pandas_udf("bigint")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float32)
+        bits = (M @ P.T >= 0).astype(np.int64)  # (n, p)
+        return pd.Series(bits @ weights)
+
+    return _sig
 
 
 def lsh_knn_join(
@@ -286,14 +330,13 @@ def lsh_knn_join(
     bucket count (2^n_planes) vs recall trade-off.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    qb = queries.withColumn("__bucket", lsh_signature_expr(F.col(query_vec), planes))
-    cb = corpus.withColumn("__bucket", lsh_signature_expr(F.col(corpus_vec), planes))
+    sig = lsh_signature_udf(planes)
+    qb = queries.withColumn("__bucket", sig(F.col(query_vec)))
+    cb = corpus.withColumn("__bucket", sig(F.col(corpus_vec)))
     scored = (
         cb.join(qb, "__bucket")
-        .withColumn(
-            "score", similarity.score_expr("cosine", F.col(corpus_vec), F.col(query_vec), "f64")
-        )
-        .filter(F.col("score").isNotNull())
+        .withColumn("score", cosine_pairs_udf()(F.col(corpus_vec), F.col(query_vec)))
+        .filter(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
         .select(query_id, corpus_id, "score")
     )
     return top_k_per_group(scored, [query_id], "score", k, tiebreak=corpus_id)

@@ -95,6 +95,25 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Native session windows (gap-based) per user — the streaming form of
+    the lag+cumsum batch sessionization in __spark_entry__.q_events_sessionize.
+    The state store merges windows as events arrive; the watermark bounds
+    state and emits closed sessions in append mode."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState: a
     per-user running (count, value-sum) maintained across micro-batches.

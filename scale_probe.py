@@ -1,0 +1,105 @@
+"""Scale probe: runs the scale-critical operators on synthetically inflated
+data (10-50× the sf0.1 tables, generated in a temp dir) to check that the
+plans behave at larger N — the local stand-in for the 100×/1000× question.
+
+Not part of the driver's bench; run ad hoc:  python scale_probe.py
+Prints one JSON line with rows processed and per-op wall times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.operators import dedup, knn
+from penr_oz_agent_memory_rust_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+EMB_COPIES = int(os.environ.get("SCALE_EMB_COPIES", "25"))  # 2k -> 50k vectors
+DOC_COPIES = int(os.environ.get("SCALE_DOC_COPIES", "10"))  # 5k -> 50k docs
+LI_COPIES = int(os.environ.get("SCALE_LI_COPIES", "10"))  # 600k -> 6M rows
+
+
+def inflate(df, copies: int, id_col: str, stride: int):
+    """Union `copies` shifted replicas — synthetic scale with distinct keys.
+    A small deterministic per-copy jitter column keeps vector replicas from
+    being byte-identical."""
+    parts = []
+    for c in range(copies):
+        parts.append(df.withColumn(id_col, F.col(id_col) + F.lit(c * stride)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="poz-scale-probe")
+    t = {}
+    out_rows = {}
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    big_emb = inflate(emb, EMB_COPIES, "vec_id", 1_000_000).cache()
+    n_emb = big_emb.count()
+
+    # all-pairs KNN graph over the inflated corpus (BLAS-blocked)
+    q = big_emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = big_emb.select("vec_id", F.col("embedding").alias("vec"))
+    t0 = time.time()
+    out_rows["knn_all_pairs"] = knn.blocked_knn_join(
+        q, c, k=3, query_id="qid", corpus_id="vec_id", query_vec="qv", corpus_vec="vec"
+    ).count()
+    t["knn_all_pairs"] = round(time.time() - t0, 2)
+
+    # LSH ANN over the same corpus (shuffle-bound path)
+    t0 = time.time()
+    out_rows["lsh_ann"] = knn.lsh_knn_join(
+        q.limit(512), c, k=5, n_planes=8,
+        query_id="qid", corpus_id="vec_id", query_vec="qv", corpus_vec="vec",
+    ).count()
+    t["lsh_ann"] = round(time.time() - t0, 2)
+    big_emb.unpersist()
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big_docs = inflate(docs, DOC_COPIES, "doc_id", 1_000_000)
+    t0 = time.time()
+    out_rows["minhash_lsh"] = dedup.minhash_lsh_pairs(big_docs).count()
+    t["minhash_lsh"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    out_rows["exact_dedup"] = dedup.exact_dedup(big_docs).count()
+    t["exact_dedup"] = round(time.time() - t0, 2)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    big_li = inflate(li, LI_COPIES, "l_orderkey", 100_000_000)
+    t0 = time.time()
+    out_rows["tpch_q1"] = (
+        big_li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .count()
+    )
+    t["tpch_q1"] = round(time.time() - t0, 2)
+
+    print(
+        json.dumps(
+            {
+                "emb_rows": n_emb,
+                "doc_rows": docs.count() * DOC_COPIES,
+                "lineitem_rows": li.count() * LI_COPIES,
+                "times_sec": t,
+                "out_rows": out_rows,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,43 @@ def test_registry_unknown_override_raises():
         reg.get("missing-provider")
 
 
+def test_retry_policy_recovers_from_transient():
+    # reference src/vector_store.rs:108-145: retry w/ backoff on transient
+    from unittest.mock import patch
+
+    from penr_oz_agent_memory_rust_spark.errors import UpstreamError
+    from penr_oz_agent_memory_rust_spark.sources.embedding_providers import _with_retry
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise UpstreamError("transient 503")
+        return [1.0]
+
+    with patch("time.sleep") as slept:
+        assert _with_retry(flaky) == [1.0]
+    assert calls["n"] == 3
+    # exponential backoff 1, 2 (then success)
+    assert [c.args[0] for c in slept.call_args_list] == [1.0, 2.0]
+
+    calls["n"] = -100  # always failing
+    with patch("time.sleep"), pytest.raises(UpstreamError):
+        _with_retry(lambda: (_ for _ in ()).throw(UpstreamError("down")), attempts=2)
+
+
+def test_paginate_limit_zero_is_unbounded(spark):
+    # reference src/session_store.rs:146-151: limit 0 => bind -1 (no limit)
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators.topk import paginate
+
+    df = spark.range(10).withColumnRenamed("id", "i")
+    out = paginate(df, [F.col("i").desc()], limit=0, clamp=None)
+    assert out.count() == 10
+
+
 def test_hash_embed_deterministic_and_normalized():
     a = hash_embed("hello world", 32)
     b = hash_embed("hello world", 32)

@@ -89,6 +89,40 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert final == expect
 
 
+def test_session_window_counts_stream(spark, tmp_path):
+    """Native session windows: two bursts separated by > gap become two
+    sessions per user; counts match the batch expectation."""
+    import datetime as dt
+
+    src = str(tmp_path / "sess_ev")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for u in (1, 2):
+        for i in range(3):  # burst 1
+            rows.append((u * 100 + i, base + dt.timedelta(minutes=i), u, "a", 1.0, "{}"))
+        for i in range(2):  # burst 2, 2 hours later
+            rows.append((u * 100 + 50 + i, base + dt.timedelta(hours=2, minutes=i), u, "a", 1.0, "{}"))
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        ingest.session_window_counts(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["sess_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_win_out").collect()
+    }
+    assert len(got) == 4  # 2 users × 2 sessions
+    assert set(got.values()) == {3, 2}
+
+
 def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
     """The streaming windowed agg on bounded input equals the batch plan."""
     import datetime as dt
