@@ -28,3 +28,10 @@ def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
 
 def count_exchanges(df: DataFrame) -> int:
     return physical_plan(df).count("Exchange")
+
+
+def count_shuffle_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges only — broadcasts move the small side, not the
+    data, and don't count against a 'no-shuffle' claim."""
+    plan = physical_plan(df)
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
