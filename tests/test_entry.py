@@ -22,16 +22,18 @@ def _duck(sf_dir: str):
 
 
 def _normalize(rows, cols):
+    """Bit-exact row keys: floats compare by their IEEE bit pattern — the
+    engines have been verified to agree to the last ulp, so the local gate
+    enforces the same strictness a raw value-hash would."""
+    import struct
+
     out = []
     for row in rows:
         vals = []
         for c in cols:
             v = row[c]
             if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
+                v = struct.pack(">d", v).hex()
             vals.append(str(v))
         out.append(tuple(vals))
     return sorted(out)
