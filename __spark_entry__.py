@@ -461,6 +461,42 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ token-window chunking (64-token windows, stride 48) — the
+    training-data prep step before embedding."""
+    out = text_ops.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
+    return out.select(
+        "doc_id", F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.md5("chunk_text").alias("chunk_md5"), "n_chunk_tokens",
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ reproducible Bernoulli-by-hash sampling (30%) — same survivors on
+    every engine and run, unlike rand()-based sampling."""
+    return text_ops.deterministic_sample(_docs(spark, sf_dir), "doc_id", 30).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: per-label vector count and mean L2 norm."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", similarity.norm_f64(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vectors"), F.round(F.avg("nrm"), 6).alias("avg_norm"))
+    )
+
+
+def q_docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension join: documents enriched with their embedding row's label
+    (doc_id = vec_id in the synthetic corpus); broadcast the smaller side."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"), "label")
+    return docs.join(F.broadcast(emb), "doc_id").select("doc_id", "lang", "label", "n_chars")
+
+
 def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General agg surface (bench headliner on the largest table)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -550,6 +586,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "knn_self_all_pairs": q_knn_self_all_pairs,
         "embed_documents_search": q_embed_documents_search,
+        "doc_chunking": q_doc_chunking,
+        "deterministic_sample": q_deterministic_sample,
+        "embedding_stats": q_embedding_stats,
+        "docs_with_embeddings": q_docs_with_embeddings,
 }
 
 
@@ -814,6 +854,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(min(es) AS BIGINT) AS sess_start, count(*) AS n_events
             FROM numbered GROUP BY user_id, sess_idx
+        """,
+        "doc_chunking": """
+            WITH c AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1,
+                         greatest(1, len(string_split(text, ' ')) - 64 + 48), 48),
+                       s -> array_to_string(string_split(text, ' ')[s:s+63], ' ')
+                     ) AS chunks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_idx,
+                   md5(unnest(chunks)) AS chunk_md5,
+                   len(string_split(unnest(chunks), ' '))::BIGINT AS n_chunk_tokens
+            FROM c
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substring(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 30
+        """,
+        "embedding_stats": """
+            SELECT label, count(*) AS n_vectors,
+                   round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+        "docs_with_embeddings": """
+            SELECT d.doc_id, d.lang, e.label, d.n_chars
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -75,6 +75,43 @@ def quality_score_expr(text: Column) -> Column:
     return F.round(score, 6)
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Token-window chunking for training/embedding pipelines: split each
+    document into whitespace-token windows of `chunk_tokens` advancing by
+    `stride` (overlap = chunk_tokens - stride). Pure expressions —
+    sequence/slice/concat run JVM-side; one row per chunk via posexplode.
+    Output: (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(chunk_tokens) + F.lit(stride)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens)))
+    exploded = docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, percent: int, salt: str = "sample"
+) -> DataFrame:
+    """Reproducible Bernoulli-by-hash sampling: keep rows whose portable
+    md5-hash of (salt|id) lands under `percent` of the 0..99 range. Unlike
+    df.sample(), the SAME rows survive on every engine and every run — the
+    property training-data pipelines need for resumable sampling."""
+    bucket = hashing.md5_long(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))) % 100
+    return df.filter(bucket < percent)
+
+
 def analyze_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Full text-analysis projection over a documents table."""
     t = F.col(text_col)

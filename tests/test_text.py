@@ -67,6 +67,47 @@ def test_analyze_documents_shape(spark, docs):
     assert out.count() == 5
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    from penr_oz_agent_memory_rust_spark.operators.text_ops import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 100 tokens, window 64, stride 48 -> starts at 1 and 49 => 2 chunks
+    chunks1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in chunks1] == [0, 1]
+    assert chunks1[0]["n_chunk_tokens"] == 64
+    assert chunks1[1]["n_chunk_tokens"] == 52  # tail window truncated
+    assert chunks1[0]["chunk_text"].split(" ")[0] == "t0"
+    assert chunks1[1]["chunk_text"].split(" ")[0] == "t48"
+    # every token covered
+    covered = set()
+    for r in chunks1:
+        covered.update(r["chunk_text"].split(" "))
+    assert len(covered) == 100
+    # short doc: single whole-text chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
+
+
+def test_deterministic_sample_stability_and_rate(spark):
+    from penr_oz_agent_memory_rust_spark.operators.text_ops import deterministic_sample
+
+    df = spark.createDataFrame([(i, "x") for i in range(1000)], "doc_id bigint, text string")
+    s1 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 30).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 30).collect()}
+    assert s1 == s2  # reproducible
+    assert 0.2 < len(s1) / 1000 < 0.4  # near the nominal rate
+    # different salt -> different survivors
+    s3 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 30, salt="other").collect()}
+    assert s1 != s3
+    # larger percent is a superset-rate, monotone in expectation
+    s50 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 50).collect()}
+    assert s1 <= s50
+
+
 def test_portable_hash_matches_duckdb(spark):
     """md5_long must equal DuckDB's ('0x'||substring(md5(s),1,15))::BIGINT —
     the foundation of every oracle-checked dedup operator."""
