@@ -74,22 +74,40 @@ def read_memories_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 class ParquetTable:
-    """A mutable-by-overwrite Parquet table with a declared schema."""
+    """A mutable-by-overwrite Parquet table with a declared schema.
 
-    def __init__(self, spark: SparkSession, path: str, schema: T.StructType):
+    `partition_cols` (e.g. session, or a derived date column) makes every
+    write partitioned — at scale that turns session-filtered searches and
+    session-scoped deletes into partition pruning instead of full scans.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        partition_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.schema = schema
+        self.partition_cols = partition_cols or []
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
+
+    def _writer(self, df: DataFrame, mode: str):
+        w = df.select(*[f.name for f in self.schema.fields]).write.mode(mode)
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        return w
 
     def ensure(self) -> None:
         """CREATE TABLE IF NOT EXISTS semantics (reference
         src/vector_store.rs:112-200 ensure_collection)."""
         if not self.exists():
             empty = self.spark.createDataFrame([], self.schema)
-            empty.write.mode("overwrite").parquet(self.path)
+            self._writer(empty, "overwrite").parquet(self.path)
 
     def read(self) -> DataFrame:
         self.ensure()
@@ -97,13 +115,13 @@ class ParquetTable:
 
     def append(self, df: DataFrame) -> None:
         self.ensure()
-        df.select(*[f.name for f in self.schema.fields]).write.mode("append").parquet(self.path)
+        self._writer(df, "append").parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         """Full rewrite via a temp location (safe read-then-overwrite: Spark
         cannot overwrite a path it is concurrently reading)."""
         tmp = tempfile.mkdtemp(prefix="poz_tbl_") + "/data"
-        df.select(*[f.name for f in self.schema.fields]).write.mode("overwrite").parquet(tmp)
+        self._writer(df, "overwrite").parquet(tmp)
         materialized = self.spark.read.schema(self.schema).parquet(tmp)
-        materialized.write.mode("overwrite").parquet(self.path)
+        self._writer(materialized, "overwrite").parquet(self.path)
         shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)

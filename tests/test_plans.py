@@ -82,6 +82,27 @@ def test_tpch_q3_join_order_and_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # final top-10 is heap-based
 
 
+def test_partitioned_memories_prune_on_session(spark, tmp_path):
+    """A session-partitioned memories table turns the session filter into
+    partition pruning — the session-scoped search never lists other
+    sessions' files."""
+    t = ParquetTable(spark, str(tmp_path / "mem_part"), MEMORIES_SCHEMA, partition_cols=["session"])
+    rows = [
+        (f"m{i}", f"text {i}", None, f"s{i % 4}", [1.0, float(i)], None) for i in range(40)
+    ]
+    t.append(spark.createDataFrame(rows, MEMORIES_SCHEMA))
+    df = memory_store.search(t.read(), [1.0, 0.0], limit=5, session="s1")
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "session" in part, part
+    assert df.count() == 5
+    # round-trip: delete within one session, overwrite, others untouched
+    survivors = memory_store.delete(t.read(), ["m1"])
+    t.overwrite(survivors)
+    assert t.read().count() == 39
+
+
 def test_threshold_filter_below_topk(spark, memories_table):
     """P3: score >= t is applied before the TakeOrdered, not after."""
     from penr_oz_agent_memory_rust_spark.operators import vector_store
