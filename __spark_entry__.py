@@ -531,6 +531,23 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation surface: exact distinct users per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+def q_users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: purchasers who never produced an error event
+    (EXCEPT / anti-join equivalence)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return purchasers.exceptAll(erroring)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ multimodal plumbing: synth media blobs -> mapInPandas feature
     extraction (deterministic fake decoder; real codecs stubbed)."""
@@ -590,6 +607,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "deterministic_sample": q_deterministic_sample,
         "embedding_stats": q_embedding_stats,
         "docs_with_embeddings": q_docs_with_embeddings,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "users_purchase_no_error": q_users_purchase_no_error,
 }
 
 
@@ -883,6 +902,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_with_embeddings": """
             SELECT d.doc_id, d.lang, e.label, d.n_chars
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "users_purchase_no_error": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
         """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

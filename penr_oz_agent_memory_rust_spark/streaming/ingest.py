@@ -95,6 +95,60 @@ def windowed_event_counts(
     )
 
 
+POINTS_INBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("session_id", T.StringType(), True),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def ingest_points_stream(
+    spark: SparkSession,
+    inbox_dir: str,
+    points_table: ParquetTable,
+    sessions_table: ParquetTable | None,
+    embed_udf,
+    checkpoint_dir: str,
+):
+    """The reference's §3.2 Qdrant write path as a micro-batch stream
+    (reference src/routes.rs:224-294): P4 non-empty text -> P5 reserved-key
+    rejection -> P9 FK check -> embed -> P8 session_id enrichment -> S4
+    upsert-by-id -> C3 touch. foreachBatch applies the whole pipeline with
+    per-epoch batch semantics against the table seam."""
+    stream = spark.readStream.schema(POINTS_INBOX_SCHEMA).parquet(inbox_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ok, _ = memory_store.validate_nonempty_text(batch_df)
+        ok, _rejected_keys = vector_store.validate_reserved_keys(ok)
+        if sessions_table is not None:
+            ok, _fk_rejects = session_store.fk_check(ok, sessions_table.read())
+        prepared = (
+            ok.withColumn("vector", embed_udf(F.col("text")))
+            .withColumn("updated_at", F.current_timestamp())
+        )
+        prepared = vector_store.enrich_session_id(prepared)
+        points_table.overwrite(vector_store.upsert(points_table.read(), prepared))
+        if sessions_table is not None:
+            touched = [
+                r[0]
+                for r in prepared.select("session_id").filter(F.col("session_id").isNotNull()).distinct().collect()
+            ]
+            if touched:
+                sessions_table.overwrite(
+                    session_store.touch_sessions(sessions_table.read(), touched)
+                )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def session_window_counts(events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Native session windows (gap-based) per user — the streaming form of
     the lag+cumsum batch sessionization in __spark_entry__.q_events_sessionize.

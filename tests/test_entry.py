@@ -5,7 +5,6 @@ rules). Catches engine/oracle drift before the driver does."""
 
 from __future__ import annotations
 
-import math
 
 import duckdb
 import pytest

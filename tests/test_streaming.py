@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from penr_oz_agent_memory_rust_spark.schemas import MEMORIES_SCHEMA, SESSIONS_SCHEMA
@@ -87,6 +86,43 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         for r in ingest.batch_user_totals(spark.read.parquet(src)).collect()
     }
     assert final == expect
+
+
+def test_ingest_points_stream_qdrant_path(spark, tmp_path):
+    """§3.2 write path per micro-batch: reserved keys and bad FKs rejected,
+    valid rows embedded + enriched + upserted, session touched."""
+    import datetime as dt
+
+    from penr_oz_agent_memory_rust_spark.schemas import MEMORY_POINTS_SCHEMA
+
+    inbox = str(tmp_path / "pts_inbox")
+    rows = spark.createDataFrame(
+        [
+            ("p1", "valid linked point", "s1", {"k": "v"}),
+            ("p2", "reserved key", None, {"text": "nope"}),
+            ("p3", "bad fk", "ghost-session", None),
+            ("p4", "plain point", None, None),
+        ],
+        ingest.POINTS_INBOX_SCHEMA,
+    )
+    rows.write.parquet(inbox)
+
+    t0 = dt.datetime(2026, 1, 1)
+    sessions_t = ParquetTable(spark, str(tmp_path / "sess"), SESSIONS_SCHEMA)
+    sessions_t.append(spark.createDataFrame([("s1", t0, t0, None)], SESSIONS_SCHEMA))
+    points_t = ParquetTable(spark, str(tmp_path / "pts"), MEMORY_POINTS_SCHEMA)
+
+    q = ingest.ingest_points_stream(
+        spark, inbox, points_t, sessions_t, hash_embed_udf(16), str(tmp_path / "ck2")
+    )
+    q.awaitTermination(120)
+
+    pts = {r["id"]: r for r in points_t.read().collect()}
+    assert set(pts) == {"p1", "p4"}
+    assert pts["p1"]["metadata"] == {"k": "v", "session_id": "s1"}  # P8 enrichment
+    assert len(pts["p1"]["vector"]) == 16
+    s1 = sessions_t.read().first()
+    assert s1["updated_at"] > s1["created_at"]  # C3 touch
 
 
 def test_session_window_counts_stream(spark, tmp_path):
