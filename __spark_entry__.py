@@ -548,6 +548,42 @@ def q_users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchasers.exceptAll(erroring)
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation surface: event counts by (type, user bucket) with
+    subtotal and grand-total rows."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("bigint")
+    )
+    return ev.rollup("event_type", "user_bucket").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value")
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: per-user-bucket value sums, one column per event type
+    (fixed column list so both engines emit the same schema)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("bigint")
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 6))
+    )
+    return out.select("user_bucket", *[F.col(t).alias(f"v_{t}") for t in types])
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ multimodal plumbing: synth media blobs -> mapInPandas feature
     extraction (deterministic fake decoder; real codecs stubbed)."""
@@ -609,6 +645,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "docs_with_embeddings": q_docs_with_embeddings,
         "distinct_users_per_type": q_distinct_users_per_type,
         "users_purchase_no_error": q_users_purchase_no_error,
+        "events_rollup": q_events_rollup,
+        "events_pivot": q_events_pivot,
+        "events_percentiles": q_events_percentiles,
 }
 
 
@@ -911,6 +950,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
             EXCEPT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
+        "events_rollup": """
+            SELECT event_type, user_id % 4 AS user_bucket,
+                   count(*) AS n, round(sum(value), 6) AS total_value
+            FROM events GROUP BY ROLLUP (event_type, user_bucket)
+        """,
+        "events_pivot": """
+            SELECT user_id % 4 AS user_bucket,
+                   round(sum(value) FILTER (event_type = 'click'), 6) AS v_click,
+                   round(sum(value) FILTER (event_type = 'view'), 6) AS v_view,
+                   round(sum(value) FILTER (event_type = 'purchase'), 6) AS v_purchase,
+                   round(sum(value) FILTER (event_type = 'signup'), 6) AS v_signup,
+                   round(sum(value) FILTER (event_type = 'error'), 6) AS v_error
+            FROM events GROUP BY 1
+        """,
+        "events_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type
         """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
