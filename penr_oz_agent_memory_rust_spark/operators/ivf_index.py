@@ -55,6 +55,16 @@ def load_centroids(path: str) -> np.ndarray:
         return np.asarray(json.load(f), dtype=np.float32)
 
 
+def append_to_ivf_index(new_rows: DataFrame, path: str, vec_col: str = "embedding") -> None:
+    """Incremental index maintenance: assign new vectors to the EXISTING
+    cells (no retraining — FAISS-style) and append into their partition
+    directories. Centroid drift is handled by periodic build_ivf_index
+    rebuilds, not per-batch retrains."""
+    cents = load_centroids(path)
+    indexed = new_rows.withColumn("ivf_cell", knn.ivf_assign_expr(F.col(vec_col), cents))
+    indexed.write.mode("append").partitionBy("ivf_cell").parquet(os.path.join(path, "data"))
+
+
 def search_ivf_index(
     spark: SparkSession,
     path: str,

@@ -117,6 +117,19 @@ class ParquetTable:
         self.ensure()
         self._writer(df, "append").parquet(self.path)
 
+    def compact(self, target_partitions: int = 1) -> int:
+        """Small-file compaction: micro-batch appends leave one file per
+        epoch; rewrite into `target_partitions` files (per partition dir if
+        partitioned). Returns the file count before compaction. At real
+        scale this is the nightly OPTIMIZE job; coalesce avoids a shuffle.
+        """
+        import glob
+
+        before = len(glob.glob(os.path.join(self.path, "**", "*.parquet"), recursive=True))
+        current = self.read().coalesce(target_partitions)
+        self.overwrite(current)
+        return before
+
     def overwrite(self, df: DataFrame) -> None:
         """Full rewrite via a temp location (safe read-then-overwrite: Spark
         cannot overwrite a path it is concurrently reading)."""

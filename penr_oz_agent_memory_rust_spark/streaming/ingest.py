@@ -168,6 +168,18 @@ def session_window_counts(events_stream: DataFrame, gap: str = "30 minutes", wat
     )
 
 
+def dedup_stream(
+    events_stream: DataFrame, key_cols: list[str], watermark_col: str = "ts", delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: dropDuplicatesWithinWatermark
+    keeps the first arrival of each key and bounds state by the watermark —
+    the streaming form of the batch upsert/last-writer-wins reduction (S4).
+    Use for at-least-once sources (replayed ingest, retried producers)."""
+    return events_stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState: a
     per-user running (count, value-sum) maintained across micro-batches.

@@ -37,6 +37,40 @@ def test_search_prunes_partitions(spark, sf_dir, index_path):
     assert "ivf_cell" in part_section, part_section
 
 
+def test_incremental_append_searchable(spark, sf_dir, tmp_path):
+    """append_to_ivf_index: new vectors land in existing cells and are
+    immediately findable without retraining."""
+    import numpy as np
+
+    path = str(tmp_path / "inc_idx")
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ivf_index.build_ivf_index(corpus, path, n_centroids=4, n_iters=2)
+    # a fresh, distinctive vector
+    new_vec = [float(x) for x in np.eye(64, dtype=np.float32)[0]]
+    new_rows = spark.createDataFrame(
+        [(999999, new_vec, 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    ivf_index.append_to_ivf_index(new_rows, path)
+    hits = ivf_index.search_ivf_index(spark, path, new_vec, k=1, n_probes=1).collect()
+    assert hits[0]["vec_id"] == 999999 and abs(hits[0]["score"] - 1.0) < 1e-5
+
+
+def test_table_compaction(spark, tmp_path):
+    from penr_oz_agent_memory_rust_spark.schemas import SESSIONS_SCHEMA
+    from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable
+    import datetime as dt
+    import glob
+
+    t = ParquetTable(spark, str(tmp_path / "many"), SESSIONS_SCHEMA)
+    t0 = dt.datetime(2026, 1, 1)
+    for i in range(5):  # five appends -> many small files
+        t.append(spark.createDataFrame([(f"s{i}", t0, t0, None)], SESSIONS_SCHEMA))
+    before = t.compact(target_partitions=1)
+    after = len(glob.glob(f"{t.path}/**/*.parquet", recursive=True))
+    assert before >= 5 and after == 1
+    assert t.read().count() == 5
+
+
 def test_search_recall_and_self_match(spark, sf_dir, index_path):
     emb = load_table(spark, sf_dir, "embeddings")
     qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])

@@ -125,6 +125,32 @@ def test_ingest_points_stream_qdrant_path(spark, tmp_path):
     assert s1["updated_at"] > s1["created_at"]  # C3 touch
 
 
+def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
+    """At-least-once replay: the same event_id arriving twice within the
+    watermark is emitted once."""
+    import datetime as dt
+
+    src = str(tmp_path / "dup_ev")
+    base = dt.datetime(2026, 1, 1)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    rows = [(i, base + dt.timedelta(seconds=i), 1, "a", 1.0, "{}") for i in range(5)]
+    dups = rows[1:3]  # replayed rows
+    spark.createDataFrame(rows + dups, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        ingest.dedup_stream(stream, ["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r["event_id"] for r in got) == [0, 1, 2, 3, 4]
+
+
 def test_session_window_counts_stream(spark, tmp_path):
     """Native session windows: two bursts separated by > gap become two
     sessions per user; counts match the batch expectation."""
