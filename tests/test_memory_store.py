@@ -128,6 +128,29 @@ def test_search_empty_query_raises(spark, corpus):
         memory_store.search(corpus, [], limit=10)
 
 
+def test_blocked_strategy_matches_expr(spark):
+    """Both physical strategies answer the same logical query: identical
+    ranked ids; scores agree to f32 tolerance; P2 exclusions hold."""
+    mem = make_memories(
+        spark,
+        [
+            ("m1", "a", None, None, [1.0, 0.0, 0.0]),
+            ("m2", "b", None, None, [0.9, 0.1, 0.0]),
+            ("m3", "c", None, None, [0.0, 1.0, 0.0]),
+            ("m4", "zero", None, None, [0.0, 0.0, 0.0]),
+            ("m5", "short", None, None, [1.0, 0.0]),
+        ],
+    )
+    q = [1.0, 0.0, 0.0]
+    expr_rows = memory_store.search(mem, q, limit=10).collect()
+    blocked_rows = memory_store.search(mem, q, limit=10, strategy="blocked").collect()
+    assert [r["id"] for r in expr_rows] == [r["id"] for r in blocked_rows] == ["m1", "m2", "m3"]
+    for a, b in zip(expr_rows, blocked_rows):
+        assert abs(a["score"] - b["score"]) < 1e-5
+    # zero query vector -> empty under both strategies
+    assert memory_store.search(mem, [0.0, 0.0, 0.0], limit=10, strategy="blocked").count() == 0
+
+
 def test_topk_is_take_ordered(spark, corpus):
     """Scale pin: top-k compiles to TakeOrderedAndProject (bounded heaps,
     no shuffle) — the distributed version of reference src/memory.rs:93-136."""
