@@ -548,6 +548,39 @@ def q_users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchasers.exceptAll(erroring)
 
 
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ as-of join: for each event, the customer's most recent order at
+    event time (union-sort implementation, no range-join explosion)."""
+    from penr_oz_agent_memory_rust_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    out = asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+        keep_unmatched=False,
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface: monthly order counts and value."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("month", F.date_trunc("month", F.col("o_orderdate")))
+        .groupBy("month")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .select(F.unix_timestamp("month").alias("month_epoch"), "n_orders", "total")
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation surface: event counts by (type, user bucket) with
     subtotal and grand-total rows."""
@@ -648,6 +681,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "events_percentiles": q_events_percentiles,
+        "asof_latest_order": q_asof_latest_order,
+        "orders_by_month": q_orders_by_month,
 }
 
 
@@ -950,6 +985,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
             EXCEPT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
+        "asof_latest_order": """
+            WITH cand AS (
+              SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, user_id, o_orderkey, o_orderdate FROM cand WHERE rn = 1
+        """,
+        "orders_by_month": """
+            SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_epoch,
+                   count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+            FROM orders GROUP BY 1
         """,
         "events_rollup": """
             SELECT event_type, user_id % 4 AS user_bucket,

@@ -7,6 +7,8 @@ top-k, absence of unexpected exchanges.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -27,11 +29,14 @@ def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    return physical_plan(df).count("Exchange")
+    """Exchange nodes of any kind, counted once each via the formatted
+    plan's detail headers ("(n) Exchange" / "(n) BroadcastExchange")."""
+    plan = physical_plan(df)
+    return len(re.findall(r"^\(\d+\) (?:Broadcast)?Exchange\b", plan, flags=re.M))
 
 
 def count_shuffle_exchanges(df: DataFrame) -> int:
     """Shuffle exchanges only — broadcasts move the small side, not the
     data, and don't count against a 'no-shuffle' claim."""
     plan = physical_plan(df)
-    return plan.count("Exchange") - plan.count("BroadcastExchange")
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M))
