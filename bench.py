@@ -42,6 +42,11 @@ HEADLINE = [
     "topk_per_group",
     "pipeline_clean_corpus",
     "knn_self_all_pairs",
+    "asof_latest_order",
+    "doc_chunking",
+    "deterministic_sample",
+    "distinct_users_per_type",
+    "events_rollup",
 ]
 
 
