@@ -581,6 +581,42 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERY_TERMS = ["spark", "query", "join", "table"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ BM25 keyword retrieval over the inverted-index DataFrame."""
+    from penr_oz_agent_memory_rust_spark.operators import bm25
+
+    idx = bm25.build_term_index(_docs(spark, sf_dir))
+    return bm25.bm25_search(idx, BM25_QUERY_TERMS, k=10)
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ hybrid retrieval: BM25 ranking ⊕ vector ranking fused with
+    reciprocal-rank fusion (no oracle: composition pinned by unit tests)."""
+    from penr_oz_agent_memory_rust_spark.operators import bm25
+
+    idx = bm25.build_term_index(_docs(spark, sf_dir))
+    kw = bm25.bm25_search(idx, BM25_QUERY_TERMS, k=20)
+    vec = (
+        _scored_vs_q0(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+    return bm25.reciprocal_rank_fusion(kw, vec, k=10)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ transitive closure of MinHash candidate pairs: duplicate clusters
+    with their canonical (minimum) member."""
+    from penr_oz_agent_memory_rust_spark.operators import components
+
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=12, bands=4)
+    return components.dedup_clusters(pairs)
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation surface: event counts by (type, user bucket) with
     subtotal and grand-total rows."""
@@ -683,6 +719,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_percentiles": q_events_percentiles,
         "asof_latest_order": q_asof_latest_order,
         "orders_by_month": q_orders_by_month,
+        "bm25_search": q_bm25_search,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "dedup_clusters": q_dedup_clusters,
 }
 
 
@@ -985,6 +1024,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
             EXCEPT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
+        "bm25_search": f"""
+            WITH tokens AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2
+            ), dl AS (
+              SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1
+            ), stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT avg(dl) FROM dl) AS avgdl
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            )
+            SELECT tf.doc_id,
+                   round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * (1.2 + 1)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+            FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats
+            WHERE term IN ({", ".join(repr(t) for t in BM25_QUERY_TERMS)})
+            GROUP BY tf.doc_id
+            ORDER BY bm25 DESC, tf.doc_id LIMIT 10
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE sigsh AS (
+              SELECT doc_id, unnest(list_distinct({_DK_SHINGLES3})) AS s FROM documents
+            ), sig AS (
+              SELECT doc_id, {", ".join(f"min(substring(md5('{j // 6}|' || s), {1 + 5 * (j % 6)}, 5)) AS h{j}" for j in range(12))}
+              FROM sigsh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([{", ".join("'" + str(b) + ":' || " + " || ".join(f"h{b * 3 + r}" for r in range(3)) for b in range(4))}]) AS bucket
+              FROM sig
+            ), pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+            ), edges AS (
+              SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT u, u FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT min_v AS component, count(*) AS cluster_size FROM (
+              SELECT u, min(v) AS min_v FROM reach GROUP BY u
+            ) GROUP BY min_v
         """,
         "asof_latest_order": """
             WITH cand AS (

@@ -47,6 +47,9 @@ HEADLINE = [
     "deterministic_sample",
     "distinct_users_per_type",
     "events_rollup",
+    "bm25_search",
+    "hybrid_search_rrf",
+    "dedup_clusters",
 ]
 
 
