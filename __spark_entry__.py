@@ -36,6 +36,16 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_poz_pkg_shipped", False):
         return
+    # harness sessions may come up with stock configs; these are
+    # runtime-settable and matter for plan quality on local[N]
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(sc.defaultParallelism, 4)))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # read-only conf in some deployments; queries stay correct
     import tempfile
     import zipfile
 
@@ -531,6 +541,20 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ frame-sampling plumbing: fixed-size slices of each media payload
+    (deterministic fake blobs => 4 frames of 16 bytes each)."""
+    from penr_oz_agent_memory_rust_spark.operators.multimodal import sample_frames
+
+    media = synthesize_media_from_documents(_docs(spark, sf_dir))
+    frames = sample_frames(media, every_n_bytes=16, max_frames=4)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.length("frame").cast("bigint").alias("frame_bytes"),
+    )
+
+
 def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation surface: exact distinct users per event type."""
     ev = load_table(spark, sf_dir, "events")
@@ -722,6 +746,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_search": q_bm25_search,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "dedup_clusters": q_dedup_clusters,
+        "multimodal_frames": q_multimodal_frames,
 }
 
 
@@ -1130,6 +1155,12 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": """
             SELECT 'image-' || CAST(doc_id AS VARCHAR) AS media_id,
                    'image' AS kind, CAST(16 AS BIGINT) AS n_features
+            FROM documents
+        """,
+        "multimodal_frames": """
+            SELECT 'image-' || CAST(doc_id AS VARCHAR) AS media_id,
+                   unnest([0, 1, 2, 3])::BIGINT AS frame_idx,
+                   CAST(16 AS BIGINT) AS frame_bytes
             FROM documents
         """,
         # knn_join_blocked, lsh_ann, events-stream variants: intentionally no

@@ -205,6 +205,32 @@ class MemoryEngine:
             metric=self.config.vector_store.distance,
         )
 
+    def api_search_batch(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        provider: str | None = None,
+        query_id_col: str = "query_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Batch semantic search: many query TEXTS at once — embed with the
+        provider pandas UDF, then one BLAS-blocked KNN join against the
+        points table. This is the Spark-shaped form of looping /api/search:
+        one job, one corpus scan, all queries. Output: (query_id, id, score).
+        """
+        from penr_oz_agent_memory_rust_spark.operators.knn import blocked_knn_join
+
+        points = self._require_points()
+        embedded = queries.select(
+            F.col(query_id_col).cast("string").alias("query_id"),
+            self.registry.embed_column(provider)(F.col(text_col)).alias("qvec"),
+        )
+        corpus = points.read().select(F.col("id"), F.col("vector").alias("vec"))
+        return blocked_knn_join(
+            embedded, corpus, k=k, query_id="query_id", corpus_id="id",
+            query_vec="qvec", corpus_vec="vec", id_type="string",
+        )
+
     def api_embed(self, text: str, provider: str | None = None) -> dict:
         """POST /api/embed (reference src/routes.rs:136-161)."""
         self._require_text(text)

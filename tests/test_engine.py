@@ -146,6 +146,20 @@ def test_not_configured_paths(spark, tmp_path):
     assert eng.health()["vector_store_configured"] is False
 
 
+def test_api_search_batch(spark, tmp_path):
+    eng = make_engine(spark, tmp_path)
+    eng.api_store("rust systems programming", id="p-rust")
+    eng.api_store("gardening with flowers", id="p-garden")
+    eng.api_store("distributed query engines", id="p-query")
+    queries = spark.createDataFrame(
+        [(1, "rust systems programming"), (2, "gardening with flowers")],
+        "query_id bigint, text string",
+    )
+    hits = eng.api_search_batch(queries, k=1).collect()
+    top = {r["query_id"]: r["id"] for r in hits}
+    assert top == {"1": "p-rust", "2": "p-garden"}
+
+
 def test_batch_store_path(spark, tmp_path):
     eng = make_engine(spark, tmp_path)
     rows = spark.createDataFrame(
