@@ -33,7 +33,18 @@ def _ship_package(spark: SparkSession) -> None:
     of the driver process's cwd: zip it once and addPyFile it. Without this,
     mapInPandas/pandas-UDF closures that reference package modules fail to
     unpickle on workers when the harness launches from outside the repo."""
-    sc = spark.sparkContext
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        # Spark Connect session: no sparkContext; ship via addArtifacts
+        if not getattr(spark, "_poz_pkg_shipped", False):
+            zip_path = _build_pkg_zip()
+            try:
+                spark.addArtifacts(zip_path, pyfile=True)
+            except Exception:
+                pass
+            spark._poz_pkg_shipped = True
+        return
     if getattr(sc, "_poz_pkg_shipped", False):
         return
     # harness sessions may come up with stock configs; these are
@@ -46,6 +57,11 @@ def _ship_package(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # read-only conf in some deployments; queries stay correct
+    sc.addPyFile(_build_pkg_zip())
+    sc._poz_pkg_shipped = True
+
+
+def _build_pkg_zip() -> str:
     import tempfile
     import zipfile
 
@@ -57,8 +73,7 @@ def _ship_package(spark: SparkSession) -> None:
                 if fname.endswith(".py"):
                     full = os.path.join(root, fname)
                     zf.write(full, os.path.relpath(full, _REPO_ROOT))
-    sc.addPyFile(zip_path)
-    sc._poz_pkg_shipped = True
+    return zip_path
 
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -541,6 +556,16 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ int8-quantized top-k search (4x smaller vector storage; no oracle —
+    quantization error is engine-defined; ranking pinned vs exact in tests)."""
+    from penr_oz_agent_memory_rust_spark.operators import quantize
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return quantize.quantized_search(quantize.quantize_table(emb), qv, k=10)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ frame-sampling plumbing: fixed-size slices of each media payload
     (deterministic fake blobs => 4 frames of 16 bytes each)."""
@@ -747,6 +772,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "dedup_clusters": q_dedup_clusters,
         "multimodal_frames": q_multimodal_frames,
+        "quantized_search": q_quantized_search,
 }
 
 
