@@ -20,7 +20,7 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO_ROOT)
 
 from penr_oz_agent_memory_rust_spark.functions import hashing, similarity
-from penr_oz_agent_memory_rust_spark.operators import dedup, knn, memory_store, session_store, text_ops, topk, vector_store
+from penr_oz_agent_memory_rust_spark.operators import corpus, dedup, knn, memory_store, session_store, text_ops, topk, vector_store
 from penr_oz_agent_memory_rust_spark.operators.multimodal import extract_features, synthesize_media_from_documents
 from penr_oz_agent_memory_rust_spark.sources.tables import load_table
 from penr_oz_agent_memory_rust_spark.streaming.ingest import batch_windowed_event_counts
@@ -393,6 +393,45 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", hashing.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ train/test decontamination: exact 3-gram overlap counts against a
+    held-out 'test set' (doc_id % 17 == 0), test shingle dict broadcast."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    test = docs.filter(F.col("doc_id") % 17 == 0)
+    return corpus.decontaminate(train, test, n=3)
+
+
+def q_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ corpus vocabulary: token frequency top-100 (explode → agg → heap)."""
+    return corpus.word_freq_topk(_docs(spark, sf_dir), k=100)
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ PII scan + redaction (email/phone regex, single codegen pass)."""
+    return corpus.pii_scan(_docs(spark, sf_dir))
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Gopher-style repetition signal: 1 - distinct/total tokens."""
+    return corpus.repetition_score(_docs(spark, sf_dir))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ deterministic stratified sample: 20 docs per lang in md5(id) order."""
+    return corpus.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"), n_per_group=20
+    )
+
+
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ quantile-based quality filter: keep docs >= corpus p25 quality."""
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", text_ops.quality_score_expr(F.col("text")).alias("quality")
+    )
+    return corpus.quality_quantile_filter(scored, q=0.25)
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ tumbling-window aggregation (batch plan of the streaming query)."""
     ev = load_table(spark, sf_dir, "events")
@@ -747,6 +786,12 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "text_lang_id": q_text_lang_id,
         "text_quality_tokens": q_text_quality_tokens,
         "doc_fingerprint": q_doc_fingerprint,
+        "decontaminate_ngram": q_decontaminate_ngram,
+        "word_freq_topk": q_word_freq_topk,
+        "pii_scan": q_pii_scan,
+        "repetition_score": q_repetition_score,
+        "stratified_sample": q_stratified_sample,
+        "quality_quantile_filter": q_quality_quantile_filter,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
@@ -1013,6 +1058,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_DK_NORM}) AS fp FROM documents
+        """,
+        "decontaminate_ngram": f"""
+            WITH test_sh AS (
+              SELECT DISTINCT unnest(list_distinct({_DK_SHINGLES3})) AS sh
+              FROM documents WHERE doc_id % 17 = 0
+            ), train_sh AS (
+              SELECT doc_id, unnest(list_distinct({_DK_SHINGLES3})) AS sh
+              FROM documents WHERE doc_id % 17 <> 0
+            )
+            SELECT doc_id, count(*) AS n_overlap
+            FROM train_sh JOIN test_sh USING (sh)
+            GROUP BY doc_id
+        """,
+        "word_freq_topk": """
+            SELECT token, count(*) AS freq
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY freq DESC, token ASC
+            LIMIT 100
+        """,
+        "pii_scan": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS n_phones,
+                   regexp_replace(regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+            FROM documents
+        """,
+        "repetition_score": """
+            SELECT doc_id,
+                   len(string_split(lower(text), ' ')) AS n_tokens,
+                   CASE WHEN len(string_split(lower(text), ' ')) > 0
+                        THEN round(1.0 - len(list_distinct(string_split(lower(text), ' ')))
+                                   * 1.0 / len(string_split(lower(text), ' ')), 6)
+                        ELSE 0.0 END AS repetition
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) <= 20
+        """,
+        "quality_quantile_filter": f"""
+            WITH scored AS (SELECT doc_id, {_DK_QUALITY} AS quality FROM documents),
+            thr AS (SELECT round(quantile_cont(quality, 0.25), 6) AS t FROM scored)
+            SELECT doc_id, quality FROM scored, thr WHERE quality >= t
         """,
         "events_window_agg": """
             SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws,

@@ -1,0 +1,156 @@
+"""Corpus-level training-data-pipeline operators (north-star, SURVEY §2.7 ★).
+
+Train/test decontamination, vocabulary statistics, PII scrubbing, repetition
+scoring (Gopher-style quality signal), stratified sampling, and quantile-based
+quality filtering. The reference has none of these (it is a vector-store
+proxy, /root/reference/src/memory.rs); they are the LLM-pipeline surface the
+north star asks for, built Spark-first:
+
+- everything is a native column expression (JVM, whole-stage codegen) except
+  shingling, which reuses the Arrow-batched UDF from functions.hashing;
+- the small side of every join (the test-set shingle dictionary) is
+  broadcast — at 100 TB the train corpus never shuffles for decontamination;
+- all outputs are oracle-expressible in DuckDB SQL (portable md5 hashing,
+  plain regex, linear-interpolation percentiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from penr_oz_agent_memory_rust_spark.functions import hashing
+
+# Deliberately simple, RE2-and-Java-compatible patterns so the DuckDB oracle
+# computes the identical redaction.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Train/test overlap via exact word n-gram matching.
+
+    Returns (id_col, n_overlap): for each train doc, the number of its
+    distinct n-gram shingles that also occur anywhere in the test set.
+    Docs with zero overlap are omitted (inner join) — at scale the result
+    is the small "contaminated" subset, not the whole corpus.
+
+    Scale shape: the test-set shingle dictionary is DISTINCT-ed and
+    broadcast, so the (huge) train side is a single scan + map-side hash
+    probe + one groupBy on id — no shuffle of raw shingles.
+    """
+    train_sh = hashing.word_shingle_rows(train, id_col, text_col, n)
+    test_sh = (
+        hashing.word_shingle_rows(test, id_col, text_col, n)
+        .select("sh")
+        .distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(test_sh), "sh", "inner")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+
+
+def word_freq_topk(
+    docs: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Corpus-wide token frequency, top-k by (count DESC, token ASC).
+
+    explode → partial-agg (map-side combine) → final agg → bounded top-k
+    heap (TakeOrderedAndProject): the classic scalable word-count shape.
+    """
+    tok = F.explode(hashing.word_tokens(F.col(text_col))).alias("token")
+    return (
+        docs.select(tok)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def pii_scan(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Count + redact email/phone-shaped spans (single pass, pure codegen).
+
+    Returns (id_col, n_emails, n_phones, redacted) for every doc; redaction
+    replaces each span with a fixed tag so downstream token counts stay
+    stable.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        F.col(id_col),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def repetition_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signal: 1 - distinct_tokens / total_tokens.
+
+    High values flag boilerplate / spam. Rounded to 6dp for the oracle.
+    """
+    toks = hashing.word_tokens(F.col(text_col))
+    total = F.size(toks).cast("double")
+    distinct = F.size(F.array_distinct(toks)).cast("double")
+    rep = F.when(total > 0, F.round(1.0 - distinct / total, 6)).otherwise(0.0)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        rep.alias("repetition"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    n_per_group: int = 20,
+) -> DataFrame:
+    """Deterministic per-group sample: first n per group in portable-hash
+    order (md5 of the id). One shuffle on group_col; WindowGroupLimit
+    prunes to n per partition before the exchange on Spark ≥3.5.
+    """
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order_key, F.col(id_col))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def quality_quantile_filter(
+    scored: DataFrame, score_col: str = "quality", q: float = 0.25
+) -> DataFrame:
+    """Keep docs at/above the corpus q-quantile of `score_col`.
+
+    The exact interpolated percentile (Spark `percentile` == DuckDB
+    `quantile_cont`) is computed as a 1-row aggregate and broadcast — a
+    scalar join, so the big side is scanned once with a map-side filter.
+    Threshold rounded to 6dp so both engines compare identical doubles.
+    """
+    thr = scored.agg(
+        F.round(F.expr(f"percentile({score_col}, {q})"), 6).alias("__thr")
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .filter(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
+    )

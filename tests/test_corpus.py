@@ -1,0 +1,74 @@
+"""Unit tests for corpus-level pipeline operators (operators/corpus.py).
+
+The reference has no corpus ops (SURVEY §2.7) — these pin the north-star
+semantics on tiny hand-built DataFrames: decontamination overlap counts,
+vocabulary top-k ordering, PII redaction, repetition scoring, stratified
+sampling determinism, and quantile filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.operators import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_decontaminate_counts_overlapping_shingles(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps", "en"),  # shares "the quick brown", "quick brown fox"
+            (2, "totally unrelated words here", "en"),
+            (3, "the quick brown dog", "en"),  # shares "the quick brown"
+        ],
+    )
+    test = _docs(spark, [(100, "see the quick brown fox run", "en")])
+    got = {r["doc_id"]: r["n_overlap"] for r in corpus.decontaminate(train, test).collect()}
+    assert got == {1: 2, 3: 1}  # doc 2 omitted (zero overlap)
+
+
+def test_word_freq_topk_order_and_ties(spark):
+    docs = _docs(spark, [(1, "a b b c c", "en"), (2, "c a", "en")])
+    rows = corpus.word_freq_topk(docs, k=2).collect()
+    assert [(r["token"], r["freq"]) for r in rows] == [("c", 3), ("a", 2)]
+
+
+def test_pii_scan_redacts_and_counts(spark):
+    docs = _docs(
+        spark,
+        [(1, "mail bob@example.com or call +1 (555) 123-4567 now", "en"), (2, "clean", "en")],
+    )
+    rows = {r["doc_id"]: r for r in corpus.pii_scan(docs).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[1]["redacted"] == "mail <EMAIL> or call <PHONE> now"
+    assert rows[2]["n_emails"] == 0 and rows[2]["redacted"] == "clean"
+
+
+def test_repetition_score_flags_boilerplate(spark):
+    docs = _docs(spark, [(1, "spam spam spam spam", "en"), (2, "all words differ here", "en")])
+    rows = {r["doc_id"]: r for r in corpus.repetition_score(docs).collect()}
+    assert rows[1]["repetition"] == 0.75 and rows[1]["n_tokens"] == 4
+    assert rows[2]["repetition"] == 0.0
+
+
+def test_stratified_sample_is_deterministic_per_group(spark):
+    docs = _docs(spark, [(i, f"doc {i}", "en" if i % 2 else "de") for i in range(40)])
+    a = corpus.stratified_sample(docs, n_per_group=5)
+    counts = {r["lang"]: r["n"] for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 5, "de": 5}
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in corpus.stratified_sample(docs, n_per_group=5).collect()
+    )
+
+
+def test_quality_quantile_filter_keeps_top_three_quarters(spark):
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)], "doc_id bigint, quality double"
+    )
+    kept = sorted(r["doc_id"] for r in corpus.quality_quantile_filter(scored, q=0.25).collect())
+    # p25 of 1..8 (linear interpolation) = 2.75 -> keep 3..8
+    assert kept == [3, 4, 5, 6, 7, 8]
