@@ -29,15 +29,29 @@ def connected_components(
     Nodes appearing in no edge are absent (callers union isolated nodes
     back as their own component if needed).
     """
+    # both orientations from ONE scan of `pairs` (an explode, not a union of
+    # two branches) — pairs is typically an expensive dedup pipeline and a
+    # union would recompute it twice
     edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+                    F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
     )
     # self-edges make every node its own neighbor so labels persist
     nodes = edges.select("u").distinct()
     edges = edges.unionByName(nodes.select("u", F.col("u").alias("v"))).persist()
     labels = nodes.select("u", F.col("u").alias("component")).persist()
+    numeric_ids = labels.schema["component"].dataType.typeName() in (
+        "byte", "short", "integer", "long", "float", "double", "decimal"
+    )
+    prev_sum = None
     try:
         for _ in range(max_iterations):
             # each node adopts the min label among its neighbors' labels;
@@ -49,7 +63,17 @@ def connected_components(
                 .agg(F.min("component").alias("component"))
                 .persist()
             )
-            if check_convergence:
+            if check_convergence and numeric_ids:
+                # self-edges guarantee labels are non-increasing, so the label
+                # sum strictly decreases until the fixpoint: one tiny aggregate
+                # per round instead of a join-based changed-rows check
+                cur_sum = new_labels.agg(F.sum("component")).first()[0]
+                labels.unpersist()
+                labels = new_labels
+                if cur_sum == prev_sum:
+                    break
+                prev_sum = cur_sum
+            elif check_convergence:
                 changed = (
                     new_labels.alias("n")
                     .join(labels.alias("o"), "u")

@@ -82,6 +82,14 @@ def test_connected_components_chain_diameter(spark):
     assert len(comp) == n + 1
 
 
+def test_connected_components_string_ids(spark):
+    """Non-numeric node ids take the join-based convergence fallback
+    (the sum-of-labels shortcut only applies to numeric ids)."""
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")], "a string, b string")
+    comp = {r["node"]: r["component"] for r in components.connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_components_of_minhash_pairs_end_to_end(spark):
     """Full dedup pipeline: minhash pairs -> clusters."""
     from penr_oz_agent_memory_rust_spark.operators import dedup
