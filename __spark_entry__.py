@@ -596,8 +596,9 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """★ int8-quantized top-k search (4x smaller vector storage; no oracle —
-    quantization error is engine-defined; ranking pinned vs exact in tests)."""
+    """★ int8-quantized top-k search (4x smaller vector storage). The
+    quantize/dequantize arithmetic is deterministic, so the full pipeline —
+    quantize → dequantize → f64 cosine → top-k — is oracle-checked in SQL."""
     from penr_oz_agent_memory_rust_spark.operators import quantize
 
     emb = _emb(spark, sf_dir)
@@ -682,7 +683,8 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ hybrid retrieval: BM25 ranking ⊕ vector ranking fused with
-    reciprocal-rank fusion (no oracle: composition pinned by unit tests)."""
+    reciprocal-rank fusion; fully deterministic (f64 + rounding), so the
+    whole fusion is oracle-checked in SQL."""
     from penr_oz_agent_memory_rust_spark.operators import bm25
 
     idx = bm25.build_term_index(_docs(spark, sf_dir))
@@ -1192,6 +1194,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE term IN ({", ".join(repr(t) for t in BM25_QUERY_TERMS)})
             GROUP BY tf.doc_id
             ORDER BY bm25 DESC, tf.doc_id LIMIT 10
+        """,
+        "hybrid_search_rrf": f"""
+            WITH tokens AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2
+            ), dl AS (
+              SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1
+            ), stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT avg(dl) FROM dl) AS avgdl
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), bm AS (
+              SELECT tf.doc_id,
+                     round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                           * tf * (1.2 + 1)
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+              FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats
+              WHERE term IN ({", ".join(repr(t) for t in BM25_QUERY_TERMS)})
+              GROUP BY tf.doc_id
+            ), kw AS (
+              SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+              FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20) kb
+            ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            vs AS (
+              SELECT e.vec_id AS doc_id, {cos_e_q} AS score
+              FROM embeddings e, q
+              WHERE {_dk_norm_pos('e.embedding')} AND {_dk_norm_pos('q.qv')}
+            ), vec AS (
+              SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+              FROM (SELECT * FROM vs ORDER BY score DESC, doc_id LIMIT 20) vb
+            )
+            SELECT doc_id, round(sum(CAST(1.0 AS DOUBLE) / (60 + rnk)), 9) AS rrf
+            FROM (SELECT doc_id, rnk FROM kw UNION ALL SELECT doc_id, rnk FROM vec) u
+            GROUP BY doc_id
+            ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        "quantized_search": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            mx AS (
+              SELECT vec_id,
+                     embedding,
+                     list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+              FROM embeddings
+            ), dq AS (
+              SELECT vec_id,
+                     list_transform(embedding, x ->
+                       ((CASE WHEN maxabs > 0
+                              THEN CAST(round(x::DOUBLE / maxabs::DOUBLE * 127) AS TINYINT)
+                              ELSE CAST(0 AS TINYINT) END)::FLOAT
+                        * (maxabs::DOUBLE / 127)::FLOAT)::FLOAT) AS deq
+              FROM mx
+            )
+            SELECT d.vec_id, {_dk_cos('d.deq', 'q.qv')} AS score
+            FROM dq d, q
+            WHERE {_dk_norm_pos('d.deq')} AND {_dk_norm_pos('q.qv')}
+            ORDER BY score DESC, d.vec_id LIMIT 10
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE sigsh AS (

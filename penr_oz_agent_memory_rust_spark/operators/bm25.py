@@ -79,17 +79,25 @@ def reciprocal_rank_fusion(
     id_col: str = "doc_id",
     k: int = 10,
     c: int = 60,
+    depth: int = 1000,
 ) -> DataFrame:
     """Hybrid fusion: RRF(d) = Σ 1/(c + rank_i(d)) over both ranked lists.
     Inputs must already be ranked (any score column); ranks are assigned by
     row order of their score desc. Standard robust fusion for keyword ⊕
-    vector retrieval."""
+    vector retrieval.
+
+    Each list is truncated to `depth` via TakeOrderedAndProject (bounded
+    heaps) BEFORE ranking, so the single-partition row_number window sees at
+    most `depth` rows regardless of input size — no global sort at scale."""
     from pyspark.sql import Window
 
     def with_rank(df):
         score_col = [col for col in df.columns if col != id_col][0]
-        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
-        return df.select(id_col, F.row_number().over(w).alias("rnk"))
+        order = [F.col(score_col).desc(), F.col(id_col)]
+        w = Window.partitionBy(F.lit(0)).orderBy(*order)
+        return df.orderBy(*order).limit(depth).select(
+            id_col, F.row_number().over(w).alias("rnk")
+        )
 
     a, b = with_rank(ranked_a), with_rank(ranked_b)
     fused = (

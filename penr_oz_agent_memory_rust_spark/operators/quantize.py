@@ -48,12 +48,16 @@ def quantized_search(
     query_vec: list[float],
     k: int = 10,
     id_col: str = "vec_id",
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Top-k cosine over the quantized table: dequantize in the scan
-    projection and score with the f32 kernel. Approximate by the
-    quantization error only."""
+    projection and score with the f64 kernel (rounded for deterministic
+    cross-engine comparison). Approximate by the quantization error only —
+    the quantize/dequantize arithmetic itself is deterministic, so this
+    whole query is oracle-checkable in SQL."""
     deq = dequantize_expr(F.col("q_vec"), F.col("q_scale"))
-    scored = quantized.withColumn(
-        "score", similarity.cosine_f32(deq, similarity.query_vec_lit(query_vec))
-    ).filter(F.col("score").isNotNull())
+    score = similarity.cosine_f64(deq, similarity.query_vec_lit(query_vec))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = quantized.withColumn("score", score).filter(F.col("score").isNotNull())
     return top_k(scored, "score", k, tiebreak=id_col).select(id_col, "score")

@@ -63,9 +63,14 @@ def paginate(
         return ordered
     if offset <= 0:
         return ordered.limit(limit)
-    w = Window.orderBy(*order_by)
+    # Bound the window input first: orderBy().limit(offset+limit) is a
+    # TakeOrderedAndProject (per-partition heaps, driver merge), so the
+    # single-partition row_number below sees at most offset+limit rows no
+    # matter how large the table is — never a global sort.
+    page = ordered.limit(offset + limit)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order_by)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        page.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > offset)
         .drop("__rn")
     )
