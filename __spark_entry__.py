@@ -743,6 +743,48 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube aggregation: every grouping-set combination of
+    (event_type, user_bucket) — completes the rollup/pivot family."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("bigint")
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value")
+    )
+
+
+def q_events_in_order_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ binned interval join: events landing within 7 days (inclusive) of
+    the customer's order date, counted per order. The bin-explode equi-join
+    keeps per-key work bounded — no O(|L|x|R|) range explosion."""
+    from penr_oz_agent_memory_rust_spark.operators import rangejoin
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("o_start"),
+    ).withColumn("o_end", F.col("o_start") + F.lit(7 * 86_400))
+    joined = rangejoin.interval_join(
+        ev, orders, key="user_id", left_ts="es",
+        right_start="o_start", right_end="o_end", bin_width=7 * 86_400,
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_events"))
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type (no oracle: HLL
+    estimates are algorithm-specific; accuracy pinned vs exact counts in
+    tests at rsd=0.02)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ multimodal plumbing: synth media blobs -> mapInPandas feature
     extraction (deterministic fake decoder; real codecs stubbed)."""
@@ -820,6 +862,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_clusters": q_dedup_clusters,
         "multimodal_frames": q_multimodal_frames,
         "quantized_search": q_quantized_search,
+        "events_cube": q_events_cube,
+        "events_in_order_week": q_events_in_order_week,
+        "approx_distinct_users": q_approx_distinct_users,
 }
 
 
@@ -1297,6 +1342,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, user_id % 4 AS user_bucket,
                    count(*) AS n, round(sum(value), 6) AS total_value
             FROM events GROUP BY ROLLUP (event_type, user_bucket)
+        """,
+        "events_cube": """
+            SELECT event_type, user_id % 4 AS user_bucket,
+                   count(*) AS n, round(sum(value), 6) AS total_value
+            FROM events GROUP BY CUBE (event_type, user_bucket)
+        """,
+        "events_in_order_week": """
+            SELECT o.o_orderkey, count(*) AS n_events
+            FROM events e
+            JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND CAST(floor(epoch(e.ts)) AS BIGINT)
+                   BETWEEN CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+                       AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) + 7 * 86400
+            GROUP BY 1
         """,
         "events_pivot": """
             SELECT user_id % 4 AS user_bucket,

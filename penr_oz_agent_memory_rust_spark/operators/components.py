@@ -3,17 +3,53 @@ closure step that turns pairwise dedup hits into clusters with one canonical
 representative (large-scale dedup pipelines always end here: A~B, B~C ⇒
 {A,B,C} keep min).
 
-Algorithm: iterative min-label propagation (a bounded number of
-join+aggregate rounds). Each round every node adopts the smallest label in
-its neighborhood; converges in O(diameter) rounds — near-dup graphs are
-unions of small cliques, so a handful of rounds suffices. Each round is two
-shuffles (join + groupBy); no driver-side state beyond the loop counter and
-an optional convergence check.
+Algorithm: two physical strategies behind one API —
+
+1. **Driver-local union-find** when the edge list is small (≤
+   `local_threshold` edges, measured by a count on the already-persisted
+   edge frame). After LSH banding the candidate-pair graph is orders of
+   magnitude smaller than the corpus (pairs only exist where signatures
+   collide), so at any scale the *closure* input is usually tiny even when
+   the corpus is 100 TB; a single collect + union-find beats several
+   shuffle rounds of scheduling overhead by a wide margin.
+2. **Iterative min-label propagation** otherwise (a bounded number of
+   join+aggregate rounds). Each round every node adopts the smallest label
+   in its neighborhood; converges in O(diameter) rounds — near-dup graphs
+   are unions of small cliques, so a handful of rounds suffices. Each
+   round is two shuffles (join + groupBy); no driver-side state beyond the
+   loop counter and an optional convergence check.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _local_union_find(edges) -> list:
+    """Union-find with path compression over collected (u, v) rows; returns
+    [(node, min_member_of_component)] sorted for deterministic output."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+    rep: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in rep or node < rep[r]:
+            rep[r] = node
+    return sorted((node, rep[find(node)]) for node in parent)
 
 
 def connected_components(
@@ -22,22 +58,52 @@ def connected_components(
     b_col: str = "b",
     max_iterations: int = 10,
     check_convergence: bool = True,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Input: undirected edges (a, b). Output: (node, component) where
     component is the minimum node id reachable from `node`.
 
     Nodes appearing in no edge are absent (callers union isolated nodes
     back as their own component if needed).
+
+    `local_threshold`: if the (distinct-ignored) edge count is at or below
+    this, the closure runs as driver-side union-find on the collected
+    edges (~50 B/edge driver memory; the default ≈100 MB). Set to 0 to
+    force the distributed path.
     """
-    # both orientations from ONE scan of `pairs` (an explode, not a union of
-    # two branches) — pairs is typically an expensive dedup pipeline and a
-    # union would recompute it twice
+    src = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    src_persisted = False
+    if local_threshold > 0:
+        # one materialization of the (typically expensive) pairs pipeline
+        # serves both the size probe and whichever strategy runs
+        src = src.persist()
+        src_persisted = True
+        n_edges = src.limit(local_threshold + 1).count()
+        if n_edges <= local_threshold:
+            try:
+                rows = _local_union_find(
+                    (r["u"], r["v"]) for r in src.collect()
+                )
+            finally:
+                src.unpersist()
+            from pyspark.sql.types import StructField, StructType
+
+            node_type = pairs.schema[a_col].dataType
+            out_schema = StructType(
+                [
+                    StructField("node", node_type, True),
+                    StructField("component", node_type, True),
+                ]
+            )
+            return pairs.sparkSession.createDataFrame(rows, out_schema)
+    # both orientations from ONE scan of `src` (an explode, not a union of
+    # two branches, which would recompute the input twice)
     edges = (
-        pairs.select(
+        src.select(
             F.explode(
                 F.array(
-                    F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
-                    F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
                 )
             ).alias("e")
         )
@@ -94,12 +160,20 @@ def connected_components(
     finally:
         edges.unpersist()
         labels.unpersist()
+        if src_persisted:
+            src.unpersist()
 
 
 def dedup_clusters(
-    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iterations: int = 10
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 10,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Cluster summary: (component, cluster_size) with component = the
     canonical (minimum) member — the keep-list's complement."""
-    comp = connected_components(pairs, a_col, b_col, max_iterations)
+    comp = connected_components(
+        pairs, a_col, b_col, max_iterations, local_threshold=local_threshold
+    )
     return comp.groupBy("component").agg(F.count("*").alias("cluster_size"))

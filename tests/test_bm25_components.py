@@ -61,32 +61,54 @@ def test_rrf_fusion_prefers_doubly_ranked(spark):
     assert {r["doc_id"] for r in fused} == {1, 2, 3, 4}
 
 
-def test_connected_components_transitive(spark):
+# lt=default exercises the driver-local union-find strategy; lt=0 forces the
+# distributed min-label-propagation loop — same answers from both.
+LT_BOTH_PATHS = [2_000_000, 0]
+
+
+@pytest.mark.parametrize("lt", LT_BOTH_PATHS)
+def test_connected_components_transitive(spark, lt):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (9, 1)], "a bigint, b bigint"
     )
-    comp = {r["node"]: r["component"] for r in components.connected_components(pairs).collect()}
+    comp = {
+        r["node"]: r["component"]
+        for r in components.connected_components(pairs, local_threshold=lt).collect()
+    }
     assert comp[1] == comp[2] == comp[3] == comp[9] == 1
     assert comp[5] == comp[6] == 5
-    sizes = {r["component"]: r["cluster_size"] for r in components.dedup_clusters(pairs).collect()}
+    sizes = {
+        r["component"]: r["cluster_size"]
+        for r in components.dedup_clusters(pairs, local_threshold=lt).collect()
+    }
     assert sizes == {1: 4, 5: 2}
 
 
-def test_connected_components_chain_diameter(spark):
+@pytest.mark.parametrize("lt", LT_BOTH_PATHS)
+def test_connected_components_chain_diameter(spark, lt):
     """A long chain needs several propagation rounds — convergence check
     must carry the min label end to end."""
     n = 12
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "a bigint, b bigint")
-    comp = {r["node"]: r["component"] for r in components.connected_components(pairs, max_iterations=20).collect()}
+    comp = {
+        r["node"]: r["component"]
+        for r in components.connected_components(
+            pairs, max_iterations=20, local_threshold=lt
+        ).collect()
+    }
     assert set(comp.values()) == {0}
     assert len(comp) == n + 1
 
 
-def test_connected_components_string_ids(spark):
-    """Non-numeric node ids take the join-based convergence fallback
-    (the sum-of-labels shortcut only applies to numeric ids)."""
+@pytest.mark.parametrize("lt", LT_BOTH_PATHS)
+def test_connected_components_string_ids(spark, lt):
+    """Non-numeric node ids work on both paths (distributed: the join-based
+    convergence fallback — the sum-of-labels shortcut is numeric-only)."""
     pairs = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")], "a string, b string")
-    comp = {r["node"]: r["component"] for r in components.connected_components(pairs).collect()}
+    comp = {
+        r["node"]: r["component"]
+        for r in components.connected_components(pairs, local_threshold=lt).collect()
+    }
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 

@@ -76,3 +76,22 @@ def test_no_oracle_queries_run(spark, sf_dir, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """The HLL++ sketch (oracle-less by design) must land within 3x the
+    configured rsd of the exact per-type distinct counts."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in ALL_QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    con = _duck(sf_dir)
+    exact = dict(
+        con.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(3, 0.06 * n), (et, approx[et], n)
