@@ -95,7 +95,14 @@ def connected_components(
                     StructField("component", node_type, True),
                 ]
             )
-            return pairs.sparkSession.createDataFrame(rows, out_schema)
+            # coalesce(1): a few-hundred-row result split across the default
+            # parallelism makes every downstream stage pay 32 tasks of
+            # scheduling for nothing
+            out = pairs.sparkSession.createDataFrame(rows, out_schema).coalesce(1)
+            # side-channel for dedup_clusters: the rows are already on the
+            # driver, so cluster sizes can be counted without a shuffle
+            out._spark_graft_local_components = rows
+            return out
     # both orientations from ONE scan of `src` (an explode, not a union of
     # two branches, which would recompute the input twice)
     edges = (
@@ -176,4 +183,23 @@ def dedup_clusters(
     comp = connected_components(
         pairs, a_col, b_col, max_iterations, local_threshold=local_threshold
     )
+    local_rows = getattr(comp, "_spark_graft_local_components", None)
+    if local_rows is not None:
+        # closure already ran on the driver — finish the tiny aggregation
+        # there too instead of shuffling a few hundred rows across 32 tasks
+        from collections import Counter
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        sizes = Counter(component for _, component in local_rows)
+        node_type = comp.schema["component"].dataType
+        out_schema = StructType(
+            [
+                StructField("component", node_type, True),
+                StructField("cluster_size", LongType(), False),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            sorted(sizes.items()), out_schema
+        ).coalesce(1)
     return comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
