@@ -72,20 +72,13 @@ def connected_components(
     force the distributed path.
     """
     src = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    src_persisted = False
     if local_threshold > 0:
-        # one materialization of the (typically expensive) pairs pipeline
-        # serves both the size probe and whichever strategy runs
-        src = src.persist()
-        src_persisted = True
-        n_edges = src.limit(local_threshold + 1).count()
-        if n_edges <= local_threshold:
-            try:
-                rows = _local_union_find(
-                    (r["u"], r["v"]) for r in src.collect()
-                )
-            finally:
-                src.unpersist()
+        # size probe and data fetch in ONE evaluation of the (typically
+        # expensive) pairs pipeline: collect at most threshold+1 edges; if
+        # the limit wasn't hit we already hold the whole edge list
+        probe = src.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            rows = _local_union_find((r["u"], r["v"]) for r in probe)
             from pyspark.sql.types import StructField, StructType
 
             node_type = pairs.schema[a_col].dataType
@@ -167,8 +160,6 @@ def connected_components(
     finally:
         edges.unpersist()
         labels.unpersist()
-        if src_persisted:
-            src.unpersist()
 
 
 def dedup_clusters(

@@ -105,11 +105,21 @@ def minhash_lsh_pairs(
     n_hashes: int = 12,
     bands: int = 4,
     shingle_words: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: docs sharing any band of the signature are
     candidate near-duplicates. Output: distinct (a, b) with a < b.
 
     rows-per-band = n_hashes/bands; similarity threshold ~ (1/bands)^(1/rows).
+
+    Candidate generation is a groupBy on the band bucket with in-bucket pair
+    expansion (sorted id array -> all a<b combinations), NOT a bucket
+    self-join: a self-join would evaluate the whole shingle->signature
+    pipeline once per side, while the groupBy evaluates it once and costs a
+    single exchange on the bucket key. `max_bucket` drops buckets with more
+    than that many members (the stop-bucket trick) — at 100 TB a degenerate
+    band value (e.g. boilerplate docs) would otherwise expand |bucket|²
+    pairs in one task.
     """
     assert n_hashes % bands == 0
     rows = n_hashes // bands
@@ -130,14 +140,23 @@ def minhash_lsh_pairs(
             )
         ).alias("bucket"),
     )
-    left = stacked.alias("l")
-    right = stacked.alias("r")
-    return (
-        left.join(right, F.col(f"l.bucket") == F.col(f"r.bucket"))
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
+    members = (
+        stacked.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        members = members.filter(F.size("ids") <= max_bucket)
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.a", "p.b").distinct()
 
 
 def ngram_jaccard_pairs(
