@@ -42,6 +42,7 @@ from penr_oz_agent_memory_rust_spark.schemas import (
 )
 from penr_oz_agent_memory_rust_spark.sources.embedding_providers import ProviderRegistry
 from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable
+from penr_oz_agent_memory_rust_spark.localdata import local_df
 
 
 class MemoryEngine:
@@ -101,7 +102,8 @@ class MemoryEngine:
         self._require_text(text)
         emb = self._embed(text, provider)
         mem_id = id or str(uuid_mod.uuid4())
-        row = self.spark.createDataFrame(
+        row = local_df(
+            self.spark,
             [(mem_id, text, metadata, session, [float(x) for x in emb], self._clock())],
             MEMORIES_SCHEMA,
         )
@@ -169,7 +171,8 @@ class MemoryEngine:
                 raise ValidationError(f"session {session_id!r} does not exist")  # P9
         emb = self._embed(text, provider)
         point_id = id or str(uuid_mod.uuid4())
-        new = self.spark.createDataFrame(
+        new = local_df(
+            self.spark,
             [(point_id, [float(x) for x in emb], text, session_id, metadata, self._clock())],
             MEMORY_POINTS_SCHEMA,
         )
@@ -252,11 +255,13 @@ class MemoryEngine:
         """POST /api/sessions (reference src/routes.rs:516-534)."""
         self._check_auth(api_key)
         table = self._require_sessions()
-        new = self.spark.createDataFrame([(tags,)], "tags array<string>")
+        new = local_df(self.spark, [(tags,)], "tags array<string>")
         row = session_store.create_sessions(new, now=self._clock()).first()
         table.append(
-            self.spark.createDataFrame(
-                [(row["id"], row["created_at"], row["updated_at"], row["tags"])], SESSIONS_SCHEMA
+            local_df(
+                self.spark,
+                [(row["id"], row["created_at"], row["updated_at"], row["tags"])],
+                SESSIONS_SCHEMA,
             )
         )
         return row.asDict()

@@ -88,10 +88,12 @@ def connected_components(
                     StructField("component", node_type, True),
                 ]
             )
+            from penr_oz_agent_memory_rust_spark.localdata import local_df
+
             # coalesce(1): a few-hundred-row result split across the default
             # parallelism makes every downstream stage pay 32 tasks of
             # scheduling for nothing
-            out = pairs.sparkSession.createDataFrame(rows, out_schema).coalesce(1)
+            out = local_df(pairs.sparkSession, rows, out_schema).coalesce(1)
             # side-channel for dedup_clusters: the rows are already on the
             # driver, so cluster sizes can be counted without a shuffle
             out._spark_graft_local_components = rows
@@ -190,7 +192,7 @@ def dedup_clusters(
                 StructField("cluster_size", LongType(), False),
             ]
         )
-        return pairs.sparkSession.createDataFrame(
-            sorted(sizes.items()), out_schema
-        ).coalesce(1)
+        from penr_oz_agent_memory_rust_spark.localdata import local_df
+
+        return local_df(pairs.sparkSession, sorted(sizes.items()), out_schema).coalesce(1)
     return comp.groupBy("component").agg(F.count("*").alias("cluster_size"))

@@ -93,8 +93,12 @@ def search(
         comparable = df.filter(F.size("embedding") == dim).filter(
             F.exists("embedding", lambda x: x != 0)
         )
-        qdf = memories.sparkSession.createDataFrame(
-            [("q", [float(x) for x in query_vec])], "query_id string, qvec array<float>"
+        from penr_oz_agent_memory_rust_spark.localdata import local_df
+
+        qdf = local_df(
+            memories.sparkSession,
+            [("q", [float(x) for x in query_vec])],
+            "query_id string, qvec array<float>",
         )
         hits = blocked_knn_join(
             qdf,
@@ -127,7 +131,9 @@ def delete(memories: DataFrame, ids: DataFrame | list[str]) -> DataFrame:
     always small relative to the table, so no shuffle of the big side.
     """
     if isinstance(ids, list):
-        ids_df = memories.sparkSession.createDataFrame([(i,) for i in ids], "id string")
+        from penr_oz_agent_memory_rust_spark.localdata import local_df
+
+        ids_df = local_df(memories.sparkSession, [(i,) for i in ids], "id string")
     else:
         ids_df = ids.toDF("id")
     return memories.join(F.broadcast(ids_df), "id", "left_anti")
