@@ -754,25 +754,31 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_in_order_week(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """★ binned interval join: events landing within 7 days (inclusive) of
-    the customer's order date, counted per order. The bin-explode equi-join
-    keeps per-key work bounded — no O(|L|x|R|) range explosion."""
+def q_events_followup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ binned interval join: for each anchor event, how many of the same
+    user's OTHER events land within the following day (inclusive bounds).
+    The bin-explode equi-join on (user, day-bin) keeps per-key work bounded
+    — no O(|L|x|R|) range explosion even for hyperactive users."""
     from penr_oz_agent_memory_rust_spark.operators import rangejoin
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_timestamp("ts").alias("es")
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", F.col("event_id").alias("l_event_id"), F.unix_timestamp("ts").alias("es")
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("user_id"),
-        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("o_start"),
-    ).withColumn("o_end", F.col("o_start") + F.lit(7 * 86_400))
+    anchors = ev.select(
+        "user_id",
+        F.col("event_id").alias("event_id"),
+        F.unix_timestamp("ts").alias("a_start"),
+    ).withColumn("a_end", F.col("a_start") + F.lit(86_400))
     joined = rangejoin.interval_join(
-        ev, orders, key="user_id", left_ts="es",
-        right_start="o_start", right_end="o_end", bin_width=7 * 86_400,
+        pts, anchors, key="user_id", left_ts="es",
+        right_start="a_start", right_end="a_end", bin_width=86_400,
     )
-    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_events"))
+    return (
+        joined.filter(F.col("l_event_id") != F.col("event_id"))
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_followups"))
+    )
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,6 +799,141 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "kind", F.size("features").cast("bigint").alias("n_features")
     )
+
+
+def q_tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue: pure scan + filter + single agg — every
+    predicate reaches the parquet scan (PushedFilters), no shuffle beyond
+    the 1-row partial-agg merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .filter((F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07))
+        .filter(F.col("l_quantity") < 24)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the spark.sql surface (completes the
+    rollup/cube family with a hand-picked set list)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("bigint")
+    )
+    ev.createOrReplaceTempView("__events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_bucket, count(*) AS n,
+               round(sum(value), 6) AS total_value
+        FROM __events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        """
+    )
+
+
+def q_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frames (running count + sum per user ordered by
+    time) — the window-function surface beyond rank/lag: an explicit
+    ROWS UNBOUNDED PRECEDING frame, partition-parallel per user."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_so_far"),
+        F.round(F.sum("value").over(w), 6).alias("value_so_far"),
+    )
+
+
+def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gaps per user, aggregated per event type — the
+    lead/lag window surface with a downstream reaggregation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+def _spark_sql_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with(cast({a} AS array<double>), cast({b} AS array<double>), "
+        f"(x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)"
+    )
+
+
+def q_sql_api_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.1 search expressed entirely through the spark.sql string API
+    (temp view + higher-order array functions) — demonstrates that every
+    engine operator is reachable from SQL, not just the DataFrame DSL.
+    Same plan Catalyst produces for the DataFrame form: broadcast 1-row
+    query side, TakeOrderedAndProject top-k."""
+    _emb(spark, sf_dir).createOrReplaceTempView("__sql_embeddings")
+    cos = (
+        f"round({_spark_sql_dot('e.embedding', 'q.qv')} / "
+        f"(sqrt({_spark_sql_dot('e.embedding', 'e.embedding')}) * "
+        f"sqrt({_spark_sql_dot('q.qv', 'q.qv')})), 6)"
+    )
+    return spark.sql(
+        f"""
+        WITH q AS (SELECT embedding AS qv FROM __sql_embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, {cos} AS score
+        FROM __sql_embeddings e CROSS JOIN q
+        WHERE size(e.embedding) = size(q.qv)
+          AND {_spark_sql_dot('e.embedding', 'e.embedding')} > 0
+          AND {_spark_sql_dot('q.qv', 'q.qv')} > 0
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT 10
+        """
+    )
+
+
+def q_asof_tolerance_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ as-of join with a staleness tolerance (pandas merge_asof
+    semantics): the carried most-recent order only counts if it is at most
+    8370 days old at event time (the synthetic events table sits ~22-24
+    years after the TPC-H order dates, so this cutoff keeps roughly the
+    fresher half of matches — a discriminating filter, not a no-op)."""
+    from penr_oz_agent_memory_rust_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    out = asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+        keep_unmatched=False,
+        tolerance_seconds=8370 * 86_400,
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_orderdate")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -863,8 +1004,14 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "multimodal_frames": q_multimodal_frames,
         "quantized_search": q_quantized_search,
         "events_cube": q_events_cube,
-        "events_in_order_week": q_events_in_order_week,
+        "events_followup_day": q_events_followup_day,
         "approx_distinct_users": q_approx_distinct_users,
+        "tpch_q6_revenue": q_tpch_q6_revenue,
+        "events_grouping_sets": q_events_grouping_sets,
+        "user_running_totals": q_user_running_totals,
+        "event_gap_stats": q_event_gap_stats,
+        "sql_api_search": q_sql_api_search,
+        "asof_tolerance_order": q_asof_tolerance_order,
 }
 
 
@@ -1348,14 +1495,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 6) AS total_value
             FROM events GROUP BY CUBE (event_type, user_bucket)
         """,
-        "events_in_order_week": """
-            SELECT o.o_orderkey, count(*) AS n_events
-            FROM events e
-            JOIN orders o
-              ON o.o_custkey = e.user_id
-             AND CAST(floor(epoch(e.ts)) AS BIGINT)
-                   BETWEEN CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
-                       AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) + 7 * 86400
+        "events_followup_day": """
+            SELECT r.event_id, count(*) AS n_followups
+            FROM events l
+            JOIN events r
+              ON l.user_id = r.user_id
+             AND CAST(floor(epoch(l.ts)) AS BIGINT)
+                   BETWEEN CAST(floor(epoch(r.ts)) AS BIGINT)
+                       AND CAST(floor(epoch(r.ts)) AS BIGINT) + 86400
+             AND l.event_id != r.event_id
             GROUP BY 1
         """,
         "events_pivot": """
@@ -1403,6 +1551,63 @@ def oracle_sql() -> dict[str, str]:
                    unnest([0, 1, 2, 3])::BIGINT AS frame_idx,
                    CAST(16 AS BIGINT) AS frame_bytes
             FROM documents
+        """,
+        "tpch_q6_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "events_grouping_sets": """
+            WITH ev AS (SELECT event_type, user_id % 4 AS user_bucket, value FROM events)
+            SELECT event_type, user_bucket, count(*) AS n,
+                   round(sum(value), 6) AS total_value
+            FROM ev
+            GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        """,
+        "user_running_totals": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_so_far,
+                   round(sum(value) OVER w, 6) AS value_so_far
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "event_gap_stats": """
+            WITH lagged AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+              FROM events
+            )
+            SELECT event_type, count(*) AS n_gaps,
+                   round(avg(gap_s), 4) AS avg_gap_s, max(gap_s) AS max_gap_s
+            FROM lagged WHERE gap_s IS NOT NULL
+            GROUP BY event_type
+        """,
+        "sql_api_search": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id, {cos_e_q} AS score
+            FROM embeddings e, q
+            WHERE {_dk_norm_pos('e.embedding')} AND {_dk_norm_pos('q.qv')}
+            ORDER BY score DESC, e.vec_id LIMIT 10
+        """,
+        "asof_tolerance_order": """
+            WITH cand AS (
+              SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, user_id, o_orderkey, o_orderdate FROM cand
+            WHERE rn = 1
+              AND CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(o_orderdate)) AS BIGINT) <= 8370 * 86400
         """,
         # knn_join_blocked, lsh_ann, events-stream variants: intentionally no
         # oracle (float32 BLAS / approximate by design) — rows-only check;

@@ -36,6 +36,7 @@ HEADLINE = [
     "events_window_agg",
     "events_sessionize",
     "tpch_q1_pricing_summary",
+    "tpch_q6_revenue",
     "tpch_q3_shipping_priority",
     "multimodal_features",
     "ivf_ann",
@@ -47,6 +48,7 @@ HEADLINE = [
     "deterministic_sample",
     "distinct_users_per_type",
     "events_rollup",
+    "user_running_totals",
     "bm25_search",
     "hybrid_search_rrf",
     "dedup_clusters",

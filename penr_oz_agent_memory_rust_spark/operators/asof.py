@@ -27,12 +27,18 @@ def asof_join(
     right_cols: list[str],
     tiebreak: str | None = None,
     keep_unmatched: bool = True,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Returns `left` columns plus the as-of values of `right_cols`.
 
     `tiebreak` orders equal-(key, time) right rows; defaults to the first of
     right_cols. `keep_unmatched=False` drops left rows with no prior right
-    row (inner as-of).
+    row (inner as-of). `tolerance_seconds` bounds staleness (pandas
+    merge_asof semantics): a carried match older than the tolerance at
+    left_time counts as no match — its right columns are nulled, and the row
+    is dropped under `keep_unmatched=False`. The staleness check is a
+    post-window filter on the carried right time, so the plan cost is
+    unchanged: still one shuffle, one sort.
     """
     tiebreak = tiebreak or right_cols[0]
     l_tag = left.select(
@@ -64,9 +70,27 @@ def asof_join(
     )
     carried = unioned.select(
         "__src",
+        "__t",
         "__l",
         *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}") for c in right_cols],
+        F.last(
+            F.when(F.col("__src") == 0, F.col("__t")), ignorenulls=True
+        ).over(w).alias("__rv_t"),
     ).filter(F.col("__src") == 1)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_timestamp(F.col("__t").cast("timestamp"))
+            - F.unix_timestamp(F.col("__rv_t").cast("timestamp"))
+        ) <= F.lit(tolerance_seconds)
+        carried = carried.select(
+            "__src",
+            "__t",
+            "__l",
+            *[
+                F.when(fresh, F.col(f"__rv_{c}")).alias(f"__rv_{c}")
+                for c in right_cols
+            ],
+        )
     out = carried.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[F.col(f"__rv_{c}").alias(c) for c in right_cols],

@@ -71,3 +71,46 @@ def test_asof_single_shuffle(spark):
     right = spark.createDataFrame([(1, ts(0), 1, 0.0)], "k bigint, rt timestamp, rid bigint, val double")
     df = asof_join(left, right, key="k", left_time="t", right_time="rt", right_cols=["rid", "val"])
     assert explain.count_shuffle_exchanges(df) == 1
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    base = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(seconds=100), "fresh"),
+            (1, base + dt.timedelta(seconds=5000), "stale"),
+        ],
+        "k bigint, t timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=50), 7, 1.5)],
+        "k bigint, rt timestamp, rid bigint, val double",
+    )
+    out = {
+        r["name"]: r["rid"]
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            right_cols=["rid", "val"], tolerance_seconds=1000,
+        ).collect()
+    }
+    assert out["fresh"] == 7 and out["stale"] is None
+
+
+def test_asof_tolerance_inner_drops_stale(spark):
+    base = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(seconds=100), "fresh"),
+            (1, base + dt.timedelta(seconds=5000), "stale"),
+        ],
+        "k bigint, t timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=50), 7, 1.5)],
+        "k bigint, rt timestamp, rid bigint, val double",
+    )
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_cols=["rid", "val"], tolerance_seconds=1000, keep_unmatched=False,
+    ).collect()
+    assert [r["name"] for r in out] == ["fresh"]
