@@ -629,9 +629,13 @@ def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-operation surface: purchasers who never produced an error event
-    (EXCEPT / anti-join equivalence)."""
-    ev = load_table(spark, sf_dir, "events")
+    """Set-operation surface: purchasers who produced no error event in the
+    same early-January window (EXCEPT / anti-join equivalence). The window
+    keeps the result discriminating — over the full month every user emits
+    every event type, so the unwindowed EXCEPT is vacuously empty."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
     purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
     return purchasers.exceptAll(erroring)
@@ -910,6 +914,23 @@ def q_sql_api_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ REAL Structured Streaming in the correctness gate: the watermarked
+    tumbling-window aggregation executed via readStream -> availableNow ->
+    complete-mode memory sink; on bounded input the final state must equal
+    the batch plan, which is exactly what the oracle asserts."""
+    from penr_oz_agent_memory_rust_spark.sources.tables import testdata_path
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import run_windowed_events_once
+
+    out = run_windowed_events_once(spark, testdata_path(sf_dir, "events"), minutes=5)
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        "event_type",
+        "n",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 def q_asof_tolerance_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ as-of join with a staleness tolerance (pandas merge_asof
     semantics): the carried most-recent order only counts if it is at most
@@ -1012,6 +1033,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_gap_stats": q_event_gap_stats,
         "sql_api_search": q_sql_api_search,
         "asof_tolerance_order": q_asof_tolerance_order,
+        "stream_window_agg": q_stream_window_agg,
 }
 
 
@@ -1361,9 +1383,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "users_purchase_no_error": """
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-04'
             EXCEPT
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-04'
         """,
         "bm25_search": f"""
             WITH tokens AS (
@@ -1595,6 +1619,11 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             WHERE {_dk_norm_pos('e.embedding')} AND {_dk_norm_pos('q.qv')}
             ORDER BY score DESC, e.vec_id LIMIT 10
+        """,
+        "stream_window_agg": """
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws,
+                   event_type, count(*) AS n, round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "asof_tolerance_order": """
             WITH cand AS (

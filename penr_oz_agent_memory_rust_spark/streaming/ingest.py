@@ -13,6 +13,9 @@ watermarked tumbling-window aggregation over the events table.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from penr_oz_agent_memory_rust_spark.operators import memory_store, session_store, vector_store
@@ -208,6 +211,51 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
     return events_stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def run_windowed_events_once(
+    spark: SparkSession, events_path: str, minutes: int = 5, name: str = "__stream_win_agg"
+) -> DataFrame:
+    """Execute `windowed_event_counts` as a REAL Structured Streaming job —
+    readStream over the events parquet, availableNow trigger, complete-mode
+    memory sink — and return the final result as a batch DataFrame.
+
+    availableNow processes everything currently in the directory in bounded
+    micro-batches then stops, so the call is synchronous and deterministic:
+    on bounded input the final complete-mode state equals the batch
+    aggregation (the oracle for the correctness gate). The same code path
+    scales to continuous ingestion by swapping the trigger and sink.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        # FileStreamSource only monitors directories; stage single-file
+        # inputs behind a symlink in a per-path temp dir (no data copy)
+        stage = os.path.join(
+            tempfile.gettempdir(), f"__stream_stage_{abs(hash(events_path))}"
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, os.path.basename(events_path))
+        if not os.path.exists(link):
+            os.symlink(events_path, link)
+        events_path = stage
+    raw = spark.readStream.schema(schema).parquet(events_path)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks demand TIMESTAMP (with tz); the parquet may scan as NTZ.
+    # Session tz is pinned UTC, so the cast is a type change, not a shift.
+    raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_event_counts(raw, window=f"{minutes} minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
 
 
 def batch_user_totals(events: DataFrame) -> DataFrame:

@@ -218,3 +218,32 @@ def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_run_windowed_events_once_single_file(spark, tmp_path):
+    """Single-file parquet input is staged behind a symlink dir and the
+    complete-mode final state equals the batch aggregation."""
+    import datetime as dt
+
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        batch_windowed_event_counts,
+        run_windowed_events_once,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i % 12), i % 3, "click", float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double")
+    # write as a single parquet FILE (the testdata layout)
+    out_dir = str(tmp_path / "ev_dir")
+    df.coalesce(1).write.parquet(out_dir)
+    import glob as g
+    fpath = g.glob(out_dir + "/part-*.parquet")[0]
+
+    streamed = run_windowed_events_once(spark, fpath, minutes=5, name="__t_swa")
+    batch = batch_windowed_event_counts(df, minutes=5)
+    s = {tuple(r) for r in streamed.select("window_start", "event_type", "n").collect()}
+    b = {tuple(r) for r in batch.select("window_start", "event_type", "n").collect()}
+    assert s == b and len(s) > 0
