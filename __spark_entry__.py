@@ -914,6 +914,32 @@ def q_sql_api_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ grouped-map Pandas path (applyInPandas): per-event-type z-score of
+    the value column — one Arrow batch per group, vectorized NumPy inside."""
+    ev = load_table(spark, sf_dir, "events")
+    return corpus.zscore_by_group(
+        ev, group_col="event_type", value_col="value", id_cols=["event_id"]
+    )
+
+
+def q_doc_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Python UDTF surface: LATERAL bigrams(text) over documents — the
+    user-defined table-function API (Spark 4) in the correctness gate.
+    Aggregated to top-20 bigram counts so the result is compact."""
+    text_ops.register_bigrams_udtf(spark)
+    _docs(spark, sf_dir).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT b.bigram, count(*) AS n
+        FROM __udtf_docs AS d, LATERAL bigrams(d.text) AS b
+        GROUP BY b.bigram
+        ORDER BY n DESC, b.bigram ASC
+        LIMIT 20
+        """
+    )
+
+
 def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ REAL Structured Streaming in the correctness gate: the watermarked
     tumbling-window aggregation executed via readStream -> availableNow ->
@@ -1034,6 +1060,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sql_api_search": q_sql_api_search,
         "asof_tolerance_order": q_asof_tolerance_order,
         "stream_window_agg": q_stream_window_agg,
+        "zscore_events": q_zscore_events,
+        "doc_bigrams_udtf": q_doc_bigrams_udtf,
 }
 
 
@@ -1619,6 +1647,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             WHERE {_dk_norm_pos('e.embedding')} AND {_dk_norm_pos('q.qv')}
             ORDER BY score DESC, e.vec_id LIMIT 10
+        """,
+        "zscore_events": """
+            SELECT event_id, event_type,
+                   CASE WHEN stddev_pop(value) OVER w > 0
+                        THEN round((value - avg(value) OVER w)
+                                   / stddev_pop(value) OVER w, 6)
+                        ELSE 0.0 END AS z
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
+        """,
+        "doc_bigrams_udtf": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents
+            ), bg AS (
+              SELECT unnest(list_transform(generate_series(1, len(parts) - 1),
+                            i -> parts[i] || ' ' || parts[i + 1])) AS bigram
+              FROM toks
+            )
+            SELECT bigram, count(*) AS n FROM bg
+            GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
         """,
         "stream_window_agg": """
             SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws,

@@ -154,3 +154,38 @@ def quality_quantile_filter(
         .filter(F.col(score_col) >= F.col("__thr"))
         .drop("__thr")
     )
+
+
+def zscore_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group standardization via applyInPandas (the grouped-map Pandas
+    path): each group arrives as ONE Arrow batch, is z-scored with
+    vectorized NumPy, and leaves as a batch — no per-row Python. This is
+    the canonical shape for group-local model-ish transforms (per-domain
+    normalization of quality signals before corpus mixing).
+
+    Scale note: one shuffle on the group key; each group must fit in one
+    task's memory — standardization groups (domain/source/language) are
+    few and bounded. For per-key cardinalities that aren't, use the
+    two-pass join form (aggregate stats, broadcast back) instead.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    dtypes = dict(df.dtypes)
+    schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in [*id_cols, group_col]] + [f"{out_col} double"]
+    )
+
+    def standardize(pdf):
+        v = pdf[value_col]
+        sd = v.std(ddof=0)
+        out = pdf[[*id_cols, group_col]].copy()
+        out[out_col] = ((v - v.mean()) / sd).round(6) if sd > 0 else 0.0
+        return out
+
+    return df.groupBy(group_col).applyInPandas(standardize, schema)

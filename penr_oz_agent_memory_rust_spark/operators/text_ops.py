@@ -123,3 +123,23 @@ def analyze_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         quality_score_expr(t).alias("quality"),
         hashing.fingerprint(t).alias("fp"),
     )
+
+
+def register_bigrams_udtf(spark) -> None:
+    """Python UDTF (Spark 4 table-function API): lateral-join a text column
+    into (idx, bigram) rows. Registered as SQL `bigrams(text)` — the
+    user-extensible row-expanding operator surface (the DataFrame explode
+    form covers the built-in cases; a UDTF covers arbitrary Python
+    expansion logic with a declared schema)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.lower().split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("bigrams", Bigrams)

@@ -72,3 +72,15 @@ def test_quality_quantile_filter_keeps_top_three_quarters(spark):
     kept = sorted(r["doc_id"] for r in corpus.quality_quantile_filter(scored, q=0.25).collect())
     # p25 of 1..8 (linear interpolation) = 2.75 -> keep 3..8
     assert kept == [3, 4, 5, 6, 7, 8]
+
+
+def test_zscore_by_group_zero_variance(spark):
+    from penr_oz_agent_memory_rust_spark.operators.corpus import zscore_by_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", 4.0), (3, "b", 7.0), (4, "b", 7.0)],
+        "id bigint, g string, v double",
+    )
+    out = {r["id"]: r["z"] for r in zscore_by_group(df, "g", "v", ["id"]).collect()}
+    assert out[1] == -1.0 and out[2] == 1.0          # (v - mean)/std over {2,4}
+    assert out[3] == 0.0 and out[4] == 0.0           # zero variance -> 0
