@@ -116,3 +116,34 @@ def test_threshold_filter_below_topk(spark, memories_table):
     take_pos = plan.find("TakeOrderedAndProject")
     filter_pos = plan.find("Filter")
     assert take_pos != -1 and filter_pos != -1
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
+    """Every Q6 predicate must appear in PushedFilters and the scan must
+    read only the 4 referenced columns."""
+    import __spark_entry__ as entrymod
+
+    plan = explain.physical_plan(entrymod.queries()["tpch_q6_revenue"](spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:400]
+    for frag in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert frag in pushed, plan
+    read = plan.split("ReadSchema")[1][:200]
+    assert "l_tax" not in read and "l_returnflag" not in read, plan
+
+
+def test_sql_api_search_uses_topk_heap(spark, sf_dir):
+    """The spark.sql string form must compile to TakeOrderedAndProject
+    (bounded per-partition heaps), not a global Sort."""
+    import __spark_entry__ as entrymod
+
+    plan = explain.physical_plan(entrymod.queries()["sql_api_search"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_user_running_totals_single_exchange(spark, sf_dir):
+    """Cumulative frames need exactly one hash exchange on the partition
+    key — no global sort, no extra shuffle."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["user_running_totals"](spark, sf_dir)
+    assert explain.count_shuffle_exchanges(df) == 1, explain.physical_plan(df)
