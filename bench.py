@@ -13,6 +13,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
@@ -67,6 +69,28 @@ def main() -> None:
     for t in ("embeddings", "documents", "lineitem", "events", "orders", "customer"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count() if t != "events" else None
     qs["deterministic_sample"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm the Python worker pool too: one tiny Arrow-batched UDF job that
+    # touches every core forks the daemon workers and imports pandas/numpy
+    # in each, so the first Python-path query measures the operator, not
+    # interpreter startup
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return v * np.float64(1.0)
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    (
+        spark.range(cpus * 2)
+        .repartition(cpus)
+        .select(_warm(F.col("id").cast("double")))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
