@@ -940,6 +940,22 @@ def q_doc_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ multimodal resize plumbing: blob -> strided 8x8 thumbnail blob via
+    mapInPandas (real codec stubbed; the deterministic fake is content-
+    checked byte-for-byte against the oracle's hex reconstruction)."""
+    from penr_oz_agent_memory_rust_spark.operators.multimodal import resize_media
+
+    media = synthesize_media_from_documents(_docs(spark, sf_dir))
+    out = resize_media(media, width=8, height=8)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.lower(F.hex("resized")).alias("resized_hex"),
+    )
+
+
 def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ REAL Structured Streaming in the correctness gate: the watermarked
     tumbling-window aggregation executed via readStream -> availableNow ->
@@ -1061,6 +1077,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "asof_tolerance_order": q_asof_tolerance_order,
         "stream_window_agg": q_stream_window_agg,
         "zscore_events": q_zscore_events,
+        "multimodal_resize": q_multimodal_resize,
         "doc_bigrams_udtf": q_doc_bigrams_udtf,
 }
 
@@ -1647,6 +1664,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             WHERE {_dk_norm_pos('e.embedding')} AND {_dk_norm_pos('q.qv')}
             ORDER BY score DESC, e.vec_id LIMIT 10
+        """,
+        "multimodal_resize": """
+            WITH h AS (SELECT doc_id, repeat(md5(text), 8) AS hx FROM documents)
+            SELECT 'image-' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                   list_reduce(list_transform(generate_series(0, 63),
+                               i -> substr(hx, 4 * i + 1, 2)),
+                               (a, b) -> a || b) AS resized_hex
+            FROM h
         """,
         "zscore_events": """
             SELECT event_id, event_type,

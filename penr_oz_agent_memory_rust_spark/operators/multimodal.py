@@ -94,3 +94,46 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 16, max_frames: int = 4
             yield pd.DataFrame({"media_id": out_id, "frame_idx": out_idx, "frame": out_frame})
 
     return media.select("media_id", "payload").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id string, width int, height int, resized binary"
+
+
+def resize_media(
+    media: DataFrame, width: int = 8, height: int = 8, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing as a mapInPandas batch stage: blob in, (width x
+    height)-byte thumbnail blob out plus the declared dimensions.
+
+    With `fake=False` this is where a real image library (PIL/opencv) would
+    decode-resize-reencode per Arrow batch; those codecs are absent here
+    (STUBBED), so the deterministic fake 'resizes' by striding the payload
+    bytes down to exactly width*height bytes (repeating when short) — stable,
+    size-correct output that exercises the full Spark plumbing: binary Arrow
+    transfer both ways, metadata columns, batch iteration.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resizing requires codec libraries not present in this environment"
+                )
+            out = []
+            for payload in pdf["payload"]:
+                blob = payload or b"\x00"
+                reps = -(-target // len(blob))  # ceil-div: repeat short blobs
+                stretched = (blob * reps)[: target * max(1, len(blob) // target)]
+                step = max(1, len(stretched) // target)
+                out.append(stretched[::step][:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": out,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -49,3 +49,17 @@ def test_sample_frames_shape(spark, media):
     for rows in by_media.values():
         assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 1, 2]
         assert all(len(r["frame"]) == 16 for r in rows)
+
+
+def test_resize_media_exact_size_and_short_blob(spark):
+    from penr_oz_agent_memory_rust_spark.operators.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        [("m1", bytes(range(128))), ("m2", b"\x07"), ("m3", None)],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in resize_media(media, 8, 8).collect()}
+    assert all(len(r["resized"]) == 64 for r in rows.values())
+    assert bytes(rows["m1"]["resized"]) == bytes(range(0, 128, 2))  # stride-2
+    assert bytes(rows["m2"]["resized"]) == b"\x07" * 64             # repeated
+    assert bytes(rows["m3"]["resized"]) == b"\x00" * 64             # null blob
