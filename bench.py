@@ -40,6 +40,7 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q6_revenue",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     "multimodal_features",
     "ivf_ann",
     "topk_per_group",

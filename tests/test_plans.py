@@ -147,3 +147,15 @@ def test_user_running_totals_single_exchange(spark, sf_dir):
 
     df = entrymod.queries()["user_running_totals"](spark, sf_dir)
     assert explain.count_shuffle_exchanges(df) == 1, explain.physical_plan(df)
+
+
+def test_tpch_q5_broadcasts_all_dimensions(spark, sf_dir):
+    """Six-table star join: the fact table must reach the aggregation
+    through broadcast joins only — exactly one hash exchange (the agg)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["tpch_q5_local_supplier_volume"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    # formatted plans list each node in the tree AND a detail section
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "SortMergeJoin" not in plan, plan
