@@ -999,6 +999,21 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ explicit skew handling in the gate: a salted join (small side
+    replicated per salt, hot keys scattered) feeding a salted two-phase
+    aggregation — the manual pattern for keys too hot even for AQE's skew
+    split. Result must equal the unsalted join+group exactly."""
+    from penr_oz_agent_memory_rust_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = (
+        ev.select("event_type").distinct().withColumn("type_len", F.length("event_type"))
+    )
+    joined = skew.salted_join(ev, dim, "event_type")
+    return skew.salted_count_by_key(joined, "type_len")
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ multimodal resize plumbing: blob -> strided 8x8 thumbnail blob via
     mapInPandas (real codec stubbed; the deterministic fake is content-
@@ -1137,6 +1152,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_window_agg": q_stream_window_agg,
         "zscore_events": q_zscore_events,
         "multimodal_resize": q_multimodal_resize,
+        "skew_salted_pipeline": q_skew_salted_pipeline,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
         "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
         "doc_bigrams_udtf": q_doc_bigrams_udtf,
@@ -1750,6 +1766,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "skew_salted_pipeline": """
+            SELECT length(event_type) AS type_len, count(*) AS count
+            FROM events GROUP BY 1
         """,
         "multimodal_resize": """
             WITH h AS (SELECT doc_id, repeat(md5(text), 8) AS hx FROM documents)
