@@ -999,6 +999,25 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: parse the semi-structured props column once
+    into a typed variant (binary-encoded, no re-tokenizing per access) and
+    aggregate a typed field extraction — the modern engine path for
+    schemaless JSON columns, vs the string get_json_object form in
+    json_metadata_extract."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_total"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 def q_skew_salted_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ explicit skew handling in the gate: a salted join (small side
     replicated per salt, hot keys scattered) feeding a salted two-phase
@@ -1153,6 +1172,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "zscore_events": q_zscore_events,
         "multimodal_resize": q_multimodal_resize,
         "skew_salted_pipeline": q_skew_salted_pipeline,
+        "events_variant_agg": q_events_variant_agg,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
         "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
         "doc_bigrams_udtf": q_doc_bigrams_udtf,
@@ -1766,6 +1786,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "events_variant_agg": """
+            SELECT event_type,
+                   count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_total,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+            FROM events GROUP BY event_type
         """,
         "skew_salted_pipeline": """
             SELECT length(event_type) AS type_len, count(*) AS count
