@@ -50,10 +50,25 @@ def touch_sessions(
     ts = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
     if isinstance(session_ids, list):
         cond = F.col("id").isin(session_ids)
-    else:
-        ids = [r[0] for r in session_ids.select(session_ids.columns[0]).collect()]
-        cond = F.col("id").isin(ids)
-    return sessions.withColumn("updated_at", F.when(cond, ts).otherwise(F.col("updated_at")))
+        return sessions.withColumn(
+            "updated_at", F.when(cond, ts).otherwise(F.col("updated_at"))
+        )
+    # DataFrame id set: broadcast marker join instead of collect+isin — the
+    # touch set never passes through the driver, so the rewrite stays a pure
+    # plan at any id-set size
+    marks = (
+        session_ids.select(F.col(session_ids.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("__touch", F.lit(True))
+    )
+    return (
+        sessions.join(F.broadcast(marks), "id", "left")
+        .withColumn(
+            "updated_at",
+            F.when(F.col("__touch"), ts).otherwise(F.col("updated_at")),
+        )
+        .drop("__touch")
+    )
 
 
 def list_sessions(sessions: DataFrame, limit: int = 50, offset: int = 0) -> DataFrame:
