@@ -999,6 +999,15 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ character-5-gram Jaccard dedup: the pure-native-expression shingle
+    path (no Python anywhere in the plan), robust to tokenization changes
+    that defeat word shingles."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=5, threshold=0.6, unit="char"
+    )
+
+
 def q_events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT surface: parse the semi-structured props column once
     into a typed variant (binary-encoded, no re-tokenizing per access) and
@@ -1172,6 +1181,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "zscore_events": q_zscore_events,
         "multimodal_resize": q_multimodal_resize,
         "skew_salted_pipeline": q_skew_salted_pipeline,
+        "dedup_char_ngram": q_dedup_char_ngram,
         "events_variant_agg": q_events_variant_agg,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
         "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
@@ -1786,6 +1796,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "dedup_char_ngram": """
+            WITH sh0 AS (
+              SELECT doc_id AS did,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(1, length(text) - 4)),
+                       i -> substr(text, i, 5)))) AS s
+              FROM documents
+            ), sh AS (
+              SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT AS sh FROM sh0
+            ), sizes AS (
+              SELECT did, count(*) AS sz FROM sh GROUP BY did
+            ), inter AS (
+              SELECT l.did AS a, r.did AS b, count(*) AS inter
+              FROM sh l JOIN sh r ON l.sh = r.sh AND l.did < r.did
+              GROUP BY l.did, r.did
+            )
+            SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.did = a JOIN sizes sb ON sb.did = b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.6
         """,
         "events_variant_agg": """
             SELECT event_type,

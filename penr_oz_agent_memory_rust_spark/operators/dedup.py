@@ -166,14 +166,28 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    unit: str = "word",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over candidate pairs from an inverted
     shingle index. Output: (a, b, jaccard) for pairs with jaccard >= threshold.
 
     `max_doc_freq` drops shingles appearing in more than that many docs
-    (stop-shingles) — bounds the posting-list join at scale.
+    (stop-shingles) — bounds the posting-list join at scale. `unit` picks the
+    shingle alphabet: "word" (Arrow-batched UDF, the text-dedup default) or
+    "char" (pure native expression — character n-grams catch near-dups that
+    word shingles miss under tokenization changes).
     """
-    sh = hashing.word_shingle_rows(docs, id_col, text_col, n).withColumnRenamed(id_col, "did")
+    if unit == "char":
+        sh = docs.select(
+            F.col(id_col).alias("did"),
+            F.explode(
+                F.array_distinct(hashing.char_ngrams(F.col(text_col), n))
+            ).alias("sh"),
+        )
+    else:
+        sh = hashing.word_shingle_rows(docs, id_col, text_col, n).withColumnRenamed(
+            id_col, "did"
+        )
     # join on a 60-bit portable hash instead of the raw shingle string:
     # fixed-width bigint keys shuffle and compare far cheaper than strings,
     # and the oracle can compute the identical hash

@@ -94,3 +94,25 @@ def test_expr_knn_broadcasts_query_side(spark, sf_dir):
     q, c = sides(spark, sf_dir, n_q=2)
     plan = explain.physical_plan(knn.expr_knn_join(q, c, k=2))
     assert "Broadcast" in plan
+
+
+def test_lsh_signature_expr_matches_udf(spark):
+    """The native-expression LSH signature and the Arrow-UDF form are two
+    physical strategies for the same function — bit-identical signatures."""
+    from penr_oz_agent_memory_rust_spark.operators.knn import (
+        _hyperplanes,
+        lsh_signature_expr,
+        lsh_signature_udf,
+    )
+    from pyspark.sql import functions as F
+
+    planes = _hyperplanes(dim=4, n_planes=6)
+    df = spark.createDataFrame(
+        [(i, [float(i), float(-i), 0.5 * i, 1.0]) for i in range(1, 30)],
+        "id bigint, vec array<float>",
+    )
+    out = df.select(
+        lsh_signature_expr(F.col("vec"), planes).alias("e"),
+        lsh_signature_udf(planes)(F.col("vec")).alias("u"),
+    ).collect()
+    assert all(r["e"] == r["u"] for r in out)

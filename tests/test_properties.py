@@ -112,3 +112,59 @@ def test_pagination_covers_without_overlap(spark):
         ]
     full = [(r["k"], r["i"]) for r in df.orderBy(*order).collect()]
     assert pages == full
+
+
+def test_seeded_md5_long_matches_duckdb(spark):
+    """Portability contract of the seeded hash family: DuckDB computes the
+    identical 60-bit value for every seed."""
+    import duckdb
+
+    from penr_oz_agent_memory_rust_spark.functions import hashing
+    from pyspark.sql import functions as F
+
+    words = ["alpha", "bravo", "", "日本語", "x y z"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        (r["w"], s): r[f"h{s}"]
+        for r in df.select(
+            "w", *[hashing.seeded_md5_long(F.col("w"), s).alias(f"h{s}") for s in (0, 1, 7)]
+        ).collect()
+        for s in (0, 1, 7)
+    }
+    con = duckdb.connect()
+    for w in words:
+        for s in (0, 1, 7):
+            exp = con.execute(
+                "SELECT ('0x' || substring(md5(?), 1, 15))::BIGINT", [f"{s}|{w}"]
+            ).fetchone()[0]
+            assert got[(w, s)] == exp, (w, s)
+
+
+def test_embed_texts_matches_column_udf(spark):
+    """Driver-side embed_texts and the pandas-UDF column path produce the
+    same deterministic vectors."""
+    from penr_oz_agent_memory_rust_spark.sources.embedding_providers import (
+        embed_texts,
+        hash_embed_udf,
+    )
+    from pyspark.sql import functions as F
+
+    texts = ["hello world", "penr oz"]
+    direct = embed_texts(texts, dim=8)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    via_udf = [
+        r["e"] for r in df.select(hash_embed_udf(dim=8)(F.col("text")).alias("e")).collect()
+    ]
+    assert [[round(x, 5) for x in v] for v in direct] == [
+        [round(x, 5) for x in v] for v in via_udf
+    ]
+
+
+def test_register_testdata_views(spark, sf_dir):
+    from penr_oz_agent_memory_rust_spark.sources.tables import register_testdata_views
+
+    register_testdata_views(spark, sf_dir, ("region", "nation"))
+    assert spark.sql("SELECT count(*) AS n FROM region").first()["n"] == 5
+    assert spark.sql(
+        "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey"
+    ).first()["n"] > 0
