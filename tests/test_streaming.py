@@ -247,3 +247,67 @@ def test_run_windowed_events_once_single_file(spark, tmp_path):
     s = {tuple(r) for r in streamed.select("window_start", "event_type", "n").collect()}
     b = {tuple(r) for r in batch.select("window_start", "event_type", "n").collect()}
     assert s == b and len(s) > 0
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Late-data contract (what Spark actually guarantees): a window is
+    emitted EXACTLY ONCE in append mode — when the watermark passes its end
+    — and rows arriving after that eviction are dropped rather than
+    resurrecting state. (A late row arriving while the window is still in
+    state IS merged; the watermark bounds eviction, it is not an admission
+    filter.) Three micro-batches forced via maxFilesPerTrigger=1."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def mk(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(tmp_path / name)
+        )
+        import glob as g, shutil
+
+        part = g.glob(str(tmp_path / name) + "/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+        _time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    # batch 1: the [10,15) window plus a 60min row pushing the watermark to 50
+    mk(
+        [
+            (1, base + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=11), 1, "click", 1.0, "{}"),
+            (3, base + dt.timedelta(minutes=60), 1, "click", 1.0, "{}"),
+        ],
+        "b1",
+    )
+    # batch 2: fresh row only; during this batch wm=50 > 15 finalizes and
+    # EVICTS the [10,15) window (emitted with n=2)
+    mk([(4, base + dt.timedelta(minutes=61), 1, "click", 1.0, "{}")], "b2")
+    # batch 3: a late row for the evicted window + a fresh row; the late row
+    # must be dropped, not resurrect state (which would emit [10,15) twice)
+    mk(
+        [
+            (5, base + dt.timedelta(minutes=12), 1, "click", 1.0, "{}"),
+            (6, base + dt.timedelta(minutes=90), 1, "click", 1.0, "{}"),
+        ],
+        "b3",
+    )
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = ingest.windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM late_out").collect()
+    w10 = base + dt.timedelta(minutes=10)
+    emitted = [r["n"] for r in rows if r["window_start"] == w10]
+    assert emitted == [2], rows  # exactly once, late row dropped
