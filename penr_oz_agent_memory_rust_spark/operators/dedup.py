@@ -83,8 +83,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: hash function j is a 5-hex-char (20-bit)
     slice of a seed-prefixed md5 — 6 independent functions per md5, so only
-    ceil(n/6) digests per (doc, shingle) row; min is lexicographic over the
-    hex slice (portable to the SQL oracle). Output: (doc_id, h0..h{n-1})."""
+    ceil(n/6) digests per (doc, shingle) row. Each slice is converted to a
+    BIGINT before the min: min over the numeric value picks the same shingle
+    as lexicographic min over the fixed-width hex (so the SQL oracle's
+    hex-min candidates are identical), and min(bigint) aggregates with
+    HashAggregate while min(string) falls back to SortAggregate — the
+    numeric form removes two full sorts of the exploded shingle rows from
+    the plan. Output: (doc_id, h0..h{n-1}) as bigints."""
     sh = hashing.word_shingle_rows(docs, id_col, text_col, shingle_words)
     n_groups = (n_hashes + 5) // 6
     grouped = sh.select(
@@ -92,7 +97,11 @@ def minhash_signatures(
         *[hashing.seeded_md5(F.col("sh"), g).alias(f"g{g}") for g in range(n_groups)],
     )
     aggs = [
-        F.min(F.substring(F.col(f"g{j // 6}"), 1 + 5 * (j % 6), 5)).alias(f"h{j}")
+        F.min(
+            F.conv(F.substring(F.col(f"g{j // 6}"), 1 + 5 * (j % 6), 5), 16, 10).cast(
+                "bigint"
+            )
+        ).alias(f"h{j}")
         for j in range(n_hashes)
     ]
     return grouped.groupBy(id_col).agg(*aggs)
