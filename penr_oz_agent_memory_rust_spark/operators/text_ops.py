@@ -133,7 +133,7 @@ def register_bigrams_udtf(spark) -> None:
     expansion logic with a declared schema)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="idx int, bigram string")
+    @udtf(returnType="idx int, bigram string", useArrow=True)
     class Bigrams:
         def eval(self, text: str):
             if text is None:
