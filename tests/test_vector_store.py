@@ -169,3 +169,28 @@ def test_table_overwrite_roundtrip(spark, tmp_path):
     survivors = t.read().filter(F.col("id") != "x")
     t.overwrite(survivors)
     assert t.read().count() == 0
+
+
+def test_python_datasource_memories_jsonl(spark, tmp_path):
+    """The custom Python Data Source reads the JSONL wire format with one
+    partition per file and serde-default NULLs for missing keys."""
+    from penr_oz_agent_memory_rust_spark.sources.python_datasource import (
+        MemoriesJsonlDataSource,
+    )
+
+    d = tmp_path / "inbox"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"id": "m1", "text": "hello", "metadata": {"k": "v"}, "session": "s1"}\n'
+        '{"text": "no id or session", "extra_key": "ignored"}\n'
+    )
+    (d / "b.jsonl").write_text('{"id": "m3", "text": "from second file"}\n')
+
+    spark.dataSource.register(MemoriesJsonlDataSource)
+    df = spark.read.format("memories_jsonl").option("path", str(d)).load()
+    assert df.rdd.getNumPartitions() == 2  # one per file
+    rows = {r["text"]: r for r in df.collect()}
+    assert rows["hello"]["id"] == "m1" and rows["hello"]["metadata"] == {"k": "v"}
+    assert rows["no id or session"]["id"] is None
+    assert rows["no id or session"]["session"] is None
+    assert rows["from second file"]["id"] == "m3"
