@@ -168,3 +168,49 @@ def test_register_testdata_views(spark, sf_dir):
     assert spark.sql(
         "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey"
     ).first()["n"] > 0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: the union-sort as-of join equals pandas merge_asof
+    (backward direction, by-key) on randomized frames — keys with no
+    right rows, exact-tie timestamps, and interleaved times included.
+    One deterministic seeded batch; a hypothesis@given would launch a
+    Spark job per example."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from penr_oz_agent_memory_rust_spark.operators.asof import asof_join
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = dt.datetime(2026, 1, 1)
+    left_rows = [
+        (int(rng.integers(0, 6)), base + dt.timedelta(seconds=int(rng.integers(0, 500))), i)
+        for i in range(120)
+    ]
+    right_rows = [
+        (int(rng.integers(0, 5)), base + dt.timedelta(seconds=int(rng.integers(0, 500))), i, float(i))
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(left_rows, "k bigint, t timestamp, lid bigint")
+    right = spark.createDataFrame(right_rows, "k bigint, rt timestamp, rid bigint, val double")
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            right_cols=["rid", "val"], tiebreak="rid",
+        ).collect()
+    }
+
+    lpdf = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values("t", kind="stable")
+    # merge_asof keeps the LAST right row among exact (k, rt) ties; our
+    # contract picks the largest tiebreak — presort right so they coincide
+    rpdf = (
+        pd.DataFrame(right_rows, columns=["k", "rt", "rid", "val"])
+        .sort_values(["rt", "rid"], kind="stable")
+    )
+    exp_df = pd.merge_asof(
+        lpdf, rpdf, left_on="t", right_on="rt", by="k", direction="backward"
+    )
+    exp = {int(r.lid): (None if pd.isna(r.val) else float(r.val)) for r in exp_df.itertuples()}
+    assert got == exp
