@@ -127,3 +127,24 @@ def test_components_of_minhash_pairs_end_to_end(spark):
     comp = {r["node"]: r["component"] for r in components.connected_components(pairs).collect()}
     assert comp[1] == comp[2] == comp[3] == 1
     assert 4 not in comp  # no near-dup edges
+
+
+def test_connected_components_random_graph_both_paths_agree(spark):
+    """Property: on a random graph the distributed min-label loop and the
+    driver union-find return identical labelings."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, size=(80, 2)) if a != b]
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    local = {
+        r["node"]: r["component"]
+        for r in components.connected_components(pairs, local_threshold=10**6).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in components.connected_components(
+            pairs, max_iterations=30, local_threshold=0
+        ).collect()
+    }
+    assert local == dist and len(local) > 0
