@@ -82,3 +82,19 @@ def test_minhash_is_deterministic(spark, docs):
     s1 = dedup.minhash_signatures(docs, n_hashes=4).collect()
     s2 = dedup.minhash_signatures(docs, n_hashes=4).collect()
     assert sorted(map(str, s1)) == sorted(map(str, s2))
+
+
+def test_minhash_max_bucket_drops_degenerate_buckets(spark):
+    """The stop-bucket cap: identical boilerplate docs all share every
+    band bucket; capping the bucket size suppresses the quadratic pair
+    expansion for exactly those buckets."""
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate text repeated everywhere always") for i in range(6)]
+        + [(10, "a genuinely unique document body here"), (11, "a genuinely unique document body here")],
+        "doc_id bigint, text string",
+    )
+    uncapped = dedup.minhash_lsh_pairs(docs, n_hashes=12, bands=4).collect()
+    capped = dedup.minhash_lsh_pairs(docs, n_hashes=12, bands=4, max_bucket=3).collect()
+    # uncapped: 15 boilerplate pairs + the unique pair; capped: bucket of 6 dropped
+    assert {(r["a"], r["b"]) for r in capped} == {(10, 11)}
+    assert len(uncapped) == 16
