@@ -1002,9 +1002,12 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ character-5-gram Jaccard dedup: the pure-native-expression shingle
     path (no Python anywhere in the plan), robust to tokenization changes
-    that defeat word shingles."""
+    that defeat word shingles. max_doc_freq=50 is load-bearing: this
+    corpus's tiny vocabulary makes most 5-grams near-universal, and
+    without the stop-gram cap the posting-list self-join goes quadratic
+    (240+ s at sf0.1 vs ~7 s capped)."""
     return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=5, threshold=0.6, unit="char"
+        _docs(spark, sf_dir), n=5, threshold=0.3, unit="char", max_doc_freq=50
     )
 
 
@@ -1804,8 +1807,11 @@ def oracle_sql() -> dict[str, str]:
                        generate_series(1, greatest(1, length(text) - 4)),
                        i -> substr(text, i, 5)))) AS s
               FROM documents
-            ), sh AS (
+            ), sh_all AS (
               SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT AS sh FROM sh0
+            ), sh AS (
+              SELECT * FROM sh_all
+              WHERE sh NOT IN (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) > 50)
             ), sizes AS (
               SELECT did, count(*) AS sz FROM sh GROUP BY did
             ), inter AS (
@@ -1815,7 +1821,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.did = a JOIN sizes sb ON sb.did = b
-            WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.6
+            WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3
         """,
         "events_variant_agg": """
             SELECT event_type,

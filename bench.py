@@ -29,6 +29,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_char_ngram",
     "dedup_simhash",
     "embedding_neardup",
     "text_lang_id",
@@ -39,6 +40,7 @@ HEADLINE = [
     "events_sessionize",
     "tpch_q1_pricing_summary",
     "tpch_q6_revenue",
+    "tpch_q14_promo_revenue",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "multimodal_features",
@@ -52,6 +54,11 @@ HEADLINE = [
     "distinct_users_per_type",
     "events_rollup",
     "user_running_totals",
+    "events_followup_day",
+    "zscore_events",
+    "sql_api_search",
+    "skew_salted_pipeline",
+    "events_variant_agg",
     "bm25_search",
     "hybrid_search_rrf",
     "dedup_clusters",

@@ -201,12 +201,13 @@ def ngram_jaccard_pairs(
     # fixed-width bigint keys shuffle and compare far cheaper than strings,
     # and the oracle can compute the identical hash
     sh = sh.select("did", hashing.md5_long(F.col("sh")).alias("sh"))
+    # persist BEFORE deriving the stop-shingle list: the doc-frequency scan,
+    # the sizes aggregate, and both join sides all reuse one evaluation of
+    # the (expensive) shingle explode instead of re-running it per subtree
+    sh = sh.persist()
     if max_doc_freq is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_doc_freq).select("sh")
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    # the shingle index feeds three subtrees (sizes + both join sides);
-    # persist it so the explode/split runs once, not three times
-    sh = sh.persist()
     sizes = sh.groupBy("did").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("l")
