@@ -84,3 +84,26 @@ def test_zscore_by_group_zero_variance(spark):
     out = {r["id"]: r["z"] for r in zscore_by_group(df, "g", "v", ["id"]).collect()}
     assert out[1] == -1.0 and out[2] == 1.0          # (v - mean)/std over {2,4}
     assert out[3] == 0.0 and out[4] == 0.0           # zero variance -> 0
+
+
+def test_observation_metrics_single_pass(spark):
+    """Pipeline observability: df.observe collects input-count and mean
+    quality in the SAME action that writes the filtered output — no second
+    scan of a 100 TB input just to report what was dropped."""
+    from pyspark.sql import Observation, functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators.text_ops import quality_score_expr
+
+    docs = spark.createDataFrame(
+        [(1, "a good long document " * 20), (2, "x"), (3, "another solid document " * 15)],
+        "doc_id bigint, text string",
+    )
+    obs = Observation("corpus_quality")
+    scored = docs.withColumn("q", F.round(quality_score_expr(F.col("text")), 6)).observe(
+        obs, F.count(F.lit(1)).alias("n_in"), F.avg("q").alias("mean_q")
+    )
+    kept = scored.filter(F.col("q") > 0.7).collect()
+    metrics = obs.get
+    assert metrics["n_in"] == 3
+    assert 0.0 < metrics["mean_q"] < 1.0
+    assert {r["doc_id"] for r in kept} == {1, 3}
