@@ -106,3 +106,13 @@ def query_vec_lit(vec: list[float], precision: str = "f32") -> Column:
     """A literal query vector column (driver-side embed result → plan literal)."""
     elem = "float" if precision == "f32" else "double"
     return F.array(*[F.lit(float(x)).cast(elem) for x in vec])
+
+
+def cosine_f64_prenormed(dot: Column, na: Column, nb: Column, comparable: Column) -> Column:
+    """Cosine from PRE-PROJECTED dot and norms: same formula and f64 values
+    as cosine_f64, but callers project `norm_f64` per side first, so each
+    interpreted higher-order aggregate runs once per row instead of once
+    per expression occurrence (the when-condition and the value would
+    otherwise each evaluate both norms), and a broadcast side's norms are
+    computed once per query rather than once per pair."""
+    return F.when(comparable & (na > 0) & (nb > 0), dot / (na * nb))

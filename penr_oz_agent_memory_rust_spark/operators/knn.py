@@ -49,14 +49,38 @@ def expr_knn_join(
     `round_to` rounds the score BEFORE ranking so an external oracle ranking
     rounded scores agrees at top-k boundaries.
     """
-    q = F.broadcast(queries.select(query_id, query_vec))
-    score = similarity.score_expr(metric, F.col(corpus_vec), F.col(query_vec), precision)
+    if metric == "cosine" and precision == "f64":
+        # prenormed fast path: norms projected once per side, so the corpus
+        # norm is computed once per row (not once per (row, query) pair and
+        # not re-evaluated inside the when-condition) — identical f64 values
+        q = F.broadcast(
+            queries.select(
+                query_id,
+                query_vec,
+                similarity.norm_f64(F.col(query_vec)).alias("__qn"),
+            )
+        )
+        scored_src = corpus.select(
+            corpus_id,
+            corpus_vec,
+            similarity.norm_f64(F.col(corpus_vec)).alias("__cn"),
+        ).crossJoin(q)
+        score = similarity.cosine_f64_prenormed(
+            similarity.dot_f64(F.col(corpus_vec), F.col(query_vec)),
+            F.col("__cn"),
+            F.col("__qn"),
+            F.size(corpus_vec) == F.size(query_vec),
+        )
+    else:
+        q = F.broadcast(queries.select(query_id, query_vec))
+        scored_src = corpus.select(corpus_id, corpus_vec).crossJoin(q)
+        score = similarity.score_expr(
+            metric, F.col(corpus_vec), F.col(query_vec), precision
+        )
     if round_to is not None:
         score = F.round(score, round_to)
     scored = (
-        corpus.select(corpus_id, corpus_vec)
-        .crossJoin(q)
-        .withColumn("score", score)
+        scored_src.withColumn("score", score)
         .filter(F.col("score").isNotNull())
         .select(query_id, corpus_id, "score")
     )
