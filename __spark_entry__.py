@@ -1030,6 +1030,44 @@ def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) surface: the pivoted per-bucket frame folded back to
+    long form — pivot and unpivot are inverses on dense data."""
+    piv = q_events_pivot(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return piv.unpivot(
+        "user_bucket", [f"v_{t}" for t in types], "event_type", "total_value"
+    ).filter(F.col("total_value").isNotNull())
+
+
+def q_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ SCD2 / CDC-apply without a transactional format: every 7th
+    customer relocates to a new market segment effective 2026-01-01; the
+    merge closes the old version (valid_to set), keeps the rest current,
+    and opens the new version — MERGE INTO semantics from anti-join +
+    union, dimension table never shuffles (change set broadcasts)."""
+    from penr_oz_agent_memory_rust_spark.operators.scd2 import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    changes = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.lit("RELOCATED").alias("c_mktsegment"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("effective_ts"),
+        )
+    )
+    return scd2_apply(
+        dim, changes, key="c_custkey", attrs=["c_mktsegment"]
+    )
+
+
 def q_events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT surface: parse the semi-structured props column once
     into a typed variant (binary-encoded, no re-tokenizing per access) and
@@ -1205,6 +1243,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "skew_salted_pipeline": q_skew_salted_pipeline,
         "dedup_char_ngram": q_dedup_char_ngram,
         "events_variant_agg": q_events_variant_agg,
+        "events_unpivot": q_events_unpivot,
+        "scd2_customer_segment": q_scd2_customer_segment,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
         "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
         "doc_bigrams_udtf": q_doc_bigrams_udtf,
@@ -1841,6 +1881,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.did = a JOIN sizes sb ON sb.did = b
             WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3
+        """,
+        "events_unpivot": """
+            SELECT user_id % 4 AS user_bucket,
+                   'v_' || event_type AS event_type,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "scd2_customer_segment": """
+            SELECT c_custkey, c_mktsegment,
+                   TIMESTAMP '1990-01-01' AS valid_from,
+                   TIMESTAMP '2026-01-01' AS valid_to
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT c_custkey, c_mktsegment,
+                   TIMESTAMP '1990-01-01', NULL
+            FROM customer WHERE c_custkey % 7 <> 0
+            UNION ALL
+            SELECT c_custkey, 'RELOCATED',
+                   TIMESTAMP '2026-01-01', NULL
+            FROM customer WHERE c_custkey % 7 = 0
         """,
         "events_variant_agg": """
             SELECT event_type,

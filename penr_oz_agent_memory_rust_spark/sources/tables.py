@@ -87,11 +87,15 @@ class ParquetTable:
         path: str,
         schema: T.StructType,
         partition_cols: list[str] | None = None,
+        fmt: str = "parquet",
     ):
         self.spark = spark
         self.path = path
         self.schema = schema
         self.partition_cols = partition_cols or []
+        # "parquet" (default) or "orc" — both columnar with pushdown; ORC
+        # exists for interop with ORC-standardized lakes (Hive heritage)
+        self.fmt = fmt
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
@@ -107,15 +111,15 @@ class ParquetTable:
         src/vector_store.rs:112-200 ensure_collection)."""
         if not self.exists():
             empty = self.spark.createDataFrame([], self.schema)
-            self._writer(empty, "overwrite").parquet(self.path)
+            self._writer(empty, "overwrite").format(self.fmt).save(self.path)
 
     def read(self) -> DataFrame:
         self.ensure()
-        return self.spark.read.schema(self.schema).parquet(self.path)
+        return self.spark.read.schema(self.schema).format(self.fmt).load(self.path)
 
     def append(self, df: DataFrame) -> None:
         self.ensure()
-        self._writer(df, "append").parquet(self.path)
+        self._writer(df, "append").format(self.fmt).save(self.path)
 
     def compact(self, target_partitions: int = 1) -> int:
         """Small-file compaction: micro-batch appends leave one file per
@@ -125,7 +129,9 @@ class ParquetTable:
         """
         import glob
 
-        before = len(glob.glob(os.path.join(self.path, "**", "*.parquet"), recursive=True))
+        before = len(
+            glob.glob(os.path.join(self.path, "**", f"*.{self.fmt}"), recursive=True)
+        )
         current = self.read().coalesce(target_partitions)
         self.overwrite(current)
         return before
@@ -134,7 +140,7 @@ class ParquetTable:
         """Full rewrite via a temp location (safe read-then-overwrite: Spark
         cannot overwrite a path it is concurrently reading)."""
         tmp = tempfile.mkdtemp(prefix="poz_tbl_") + "/data"
-        self._writer(df, "overwrite").parquet(tmp)
-        materialized = self.spark.read.schema(self.schema).parquet(tmp)
-        self._writer(materialized, "overwrite").parquet(self.path)
+        self._writer(df, "overwrite").format(self.fmt).save(tmp)
+        materialized = self.spark.read.schema(self.schema).format(self.fmt).load(tmp)
+        self._writer(materialized, "overwrite").format(self.fmt).save(self.path)
         shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)

@@ -194,3 +194,29 @@ def test_python_datasource_memories_jsonl(spark, tmp_path):
     assert rows["no id or session"]["id"] is None
     assert rows["no id or session"]["session"] is None
     assert rows["from second file"]["id"] == "m3"
+
+
+def test_scd2_apply_closes_and_opens_versions(spark):
+    import datetime as dt
+
+    from penr_oz_agent_memory_rust_spark.operators.scd2 import scd2_apply
+
+    t0, t1, t2 = (dt.datetime(2020, 1, 1), dt.datetime(2023, 1, 1), dt.datetime(2026, 1, 1))
+    dim = spark.createDataFrame(
+        [
+            (1, "A", t0, t1),   # closed history
+            (1, "B", t1, None), # current, will change
+            (2, "X", t0, None), # current, untouched
+        ],
+        "k bigint, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(1, "C", t2)], "k bigint, attr string, effective_ts timestamp"
+    )
+    out = scd2_apply(dim, changes, key="k", attrs=["attr"]).collect()
+    rows = {(r["k"], r["attr"]): (r["valid_from"], r["valid_to"]) for r in out}
+    assert len(out) == 4
+    assert rows[(1, "A")] == (t0, t1)          # history untouched
+    assert rows[(1, "B")] == (t1, t2)          # closed at effective time
+    assert rows[(1, "C")] == (t2, None)        # new current version
+    assert rows[(2, "X")] == (t0, None)        # untouched current
