@@ -804,6 +804,17 @@ def q_events_followup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch per event type (no oracle: the KLL/GK
+    sketch is algorithm-specific; accuracy is pinned against exact
+    percentiles in tests at 1% relative error)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user sketch per event type (no oracle: HLL
     estimates are algorithm-specific; accuracy pinned vs exact counts in
@@ -1231,6 +1242,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_cube": q_events_cube,
         "events_followup_day": q_events_followup_day,
         "approx_distinct_users": q_approx_distinct_users,
+        "events_percentiles_approx": q_events_percentiles_approx,
         "tpch_q6_revenue": q_tpch_q6_revenue,
         "events_grouping_sets": q_events_grouping_sets,
         "user_running_totals": q_user_running_totals,

@@ -95,3 +95,24 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(3, 0.06 * n), (et, approx[et], n)
+
+
+def test_approx_percentiles_near_exact(spark, sf_dir):
+    """The sketch percentiles stay within 5% relative error of the exact
+    interpolated percentiles (the sketch returns an actual sample, the
+    exact form interpolates — sparse tails bound the gap, not the sketch
+    error)."""
+    import __spark_entry__ as entrymod
+
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p95_approx"])
+        for r in entrymod.queries()["events_percentiles_approx"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in entrymod.queries()["events_percentiles"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for t in exact:
+        for a, e in zip(approx[t], exact[t]):
+            assert abs(a - e) <= 0.05 * max(abs(e), 1e-9), (t, a, e)
