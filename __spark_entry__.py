@@ -1041,6 +1041,40 @@ def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ gap-based sessionization via the NATIVE session_window operator —
+    same 30-minute-gap semantics as the lag+cumsum plan in
+    events_sessionize (session_window merges an event landing exactly at
+    the window end, i.e. splits only on gap > 1800 s, verified), so both
+    share one oracle. Timestamps are truncated to whole seconds first so
+    the two strategies bucket sub-second gaps identically."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.timestamp_seconds(F.unix_timestamp("ts"))
+    return (
+        ev.groupBy(F.session_window(sec, "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("sess_start"),
+            "n_events",
+        )
+    )
+
+
+def q_stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ second true-streaming gate query: dropDuplicatesWithinWatermark on
+    (user_id, event_type) through a real readStream run. Projecting only
+    the key columns makes the result arrival-order-independent (the set of
+    distinct keys), so it is oracle-exact even though which full row
+    survives is racy."""
+    from penr_oz_agent_memory_rust_spark.sources.tables import testdata_path
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import run_dedup_keys_once
+
+    return run_dedup_keys_once(
+        spark, testdata_path(sf_dir, "events"), keys=["user_id", "event_type"]
+    )
+
+
 def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) surface: the pivoted per-bucket frame folded back to
     long form — pivot and unpivot are inverses on dense data."""
@@ -1255,6 +1289,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "skew_salted_pipeline": q_skew_salted_pipeline,
         "dedup_char_ngram": q_dedup_char_ngram,
         "events_variant_agg": q_events_variant_agg,
+        "events_session_window_native": q_events_session_window_native,
+        "stream_dedup_distinct": q_stream_dedup_distinct,
         "events_unpivot": q_events_unpivot,
         "scd2_customer_segment": q_scd2_customer_segment,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
@@ -1893,6 +1929,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.did = a JOIN sizes sb ON sb.did = b
             WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3
+        """,
+        "events_session_window_native": """
+            WITH lagged AS (
+              SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                     lag(CAST(floor(epoch(ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+              FROM events
+            ), flagged AS (
+              SELECT user_id, event_id, es,
+                     CASE WHEN prev_es IS NOT NULL AND es - prev_es > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM lagged
+            ), numbered AS (
+              SELECT user_id, es,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sess_idx
+              FROM flagged
+            )
+            SELECT user_id, CAST(min(es) AS BIGINT) AS sess_start, count(*) AS n_events
+            FROM numbered GROUP BY user_id, sess_idx
+        """,
+        "stream_dedup_distinct": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "events_unpivot": """
             SELECT user_id % 4 AS user_bucket,

@@ -323,3 +323,39 @@ def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:
     return events_stream.groupBy("user_id").transformWithStateInPandas(
         RunningTotals(), outputStructType=out_schema, outputMode="Update", timeMode="None"
     )
+
+
+def run_dedup_keys_once(
+    spark: SparkSession, events_path: str, keys: list[str], name: str = "__stream_dedup"
+) -> DataFrame:
+    """Execute dropDuplicatesWithinWatermark as a real streaming job over
+    the events parquet (availableNow, append-mode memory sink) and return
+    the surviving key set as a batch DataFrame. Only the key columns are
+    kept, so the result is deterministic (the distinct keys) regardless of
+    which physical row won the first-arrival race."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        stage = os.path.join(
+            tempfile.gettempdir(), f"__stream_stage_{abs(hash(events_path))}"
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, os.path.basename(events_path))
+        if not os.path.exists(link):
+            os.symlink(events_path, link)
+        events_path = stage
+    raw = spark.readStream.schema(schema).parquet(events_path)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = dedup_stream(raw, keys, watermark_col="ts", delay="10 minutes").select(*keys)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
