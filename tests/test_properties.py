@@ -214,3 +214,29 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     )
     exp = {int(r.lid): (None if pd.isna(r.val) else float(r.val)) for r in exp_df.itertuples()}
     assert got == exp
+
+
+def test_simhash_matches_pure_python(spark):
+    """Portability property: the DataFrame simhash equals a from-scratch
+    Python implementation of the same spec (md5-60-bit token hash, bit i
+    votes +/-1, sign-pack into a bigint)."""
+    import hashlib
+
+    from penr_oz_agent_memory_rust_spark.operators.dedup import simhash_signatures
+
+    def py_simhash(text, bits=16):
+        votes = [0] * bits
+        for tok in text.lower().split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for i in range(bits):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(bits) if votes[i] > 0)
+
+    texts = [
+        "the quick brown fox", "the quick brown fox", "a different document entirely",
+        "spark engine test row", "one", "repeated repeated repeated words words",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    exp = {i: py_simhash(t) for i, t in enumerate(texts)}
+    assert got == exp
