@@ -1075,6 +1075,27 @@ def q_stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface (ntile + percent_rank): per event type,
+    decile buckets of value with each decile's row count and top value;
+    (value, event_id) ordering makes tie handling deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+    return ranked.groupBy("event_type", "decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.max("value"), 6).alias("top_value"),
+        F.round(F.max("pr"), 6).alias("top_pr"),
+    )
+
+
 def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) surface: the pivoted per-bucket frame folded back to
     long form — pivot and unpivot are inverses on dense data."""
@@ -1291,6 +1312,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_variant_agg": q_events_variant_agg,
         "events_session_window_native": q_events_session_window_native,
         "stream_dedup_distinct": q_stream_dedup_distinct,
+        "events_value_deciles": q_events_value_deciles,
         "events_unpivot": q_events_unpivot,
         "scd2_customer_segment": q_scd2_customer_segment,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
@@ -1951,6 +1973,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_distinct": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "events_value_deciles": """
+            WITH ranked AS (
+              SELECT event_type, value,
+                     ntile(10) OVER w AS decile,
+                     round(percent_rank() OVER w, 6) AS pr
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+            )
+            SELECT event_type, decile, count(*) AS n,
+                   round(max(value), 6) AS top_value, round(max(pr), 6) AS top_pr
+            FROM ranked GROUP BY event_type, decile
         """,
         "events_unpivot": """
             SELECT user_id % 4 AS user_bucket,
