@@ -660,6 +660,18 @@ def q_users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchasers.exceptAll(erroring)
 
 
+def q_users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface, INTERSECT side: users who both purchased and
+    errored in the early-January window (same windowing rationale as the
+    EXCEPT query)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return purchasers.intersect(erroring)
+
+
 def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ as-of join: for each event, the customer's most recent order at
     event time (union-sort implementation, no range-join explosion)."""
@@ -1284,6 +1296,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "docs_with_embeddings": q_docs_with_embeddings,
         "distinct_users_per_type": q_distinct_users_per_type,
         "users_purchase_no_error": q_users_purchase_no_error,
+        "users_purchase_and_error": q_users_purchase_and_error,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "events_percentiles": q_events_percentiles,
@@ -2005,6 +2018,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, 'RELOCATED',
                    TIMESTAMP '2026-01-01', NULL
             FROM customer WHERE c_custkey % 7 = 0
+        """,
+        "users_purchase_and_error": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-04'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-04'
         """,
         "events_variant_agg": """
             SELECT event_type,
