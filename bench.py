@@ -59,6 +59,10 @@ HEADLINE = [
     "sql_api_search",
     "skew_salted_pipeline",
     "events_variant_agg",
+    "events_unpivot",
+    "events_session_window_native",
+    "scd2_customer_segment",
+    "stream_window_agg",
     "bm25_search",
     "hybrid_search_rrf",
     "dedup_clusters",
