@@ -53,6 +53,7 @@ def _ship_package(spark: SparkSession) -> None:
         if spark.conf.get("spark.sql.shuffle.partitions") == "200":
             spark.conf.set("spark.sql.shuffle.partitions", str(max(sc.defaultParallelism, 4)))
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:

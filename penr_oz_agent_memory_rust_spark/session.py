@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # testdata ships as one parquet file per table; the 128 MB default
+        # split means every scan is ONE task on a 32-core box. 4 MB splits
+        # parallelize single-file scans without tiny-task overhead (on a
+        # real cluster with many files this knob matters far less)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
