@@ -1088,6 +1088,17 @@ def q_stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation surface: per user, the sorted set of event types
+    plus how many distinct types (collect_set -> sort_array keeps the
+    result deterministic for the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
 def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function surface (ntile + percent_rank): per event type,
     decile buckets of value with each decile's row count and top value;
@@ -1326,6 +1337,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_variant_agg": q_events_variant_agg,
         "events_session_window_native": q_events_session_window_native,
         "stream_dedup_distinct": q_stream_dedup_distinct,
+        "user_event_type_sets": q_user_event_type_sets,
         "events_value_deciles": q_events_value_deciles,
         "events_unpivot": q_events_unpivot,
         "scd2_customer_segment": q_scd2_customer_segment,
@@ -1987,6 +1999,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_distinct": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "user_event_type_sets": """
+            SELECT user_id,
+                   list_sort(list_distinct(array_agg(event_type))) AS types,
+                   count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id
         """,
         "events_value_deciles": """
             WITH ranked AS (
