@@ -41,13 +41,24 @@ def asof_join(
     unchanged: still one shuffle, one sort.
     """
     tiebreak = tiebreak or right_cols[0]
+    r_types = dict(right.dtypes)
+    # the whole matched right row travels as ONE struct (its columns plus its
+    # own event time), so the carry-forward, the staleness test, and the
+    # null-out are atomic: a NULL in some right column can never decouple the
+    # carried value from the carried row's timestamp (pandas merge_asof
+    # whole-row match semantics)
+    r_struct_type = (
+        "struct<"
+        + ",".join([f"{c}:{r_types[c]}" for c in right_cols] + [f"__rt:{r_types[right_time]}"])
+        + ">"
+    )
     l_tag = left.select(
         F.col(key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__src"),
-        F.lit(None).cast(dict(right.dtypes)[tiebreak]).alias("__tb"),
+        F.lit(None).cast(r_types[tiebreak]).alias("__tb"),
         F.struct(*left.columns).alias("__l"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tag = right.select(
         F.col(key).alias("__k"),
@@ -57,7 +68,10 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
         ).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols],
+            F.col(right_time).alias("__rt"),
+        ).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows (src=0) sort before left rows at equal time => `<=`;
@@ -72,29 +86,25 @@ def asof_join(
         "__src",
         "__t",
         "__l",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}") for c in right_cols],
-        F.last(
-            F.when(F.col("__src") == 0, F.col("__t")), ignorenulls=True
-        ).over(w).alias("__rv_t"),
+        F.last("__r", ignorenulls=True).over(w).alias("__rv"),
     ).filter(F.col("__src") == 1)
     if tolerance_seconds is not None:
+        # double-cast keeps sub-second staleness (unix_timestamp truncates)
         fresh = (
-            F.unix_timestamp(F.col("__t").cast("timestamp"))
-            - F.unix_timestamp(F.col("__rv_t").cast("timestamp"))
-        ) <= F.lit(tolerance_seconds)
+            F.col("__t").cast("timestamp").cast("double")
+            - F.col("__rv.__rt").cast("timestamp").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
         carried = carried.select(
             "__src",
             "__t",
             "__l",
-            *[
-                F.when(fresh, F.col(f"__rv_{c}")).alias(f"__rv_{c}")
-                for c in right_cols
-            ],
+            F.when(fresh, F.col("__rv")).alias("__rv"),
         )
     out = carried.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__rv_{c}").alias(c) for c in right_cols],
+        *[F.col(f"__rv.{c}").alias(c) for c in right_cols],
+        F.col("__rv").isNotNull().alias("__matched"),
     )
     if not keep_unmatched:
-        out = out.filter(F.col(right_cols[0]).isNotNull())
-    return out
+        out = out.filter(F.col("__matched"))
+    return out.drop("__matched")

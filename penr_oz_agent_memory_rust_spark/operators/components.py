@@ -75,9 +75,14 @@ def connected_components(
     if local_threshold > 0:
         # size probe and data fetch in ONE evaluation of the (typically
         # expensive) pairs pipeline: collect at most threshold+1 edges; if
-        # the limit wasn't hit we already hold the whole edge list
+        # the limit wasn't hit we already hold the whole edge list.
+        # persist FIRST so an overflowing probe leaves the partitions it
+        # computed cached for the distributed path instead of throwing the
+        # whole evaluation away
+        src = src.persist()
         probe = src.limit(local_threshold + 1).collect()
         if len(probe) <= local_threshold:
+            src.unpersist()
             rows = _local_union_find((r["u"], r["v"]) for r in probe)
             from pyspark.sql.types import StructField, StructType
 
@@ -162,6 +167,8 @@ def connected_components(
     finally:
         edges.unpersist()
         labels.unpersist()
+        if local_threshold > 0:
+            src.unpersist()
 
 
 def dedup_clusters(

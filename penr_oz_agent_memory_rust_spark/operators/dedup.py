@@ -133,8 +133,11 @@ def minhash_lsh_pairs(
     assert n_hashes % bands == 0
     rows = n_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_words)
+    # ":"-separated so band equality is exactly component-wise equality:
+    # the hash values are variable-width decimal bigints, and an unseparated
+    # concat would alias e.g. (1, 234) with (12, 34) into one bucket
     band_cols = [
-        F.concat_ws("", *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        F.concat_ws(":", *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sigs.select(F.col(id_col), *band_cols)

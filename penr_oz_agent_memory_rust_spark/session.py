@@ -17,6 +17,8 @@ def get_spark(
     app_name: str = "penr-oz-agent-memory-spark",
     cpus: str | int | None = None,
     shuffle_partitions: int | None = None,
+    master: str | None = None,
+    max_partition_bytes: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
@@ -24,6 +26,13 @@ def get_spark(
     partitions default to the core count — correct for local mode where 200
     default partitions just add scheduling overhead on small-SF data; on a
     real cluster AQE coalesces to the right number at runtime anyway.
+
+    ``max_partition_bytes`` defaults to 4 MB **only on a local master**:
+    the test corpus ships as one parquet file per table, so the 128 MB
+    default split would make every scan a single task on a 32-core box. On
+    any non-local master the setting is left at Spark's default — 4 MB
+    splits against standard ~128 MB row groups would map most tasks to no
+    row-group midpoint (empty tasks) and explode task counts.
     """
     cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
@@ -31,23 +40,23 @@ def get_spark(
             shuffle_partitions = max(int(cpus), 4)
         except (TypeError, ValueError):
             shuffle_partitions = 32
+    master = master or f"local[{cpus}]"
+    if max_partition_bytes is None and master.startswith("local"):
+        max_partition_bytes = "4m"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # testdata ships as one parquet file per table; the 128 MB default
-        # split means every scan is ONE task on a 32-core box. 4 MB splits
-        # parallelize single-file scans without tiny-task overhead (on a
-        # real cluster with many files this knob matters far less)
-        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if max_partition_bytes is not None:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

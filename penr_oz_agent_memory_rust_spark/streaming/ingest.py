@@ -13,6 +13,8 @@ watermarked tumbling-window aggregation over the events table.
 
 from __future__ import annotations
 
+import contextlib
+import hashlib
 import os
 import tempfile
 
@@ -213,6 +215,38 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
     )
 
 
+@contextlib.contextmanager
+def _nanos_as_long(spark: SparkSession):
+    """Temporarily read TIMESTAMP(NANOS) parquet as int64; the previous
+    value is restored on exit so the shared session's batch reads are not
+    silently switched to legacy semantics."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _stage_single_file(events_path: str) -> str:
+    """FileStreamSource only monitors directories; stage a single parquet
+    file behind a symlink in a per-path temp dir (no data copy). Keyed on a
+    stable md5 digest of the path — NOT builtin hash(), which varies per
+    process under PYTHONHASHSEED and would accumulate one stage dir per
+    process."""
+    digest = hashlib.md5(events_path.encode("utf-8")).hexdigest()[:16]
+    stage = os.path.join(tempfile.gettempdir(), f"__stream_stage_{digest}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(events_path))
+    if not os.path.exists(link):
+        os.symlink(events_path, link)
+    return stage
+
+
 def run_windowed_events_once(
     spark: SparkSession, events_path: str, minutes: int = 5, name: str = "__stream_win_agg"
 ) -> DataFrame:
@@ -226,36 +260,27 @@ def run_windowed_events_once(
     aggregation (the oracle for the correctness gate). The same code path
     scales to continuous ingestion by swapping the trigger and sink.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    if os.path.isfile(events_path):
-        # FileStreamSource only monitors directories; stage single-file
-        # inputs behind a symlink in a per-path temp dir (no data copy)
-        stage = os.path.join(
-            tempfile.gettempdir(), f"__stream_stage_{abs(hash(events_path))}"
+    with _nanos_as_long(spark):
+        schema = spark.read.parquet(events_path).schema
+        if os.path.isfile(events_path):
+            events_path = _stage_single_file(events_path)
+        raw = spark.readStream.schema(schema).parquet(events_path)
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # watermarks demand TIMESTAMP (with tz); the parquet may scan as NTZ.
+        # Session tz is pinned UTC, so the cast is a type change, not a shift.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = windowed_event_counts(raw, window=f"{minutes} minutes")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
-        os.makedirs(stage, exist_ok=True)
-        link = os.path.join(stage, os.path.basename(events_path))
-        if not os.path.exists(link):
-            os.symlink(events_path, link)
-        events_path = stage
-    raw = spark.readStream.schema(schema).parquet(events_path)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # watermarks demand TIMESTAMP (with tz); the parquet may scan as NTZ.
-    # Session tz is pinned UTC, so the cast is a type change, not a shift.
-    raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = windowed_event_counts(raw, window=f"{minutes} minutes")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+        q.awaitTermination()
+        q.stop()
+        return spark.table(name)
 
 
 def batch_user_totals(events: DataFrame) -> DataFrame:
@@ -333,29 +358,22 @@ def run_dedup_keys_once(
     the surviving key set as a batch DataFrame. Only the key columns are
     kept, so the result is deterministic (the distinct keys) regardless of
     which physical row won the first-arrival race."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    if os.path.isfile(events_path):
-        stage = os.path.join(
-            tempfile.gettempdir(), f"__stream_stage_{abs(hash(events_path))}"
+    with _nanos_as_long(spark):
+        schema = spark.read.parquet(events_path).schema
+        if os.path.isfile(events_path):
+            events_path = _stage_single_file(events_path)
+        raw = spark.readStream.schema(schema).parquet(events_path)
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        deduped = dedup_stream(raw, keys, watermark_col="ts", delay="10 minutes").select(*keys)
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        os.makedirs(stage, exist_ok=True)
-        link = os.path.join(stage, os.path.basename(events_path))
-        if not os.path.exists(link):
-            os.symlink(events_path, link)
-        events_path = stage
-    raw = spark.readStream.schema(schema).parquet(events_path)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    deduped = dedup_stream(raw, keys, watermark_col="ts", delay="10 minutes").select(*keys)
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+        q.awaitTermination()
+        q.stop()
+        return spark.table(name)
