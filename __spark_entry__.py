@@ -327,21 +327,19 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_self_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ all-pairs similarity join: every vector queries the whole corpus
-    (the embedding-dedup / nearest-neighbor-graph workload). BLAS-blocked:
-    one broadcast of the query matrix, one matmul per partition, shuffle is
-    only N×k rows. No oracle (f32 BLAS); the expr strategy pins exactness."""
+    (the embedding-dedup / nearest-neighbor-graph workload). 2-D block
+    nested loop (cogroup + per-cell BLAS): NO driver collect, no corpus
+    broadcast — per-task memory is one (N/B × N/B) cell, so the same plan
+    survives a 100× corpus. No oracle (f32 BLAS); the expr strategy pins
+    exactness in tests/test_knn.py."""
     emb = _emb(spark, sf_dir)
-    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    out = knn.blocked_knn_join(
-        q,
+    out = knn.blocked_knn_self_join(
         emb.select(F.col("vec_id"), F.col("embedding").alias("vec")),
         k=3,
-        query_id="qid",
-        corpus_id="vec_id",
-        query_vec="qv",
-        corpus_vec="vec",
+        id_col="vec_id",
+        vec_col="vec",
     )
-    return out.select("qid", "vec_id")
+    return out.select(F.col("vec_id_q").alias("qid"), "vec_id")
 
 
 def q_embed_documents_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,20 +485,47 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """★ IVF-bucketed approximate NN: k-means cells + probe-limited exact
-    scoring (no oracle: approximate by design; recall pinned in tests)."""
-    corpus = _emb(spark, sf_dir).select(F.col("vec_id"), F.col("embedding").alias("vec"))
-    cents = knn.train_ivf_centroids(corpus, n_centroids=8, n_iters=3)
-    out = knn.ivf_knn_join(
+    """★ IVF-bucketed approximate NN against the PERSISTED index: built
+    once per corpus (sampled k-means training, partitioned-by-cell
+    parquet), then every search is probe-limited partition pruning — the
+    build-once/search-many shape; no per-query retraining. (no oracle:
+    approximate by design; recall pinned in tests)."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from penr_oz_agent_memory_rust_spark.operators import ivf_index
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    # cache key includes the source file identity: regenerated testdata
+    # invalidates the cached index instead of serving stale cells
+    path = os.path.join(
+        _tf.gettempdir(),
+        f"__ivf_index_{_hl.md5(ident.encode()).hexdigest()[:12]}",
+    )
+    if not os.path.exists(os.path.join(path, "centroids.json")):
+        ivf_index.build_ivf_index(
+            _emb(spark, sf_dir),
+            path,
+            id_col="vec_id",
+            vec_col="embedding",
+            n_centroids=8,
+            n_iters=3,
+        )
+    out = ivf_index.search_ivf_index_batch(
+        spark,
+        path,
         _query_side(spark, sf_dir),
-        corpus,
-        cents,
         k=5,
         n_probes=2,
         query_id="qid",
         query_vec="qv",
-        corpus_id="vec_id",
-        corpus_vec="vec",
+        id_col="vec_id",
+        vec_col="embedding",
     )
     return out.select("qid", "vec_id")
 

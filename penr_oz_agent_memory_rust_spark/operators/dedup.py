@@ -63,6 +63,74 @@ def _blocked_candidate_pairs(
     return vectors.select(id_col).mapInPandas(gen, schema=f"a {id_type}, b {id_type}")
 
 
+def _lsh_candidate_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    target_recall: float = 0.95,
+    max_tables: int = 16,
+    seed: int = 7,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Scale-path candidate generation: independent random-hyperplane LSH
+    tables; docs sharing a bucket in ANY table are candidates
+    (OR-amplification). Nothing is collected or broadcast — each table is a
+    signature projection + groupBy with in-bucket pair expansion, exactly
+    the minhash_lsh_pairs shape; the exact re-score stage removes all
+    false positives.
+
+    The (bits-per-table, table-count) pair is SOLVED from the threshold:
+    per-bit collision prob for cosine t is p = 1 - acos(t)/pi, per-table
+    q = p^bits, and tables T = ln(1-target_recall)/ln(1-q). The widest
+    signature whose T fits under `max_tables` wins — high thresholds get
+    many selective bits (cheap, selective), low thresholds degrade
+    gracefully toward few bits and more tables (honest: low-similarity
+    search is inherently near-exhaustive).
+    """
+    import math
+
+    from penr_oz_agent_memory_rust_spark.operators import knn
+
+    p = 1 - math.acos(min(max(threshold, -0.999), 0.999)) / math.pi
+    n_planes, n_tables = 2, max_tables
+    for b in range(16, 1, -1):
+        q = p**b
+        if 0 < q < 1:
+            t_needed = math.ceil(math.log(1 - target_recall) / math.log(1 - q))
+            if t_needed <= max_tables:
+                n_planes, n_tables = b, max(1, t_needed)
+                break
+    dim = len(vectors.select(vec_col).first()[0])
+    per_table = []
+    for t in range(n_tables):
+        planes = knn._hyperplanes(dim, n_planes, seed=seed * 1000 + t)
+        sig = knn.lsh_signature_udf(planes)
+        members = (
+            vectors.select(F.col(id_col), sig(F.col(vec_col)).alias("__b"))
+            .groupBy("__b")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        if max_bucket is not None:
+            members = members.filter(F.size("ids") <= max_bucket)
+        per_table.append(
+            members.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                        "y -> struct(x AS a, y AS b))))"
+                    )
+                ).alias("p")
+            ).select("p.a", "p.b")
+        )
+    out = per_table[0]
+    for p in per_table[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact near-identity dedup: group by normalized-text fingerprint, keep
     the smallest id as canonical. Output: (doc_id, fp, dup_count)."""
@@ -274,26 +342,41 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    blocked_prefilter: bool = True,
+    prefilter: str = "auto",
     margin: float = 0.005,
     id_type: str = "bigint",
+    blas_max_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: all pairs with cosine >= threshold.
 
-    Exact result. With `blocked_prefilter` (default), a float32 BLAS pass
-    (mapInPandas, one matmul per partition against a broadcast of the
-    normalized matrix) emits only CANDIDATE pairs with f32-cosine >=
-    threshold - margin — a guaranteed superset since f32 error ≪ margin —
-    and the exact f64 column expression re-scores just those candidates.
-    That replaces O(N²) interpreted-HOF scoring with O(N²/p) BLAS + O(C)
-    exact scoring. Without it: plain pair self-join (the oracle's shape).
-    At 100 TB scale the prefilter becomes LSH bucketing (see knn.py);
-    the exact re-score stage is unchanged.
+    Candidate generation routes by corpus size (`prefilter`):
+      "blas"  — float32 BLAS pass (mapInPandas, one matmul per partition
+                against a broadcast of the normalized matrix) emits
+                candidates with f32-cosine >= threshold - margin, a
+                guaranteed superset (f32 error ≪ margin) — EXACT result,
+                but the broadcast is O(N·d): small/medium corpora only.
+      "lsh"   — the 100 TB path: OR-amplified random-hyperplane buckets,
+                nothing collected or broadcast (see _lsh_candidate_pairs);
+                high-recall approximate candidates.
+      "auto"  — (default) probe the row count once and pick "blas" iff the
+                corpus is at most `blas_max_rows` rows, else "lsh" — the
+                full-matrix broadcast can never trigger at scale.
+      "none"  — plain pair self-join, the oracle's shape (quadratic).
+    Every route shares the same exact f64 re-score + threshold stage, so
+    false candidates never survive.
     Output: (a, b, score) with a < b, score rounded to 6 dp (f64 math to
     match the DuckDB oracle's double accumulation).
     """
-    if blocked_prefilter:
-        cand = _blocked_candidate_pairs(vectors, id_col, vec_col, threshold - margin, id_type)
+    if prefilter == "auto":
+        probe = vectors.select(id_col).limit(blas_max_rows + 1).count()
+        prefilter = "blas" if probe <= blas_max_rows else "lsh"
+    if prefilter in ("blas", "lsh"):
+        if prefilter == "blas":
+            cand = _blocked_candidate_pairs(
+                vectors, id_col, vec_col, threshold - margin, id_type
+            )
+        else:
+            cand = _lsh_candidate_pairs(vectors, id_col, vec_col, threshold=threshold - margin)
         base = vectors.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),

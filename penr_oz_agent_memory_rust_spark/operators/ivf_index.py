@@ -28,7 +28,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_iters: int = 5,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     seed: int = 42,
 ) -> np.ndarray:
     """Train centroids, assign every row a cell, write partitioned by cell.
@@ -94,3 +94,52 @@ def search_ivf_index(
         similarity.cosine_f32(F.col(vec_col), similarity.query_vec_lit([float(x) for x in query_vec])),
     ).filter(F.col("score").isNotNull())
     return top_k(scored, "score", k, tiebreak=id_col).select(id_col, "score")
+
+
+def search_ivf_index_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch probe-limited search against a PERSISTED index — the
+    search-many half of build-once/search-many. No retraining, no corpus
+    collect: centroids come from the sidecar (k × d floats), each query
+    explodes into its n_probes nearest cells, and the corpus scan is
+    pruned to exactly the probed `ivf_cell=` partition directories before
+    any data file is opened. The only driver-side collect is the distinct
+    probe-cell list — bounded by the *request* size (≤ queries × n_probes
+    ints), never by the corpus.
+    """
+    from penr_oz_agent_memory_rust_spark.operators.topk import top_k_per_group
+
+    cents = load_centroids(path)
+    probe_structs = []
+    for j, c in enumerate(cents):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(F.col(query_vec).cast("array<double>"), lit_c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        probe_structs.append(F.struct(dot.alias("s"), F.lit(j).alias("j")))
+    probes = F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, n_probes)
+    qb = queries.withColumn("__cell", F.explode(probes.getField("j")))
+    cells = [r[0] for r in qb.select("__cell").distinct().collect()]
+    corpus = (
+        spark.read.parquet(os.path.join(path, "data"))
+        .filter(F.col("ivf_cell").isin(cells))  # partition pruning at the scan
+        .withColumnRenamed("ivf_cell", "__cell")
+    )
+    scored = (
+        corpus.join(qb, "__cell")
+        .withColumn("score", knn.cosine_pairs_udf()(F.col(vec_col), F.col(query_vec)))
+        .filter(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
+        .select(query_id, id_col, "score")
+    )
+    return top_k_per_group(scored, [query_id], "score", k, tiebreak=id_col)

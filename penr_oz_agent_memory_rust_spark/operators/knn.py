@@ -98,6 +98,7 @@ def blocked_knn_join(
     corpus_vec: str = "vec",
     id_type: str = "bigint",
     query_block: int = 2048,
+    max_broadcast_queries: int = 200_000,
 ) -> DataFrame:
     """Strategy 2: per-partition BLAS matmul + local top-k, then global top-k.
 
@@ -109,8 +110,21 @@ def blocked_knn_join(
     (partition_rows × query_block) chunks, so a 1M-query all-pairs job
     allocates ~partition_rows*block*4 bytes per task instead of one giant
     (n × Q) matrix — the scale_probe.py finding that motivated this.
+
+    `max_broadcast_queries` is the guard rail on the driver collect: this
+    strategy is for *bounded request batches*. Feeding it an unbounded
+    query side (e.g. the corpus itself) would OOM the driver long before
+    100 TB — that workload belongs to `blocked_knn_self_join`, which never
+    collects anything.
     """
-    q_rows = queries.select(query_id, query_vec).collect()
+    q_rows = queries.select(query_id, query_vec).limit(max_broadcast_queries + 1).collect()
+    if len(q_rows) > max_broadcast_queries:
+        raise ValueError(
+            f"blocked_knn_join broadcasts the query side to the driver; got more "
+            f"than max_broadcast_queries={max_broadcast_queries} rows. For "
+            f"corpus-scale query sides use blocked_knn_self_join (2-D block "
+            f"nested loop, no driver collect) or an ANN strategy (lsh/ivf)."
+        )
     if not q_rows:
         return queries.sparkSession.createDataFrame(
             [], f"{query_id} {id_type}, {corpus_id} {id_type}, score double"
@@ -159,6 +173,98 @@ def blocked_knn_join(
         score_partition, schema=f"{query_id} {id_type}, {corpus_id} {id_type}, score double"
     )
     out = top_k_per_group(local, [query_id], "score", k, tiebreak=corpus_id)
+    if metric == "euclid":
+        out = out.withColumn("score", -F.col("score"))
+    return out
+
+
+def blocked_knn_self_join(
+    corpus: DataFrame,
+    k: int = 3,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    id_type: str = "bigint",
+    query_blocks: int | None = None,
+    corpus_blocks: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs top-k over the corpus against itself — the
+    nearest-neighbor-graph / embedding-dedup workload — with NO driver
+    collect and NO broadcast of the corpus.
+
+    2-D block nested loop: rows hash into BQ query blocks and BC corpus
+    blocks; every (query block, corpus block) cell is an independent task
+    that runs ONE float32 BLAS matmul over its (N/BQ × N/BC) slice and
+    emits only its local top-k per query row. A global per-query top-k
+    merges the cells. Exact (every pair is scored exactly once), and every
+    memory footprint is bounded:
+      driver:    nothing (pure cogroup plan)
+      per task:  (N/BQ + N/BC) × d floats
+      shuffle:   N×BC + N×BQ replicated input rows, N×BC×k candidate rows
+    Scaling 100×: grow BQ·BC ∝ N² to hold task memory constant — the work
+    is inherently O(N²) because the result is exact; for sub-quadratic cost
+    use the LSH/IVF strategies instead.
+
+    Output: (id_col_q, id_col, score) — k rows per query row including the
+    self-match, same semantics as blocked_knn_join(corpus, corpus).
+    """
+    sess = corpus.sparkSession
+    if query_blocks is None or corpus_blocks is None:
+        par = sess.sparkContext.defaultParallelism
+        side = max(2, int(np.ceil(np.sqrt(par))))
+        query_blocks = query_blocks or side
+        corpus_blocks = corpus_blocks or side
+    qid_out, cid_out = f"{id_col}_q", id_col
+    left = (
+        corpus.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv"))
+        .withColumn("__qb", F.pmod(F.hash("__qid"), F.lit(query_blocks)))
+        .withColumn("__cb", F.explode(F.array(*[F.lit(j) for j in range(corpus_blocks)])))
+    )
+    right = (
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+        .withColumn("__cb", F.pmod(F.hash("__cid"), F.lit(corpus_blocks)))
+        .withColumn("__qb", F.explode(F.array(*[F.lit(j) for j in range(query_blocks)])))
+    )
+
+    def score_cell(lpdf, rpdf):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({qid_out: [], cid_out: [], "score": []})
+        Q = np.stack(lpdf["__qv"].to_numpy()).astype(np.float32)
+        V = np.stack(rpdf["__cv"].to_numpy()).astype(np.float32)
+        if metric == "cosine":
+            qn = np.linalg.norm(Q, axis=1, keepdims=True)
+            qn[qn == 0] = np.inf
+            Q = Q / qn
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            vn[vn == 0] = np.inf
+            V = V / vn
+        if metric in ("cosine", "dot"):
+            S = V @ Q.T  # (n, q)
+        else:
+            S = -np.sqrt(
+                np.maximum(
+                    (V * V).sum(1)[:, None] - 2 * V @ Q.T + (Q * Q).sum(1)[None, :], 0
+                )
+            )
+        ids = rpdf["__cid"].to_numpy()
+        qids = lpdf["__qid"].to_numpy()
+        kk = min(k, V.shape[0])
+        part_idx = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (k, q)
+        nq = S.shape[1]
+        return pd.DataFrame(
+            {
+                qid_out: np.repeat(qids, kk),
+                cid_out: ids[part_idx].T.reshape(-1),
+                "score": S[part_idx, np.arange(nq)].T.reshape(-1).astype(float),
+            }
+        )
+
+    local = (
+        left.groupby("__qb", "__cb")
+        .cogroup(right.groupby("__qb", "__cb"))
+        .applyInPandas(score_cell, schema=f"{qid_out} {id_type}, {cid_out} {id_type}, score double")
+    )
+    out = top_k_per_group(local, [qid_out], "score", k, tiebreak=cid_out)
     if metric == "euclid":
         out = out.withColumn("score", -F.col("score"))
     return out
@@ -215,20 +321,30 @@ def train_ivf_centroids(
     vec_col: str = "vec",
     n_centroids: int = 16,
     n_iters: int = 5,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     seed: int = 42,
+    max_sample_rows: int = 50_000,
 ) -> np.ndarray:
-    """Train IVF centroids: k-means on a (sampled) collect of the corpus.
+    """Train IVF centroids: k-means on a SAMPLED collect of the corpus.
 
-    Deterministic: seeded init, fixed iteration count. At real scale the
-    sample (not the full corpus) comes to the driver — k-means on a 1%
+    Deterministic: seeded init, fixed iteration count. Only the sample
+    (never the full corpus) comes to the driver — k-means on a small
     sample is the standard IVF recipe (FAISS does the same); assignment
-    stays fully distributed.
+    stays fully distributed. `sample_fraction=None` (the default)
+    auto-sizes the fraction so at most ~`max_sample_rows` vectors are
+    collected regardless of corpus size; an explicit fraction is still
+    capped at `max_sample_rows` collected rows, so no caller can turn this
+    into a full-corpus collect.
     """
     df = corpus.select(vec_col)
+    if sample_fraction is None:
+        n = df.count()
+        sample_fraction = min(1.0, max_sample_rows / max(n, 1))
     if sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
-    X = np.asarray([r[0] for r in df.collect()], dtype=np.float32)
+    X = np.asarray(
+        [r[0] for r in df.limit(max_sample_rows).collect()], dtype=np.float32
+    )
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1
     X = X / norms

@@ -48,12 +48,14 @@ def main() -> None:
     big_emb = inflate(emb, EMB_COPIES, "vec_id", 1_000_000).cache()
     n_emb = big_emb.count()
 
-    # all-pairs KNN graph over the inflated corpus (BLAS-blocked)
+    # all-pairs KNN graph over the inflated corpus (2-D block nested loop —
+    # the no-driver-collect path; blocked_knn_join now guards against
+    # corpus-scale query sides)
     q = big_emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     c = big_emb.select("vec_id", F.col("embedding").alias("vec"))
     t0 = time.time()
-    out_rows["knn_all_pairs"] = knn.blocked_knn_join(
-        q, c, k=3, query_id="qid", corpus_id="vec_id", query_vec="qv", corpus_vec="vec"
+    out_rows["knn_all_pairs"] = knn.blocked_knn_self_join(
+        c, k=3, id_col="vec_id", vec_col="vec"
     ).count()
     t["knn_all_pairs"] = round(time.time() - t0, 2)
 

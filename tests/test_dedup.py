@@ -78,6 +78,40 @@ def test_embedding_neardup_threshold(spark):
     assert pairs[(1, 2)] > 0.99
 
 
+def test_embedding_neardup_routes_to_lsh_at_scale(spark, sf_dir, monkeypatch):
+    """Above blas_max_rows the auto route must take the LSH path — the
+    full-matrix broadcast prefilter must never run (it collects O(N·d) to
+    the driver, the 100 TB killer)."""
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+    def _boom(*a, **k):
+        raise AssertionError("full-matrix BLAS prefilter ran on the large-N path")
+
+    monkeypatch.setattr(dedup, "_blocked_candidate_pairs", _boom)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_neardup_pairs(emb, threshold=0.4, blas_max_rows=10)
+    rows = out.collect()  # must complete without touching the BLAS path
+    assert all(r["a"] < r["b"] and r["score"] >= 0.4 for r in rows)
+
+
+def test_embedding_neardup_lsh_recall_vs_exact(spark, sf_dir):
+    """The LSH candidate route is approximate-by-candidates but exact in
+    scores: every returned pair must also be in the exact result with the
+    identical score, and recall must be high at a near-dup threshold."""
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    exact = {(r["a"], r["b"]): r["score"] for r in
+             dedup.embedding_neardup_pairs(emb, threshold=0.4, prefilter="blas").collect()}
+    lsh = {(r["a"], r["b"]): r["score"] for r in
+           dedup.embedding_neardup_pairs(emb, threshold=0.4, prefilter="lsh").collect()}
+    assert set(lsh) <= set(exact)
+    assert all(lsh[p] == exact[p] for p in lsh)
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.8, f"LSH candidate recall collapsed: {recall}"
+
+
 def test_minhash_is_deterministic(spark, docs):
     s1 = dedup.minhash_signatures(docs, n_hashes=4).collect()
     s2 = dedup.minhash_signatures(docs, n_hashes=4).collect()

@@ -55,6 +55,36 @@ def test_incremental_append_searchable(spark, sf_dir, tmp_path):
     assert hits[0]["vec_id"] == 999999 and abs(hits[0]["score"] - 1.0) < 1e-5
 
 
+def test_batch_search_matches_single_query_path(spark, sf_dir, index_path):
+    """search_ivf_index_batch over a 1-row query side must agree with the
+    single-query search on the same persisted index (same probes, same
+    exact scoring inside the probed cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+    single = [r["vec_id"] for r in
+              ivf_index.search_ivf_index(spark, index_path, qv, k=5, n_probes=2).collect()]
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    batch = [r["vec_id"] for r in
+             ivf_index.search_ivf_index_batch(
+                 spark, index_path, q, k=5, n_probes=2
+             ).sort(F.desc("score"), "vec_id").collect()]
+    assert set(single) == set(batch)
+
+
+def test_batch_search_prunes_partitions(spark, sf_dir, index_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    df = ivf_index.search_ivf_index_batch(spark, index_path, q, k=2, n_probes=1)
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ivf_cell" in part_section, part_section
+
+
 def test_table_compaction(spark, tmp_path):
     from penr_oz_agent_memory_rust_spark.schemas import SESSIONS_SCHEMA
     from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable

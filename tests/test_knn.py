@@ -96,6 +96,52 @@ def test_expr_knn_broadcasts_query_side(spark, sf_dir):
     assert "Broadcast" in plan
 
 
+def test_self_join_matches_blocked_strategy(spark, sf_dir):
+    """The 2-D block nested loop (no driver collect) must return the same
+    neighbor ids as broadcasting the corpus as the query side — both score
+    every pair once in f32."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    c = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    via_broadcast = knn.blocked_knn_join(
+        q, c, k=3, query_id="qid", query_vec="qv", corpus_id="id", corpus_vec="vec"
+    )
+    via_self = knn.blocked_knn_self_join(c, k=3, id_col="id", vec_col="vec")
+    b = {(r["qid"], r["id"]) for r in via_broadcast.collect()}
+    s = {(r["id_q"], r["id"]) for r in via_self.collect()}
+    assert len(b & s) >= int(0.95 * len(b)), f"only {len(b & s)}/{len(b)} pairs agree"
+    # every row is its own top-1 neighbor in both
+    assert all((i, i) in s for i in range(100))
+
+
+def test_self_join_plan_has_no_collect_or_broadcast(spark, sf_dir):
+    """The self-join must be a pure cogroup plan: FlatMapCoGroupsInPandas,
+    no BroadcastExchange anywhere (nothing corpus-sized leaves the executors)."""
+    from penr_oz_agent_memory_rust_spark.plans import explain
+
+    _, c = sides(spark, sf_dir, n_q=1)
+    plan = explain.physical_plan(knn.blocked_knn_self_join(c, k=2, id_col="id", vec_col="vec"))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+
+
+def test_blocked_knn_guards_unbounded_query_side(spark, sf_dir):
+    """blocked_knn_join is for bounded request batches: an over-limit query
+    side must fail fast instead of collecting the corpus to the driver."""
+    import pytest
+
+    q, c = sides(spark, sf_dir, n_q=50)
+    with pytest.raises(ValueError, match="blocked_knn_self_join"):
+        knn.blocked_knn_join(q, c, k=2, max_broadcast_queries=10).collect()
+
+
+def test_ivf_training_caps_driver_sample(spark, sf_dir):
+    """Centroid training must never collect more than max_sample_rows."""
+    _, c = sides(spark, sf_dir, n_q=1)
+    cents = knn.train_ivf_centroids(c, n_centroids=4, n_iters=2, max_sample_rows=50)
+    assert cents.shape == (4, 64)
+
+
 def test_lsh_signature_expr_matches_udf(spark):
     """The native-expression LSH signature and the Arrow-UDF form are two
     physical strategies for the same function — bit-identical signatures."""
