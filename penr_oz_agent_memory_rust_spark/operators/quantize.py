@@ -55,8 +55,22 @@ def quantized_search(
     cross-engine comparison). Approximate by the quantization error only —
     the quantize/dequantize arithmetic itself is deterministic, so this
     whole query is oracle-checkable in SQL."""
+    import math
+
     deq = dequantize_expr(F.col("q_vec"), F.col("q_scale"))
-    score = similarity.cosine_f64(deq, similarity.query_vec_lit(query_vec))
+    qlit = similarity.query_vec_lit(query_vec)
+    # prenormed form: the query norm is a Python double (same sequential
+    # f64 fold as the aggregate expression, bit-identical), and the row
+    # side appears exactly 3x (dot, norm-in-condition, norm-in-value)
+    # instead of ~5x — interpreted HOFs evaluate once per occurrence, so
+    # occurrence count IS the cost model here. The dim guard checks the
+    # stored q_vec, not the dequantized expression.
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    na = similarity.norm_f64(deq)
+    score = F.when(
+        (F.size("q_vec") == F.lit(len(query_vec))) & (na > 0) & (F.lit(qn) > 0),
+        similarity.dot_f64(deq, qlit) / (na * F.lit(qn)),
+    )
     if round_to is not None:
         score = F.round(score, round_to)
     scored = quantized.withColumn("score", score).filter(F.col("score").isNotNull())
