@@ -469,13 +469,117 @@ def lsh_knn_join(
     neighbor in a different bucket is missed (recall < 1); n_planes tunes the
     bucket count (2^n_planes) vs recall trade-off.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    sig = lsh_signature_udf(planes)
-    qb = queries.withColumn("__bucket", sig(F.col(query_vec)))
-    cb = corpus.withColumn("__bucket", sig(F.col(corpus_vec)))
+    candidates = _lsh_bucket_join(
+        queries, corpus, n_planes, dim, seed, 1, query_id, query_vec, corpus_id, corpus_vec
+    )
     scored = (
-        cb.join(qb, "__bucket")
-        .withColumn("score", cosine_pairs_udf()(F.col(corpus_vec), F.col(query_vec)))
+        candidates.withColumn(
+            "score", cosine_pairs_udf()(F.col(corpus_vec), F.col(query_vec))
+        )
+        .filter(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
+        .select(query_id, corpus_id, "score")
+    )
+    return top_k_per_group(scored, [query_id], "score", k, tiebreak=corpus_id)
+
+
+def _lsh_bucket_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_planes: int,
+    dim: int,
+    seed: int,
+    n_tables: int,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """Candidate (query, corpus) rows sharing a bucket in ANY of `n_tables`
+    independent hyperplane tables. Each row carries both vectors for the
+    exact re-score stage. The signatures for all tables are computed in ONE
+    Arrow pass per side (array of bigints, then posexplode), so adding
+    tables costs one extra shuffle row per (row, table), never an extra
+    scan. Duplicate (q, c) pairs that collide in several tables are dropped
+    before scoring so each candidate is scored once."""
+    all_planes = [
+        _hyperplanes(dim, n_planes, seed if n_tables == 1 else seed * 1000 + t)
+        for t in range(n_tables)
+    ]
+    sig = _multi_signature_udf(all_planes)
+
+    def with_buckets(df: DataFrame, vec: str) -> DataFrame:
+        return df.select(
+            "*", F.posexplode(sig(F.col(vec))).alias("__table", "__bucket")
+        )
+
+    qb = with_buckets(queries, query_vec)
+    cb = with_buckets(corpus, corpus_vec)
+    joined = cb.join(qb, ["__table", "__bucket"]).drop("__table", "__bucket")
+    if n_tables == 1:
+        return joined
+    # OR-amplification: the same pair can collide in several tables; keep one
+    # occurrence per (query, corpus) so re-scoring work is bounded by the
+    # number of DISTINCT candidates, not table count.
+    return joined.dropDuplicates([query_id, corpus_id])
+
+
+def _multi_signature_udf(all_planes: list[np.ndarray]):
+    """Arrow-batched: one (batch x dim) @ (dim x tables*planes) matmul
+    yields every table's signature; bits are folded per table into a
+    bigint. Returns array<bigint> of length n_tables."""
+    P = np.concatenate([p.astype(np.float32) for p in all_planes], axis=0)
+    n_tables = len(all_planes)
+    per = len(all_planes[0])
+    weights = 1 << np.arange(per, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float32)
+        bits = (M @ P.T >= 0).astype(np.int64)  # (n, tables*per)
+        sigs = bits.reshape(len(M), n_tables, per) @ weights  # (n, tables)
+        return pd.Series(list(sigs))
+
+    return _sig
+
+
+def lsh_knn_join_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    corpus_id: str = "id",
+    corpus_vec: str = "vec",
+) -> DataFrame:
+    """OR-amplified LSH ANN: `n_tables` independent hyperplane tables; a
+    corpus vector is a candidate if it shares a bucket with the query in
+    ANY table, then exact cosine + top-k. Per-table miss probability for a
+    true neighbor at cosine t is (1 - p^bits) with p = 1 - acos(t)/pi, so
+    T tables drive recall to 1 - (1 - p^bits)^T — tunable without touching
+    bucket selectivity (bits), unlike the single-table variant where the
+    only lever (fewer planes) also blows up bucket size. Still fully
+    distributed: one Arrow signature pass per side, equi-join on
+    (table, bucket), distinct, re-score."""
+    candidates = _lsh_bucket_join(
+        queries,
+        corpus,
+        n_planes,
+        dim,
+        seed,
+        n_tables,
+        query_id,
+        query_vec,
+        corpus_id,
+        corpus_vec,
+    )
+    scored = (
+        candidates.withColumn(
+            "score", cosine_pairs_udf()(F.col(corpus_vec), F.col(query_vec))
+        )
         .filter(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
         .select(query_id, corpus_id, "score")
     )

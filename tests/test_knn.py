@@ -55,6 +55,48 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     assert all((i, i) in approx for i in range(5))
 
 
+def test_multiprobe_lsh_beats_single_table(spark, sf_dir):
+    """OR-amplification contract: with the same bucket selectivity (planes),
+    adding tables can only widen the candidate set, so recall@5 is
+    monotonically >= the single-table run — and every single-table hit
+    must still be present (table 0 uses a different seed stream, so assert
+    on recall, not set containment)."""
+    q, c = sides(spark, sf_dir, n_q=8)
+    exact = {(r["query_id"], r["id"]) for r in knn.expr_knn_join(q, c, k=5).collect()}
+    single = {
+        (r["query_id"], r["id"])
+        for r in knn.lsh_knn_join(q, c, k=5, n_planes=4).collect()
+    }
+    multi = {
+        (r["query_id"], r["id"])
+        for r in knn.lsh_knn_join_multiprobe(q, c, k=5, n_planes=4, n_tables=8).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single, f"multiprobe recall {r_multi} < single {r_single}"
+    assert r_multi >= 0.5, f"multiprobe recall collapsed: {r_multi}"
+    # self-match survives every table
+    assert all((i, i) in multi for i in range(8))
+
+
+def test_multiprobe_single_table_matches_lsh_knn_join(spark, sf_dir):
+    """n_tables=1 with the same seed must reproduce lsh_knn_join exactly —
+    the multiprobe path is a strict generalization, not a fork."""
+    q, c = sides(spark, sf_dir, n_q=4)
+    a = sorted(
+        map(tuple, knn.lsh_knn_join(q, c, k=5, n_planes=6).select("query_id", "id").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            knn.lsh_knn_join_multiprobe(q, c, k=5, n_planes=6, n_tables=1)
+            .select("query_id", "id")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     """IVF with 2 probes over 8 cells should beat LSH-grade recall on
     clustered data; self-match must always survive (own cell is probe #1)."""
