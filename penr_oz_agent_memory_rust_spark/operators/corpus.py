@@ -189,3 +189,90 @@ def zscore_by_group(
         return out
 
     return df.groupBy(group_col).applyInPandas(standardize, schema)
+
+
+def corpus_mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    n_total: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """★ Weighted-domain mixture by document count: group g contributes
+    floor(normalized_weight_g * n_total) documents, chosen as the first
+    quota_g docs per group in md5(salt || id) order — the deterministic
+    analogue of "sample the training mix at these domain proportions".
+
+    Groups not named in `weights` are dropped; a group smaller than its
+    quota contributes everything it has (the shortfall is NOT rebalanced —
+    mixtures are contracts, silently overfilling another domain would skew
+    training). Quotas are computed from the weights alone (no data-driven
+    driver work); the plan is one shuffle on the group key with
+    WindowGroupLimit pruning to the largest quota before the exchange.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    quotas = {g: int(w / total_w * n_total) for g, w in weights.items()}
+    quota_expr = F.create_map(
+        *[F.lit(x) for gq in quotas.items() for x in gq]
+    )[F.col(group_col)]
+    order_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order_key, F.col(id_col))
+    return (
+        docs.filter(F.col(group_col).isin(list(quotas)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota_expr)
+        .drop("__rn")
+    )
+
+
+def corpus_token_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """★ Weighted-domain mixture by TOKEN budget: group g gets a budget of
+    normalized_weight_g * token_budget tokens; docs are taken in
+    md5(salt || id) order while the running token total BEFORE each doc is
+    under the group budget (so the last doc may overshoot — every budget
+    is filled, boundary doc included, matching how corpus mixers cut).
+
+    token_count_col defaults to whitespace token count computed on the
+    fly. Same single-shuffle window shape as the count-based mixture; the
+    running sum is a cumulative window over the same ordering, so both
+    variants share one exchange when composed.
+    """
+    from penr_oz_agent_memory_rust_spark.operators import text_ops
+
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    budgets = {g: int(wt / total_w * token_budget) for g, wt in weights.items()}
+    budget_expr = F.create_map(
+        *[F.lit(x) for gb in budgets.items() for x in gb]
+    )[F.col(group_col)]
+    toks = (
+        F.col(token_count_col)
+        if token_count_col
+        else text_ops.token_count_ws(F.col("text")).cast("bigint")
+    )
+    order_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.filter(F.col(group_col).isin(list(budgets)))
+        .withColumn("__toks", toks)
+        .withColumn("__before", F.coalesce(F.sum("__toks").over(w), F.lit(0)))
+        .filter(F.col("__before") < budget_expr)
+        .drop("__before")
+        .withColumnRenamed("__toks", "n_tokens")
+    )

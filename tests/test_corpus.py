@@ -107,3 +107,54 @@ def test_observation_metrics_single_pass(spark):
     assert metrics["n_in"] == 3
     assert 0.0 < metrics["mean_q"] < 1.0
     assert {r["doc_id"] for r in kept} == {1, 3}
+
+
+def test_corpus_mixture_sample_quotas(spark, sf_dir):
+    """Count-based mixture: each group contributes exactly floor(w_g * n)
+    docs (capped by availability), groups outside the weights are absent,
+    and the same salt reproduces the same selection."""
+    from penr_oz_agent_memory_rust_spark.operators.corpus import corpus_mixture_sample
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    weights = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    out = corpus_mixture_sample(docs, weights, n_total=40, salt="t")
+    sizes = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert sizes == {"en": 20, "de": 10, "fr": 10}
+    again = corpus_mixture_sample(docs, weights, n_total=40, salt="t")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_corpus_mixture_small_group_not_rebalanced(spark):
+    """A group smaller than its quota contributes all it has; the
+    shortfall must NOT spill into other groups."""
+    from penr_oz_agent_memory_rust_spark.operators.corpus import corpus_mixture_sample
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = corpus_mixture_sample(df, {"big": 0.5, "tiny": 0.5}, n_total=40)
+    sizes = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert sizes == {"big": 20, "tiny": 3}
+
+
+def test_corpus_token_mixture_budget(spark):
+    """Token-budget mixture: docs are taken in hash order until the running
+    total BEFORE the doc reaches the group budget — so the selection always
+    covers >= the budget (boundary doc included) but drops everything
+    after."""
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators.corpus import corpus_token_mixture
+
+    rows = [(i, "w " * 100, "en") for i in range(30)]  # 100 tokens each
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = corpus_token_mixture(df, {"en": 1.0}, token_budget=1000)
+    got = out.agg(F.sum("n_tokens").alias("s"), F.count("*").alias("n")).first()
+    # 10 docs fill the 1000-token budget exactly (no boundary overshoot here)
+    assert got["n"] == 10 and got["s"] == 1000
+    # overshoot case: budget not a multiple of doc length
+    out2 = corpus_token_mixture(df, {"en": 1.0}, token_budget=950)
+    got2 = out2.agg(F.sum("n_tokens").alias("s"), F.count("*").alias("n")).first()
+    assert got2["n"] == 10 and got2["s"] == 1000  # 10th doc straddles the cut

@@ -1,0 +1,110 @@
+"""Training-shard export: exact fixed-size shards, salt-deterministic
+order, bucketed global rank == naive global window, round-trip."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import Window, functions as F
+
+from penr_oz_agent_memory_rust_spark.operators import export
+from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def test_bucketed_rank_matches_global_window(spark, sf_dir):
+    """The distributed (bucket-offset) rank must equal the naive
+    single-partition global row_number — for every row."""
+    keyed = export.deterministic_shuffle_key(docs(spark, sf_dir), "doc_id", salt="s1")
+    fast = export.exact_global_rank(keyed, export.SHUFFLE_KEY, "doc_id", rank_col="r")
+    w = Window.orderBy(export.SHUFFLE_KEY, "doc_id")
+    naive = keyed.withColumn("r", F.row_number().over(w) - 1)
+    a = {r["doc_id"]: r["r"] for r in fast.collect()}
+    b = {r["doc_id"]: r["r"] for r in naive.collect()}
+    assert a == b
+
+
+def test_bucket_chars_invariance(spark, sf_dir):
+    """Rank is a property of the order, not the bucketing fan-out."""
+    keyed = export.deterministic_shuffle_key(docs(spark, sf_dir), "doc_id", salt="x")
+    r1 = {
+        r["doc_id"]: r["r"]
+        for r in export.exact_global_rank(
+            keyed, export.SHUFFLE_KEY, "doc_id", rank_col="r", bucket_chars=1
+        ).collect()
+    }
+    r3 = {
+        r["doc_id"]: r["r"]
+        for r in export.exact_global_rank(
+            keyed, export.SHUFFLE_KEY, "doc_id", rank_col="r", bucket_chars=3
+        ).collect()
+    }
+    assert r1 == r3
+
+
+def test_shard_sizes_exact(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    n = d.count()
+    sharded = export.assign_shards(d, "doc_id", rows_per_shard=64, salt="v")
+    sizes = {r["shard"]: r["count"] for r in sharded.groupBy("shard").count().collect()}
+    n_shards = (n + 63) // 64
+    assert set(sizes) == set(range(n_shards))
+    for s in range(n_shards - 1):
+        assert sizes[s] == 64
+    assert sizes[n_shards - 1] == n - 64 * (n_shards - 1)
+    # every doc exactly once
+    assert sharded.select("doc_id").distinct().count() == n
+    # positions within a shard are 0..size-1
+    pos_ok = (
+        sharded.groupBy("shard")
+        .agg(F.min("pos_in_shard").alias("lo"), F.max("pos_in_shard").alias("hi"), F.count("*").alias("n"))
+        .filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+        .count()
+    )
+    assert pos_ok == 0
+
+
+def test_salt_determinism_and_independence(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    a1 = {
+        (r["doc_id"]): (r["shard"], r["pos_in_shard"])
+        for r in export.assign_shards(d, "doc_id", 32, salt="alpha").collect()
+    }
+    a2 = {
+        (r["doc_id"]): (r["shard"], r["pos_in_shard"])
+        for r in export.assign_shards(d, "doc_id", 32, salt="alpha").collect()
+    }
+    b = {
+        (r["doc_id"]): (r["shard"], r["pos_in_shard"])
+        for r in export.assign_shards(d, "doc_id", 32, salt="beta").collect()
+    }
+    assert a1 == a2, "same salt must reproduce the exact assignment"
+    moved = sum(1 for k in a1 if a1[k] != b[k])
+    assert moved > len(a1) * 0.9, "different salt should permute nearly everything"
+
+
+def test_write_round_trip(spark, sf_dir, tmp_path):
+    d = docs(spark, sf_dir)
+    n = d.count()
+    out = str(tmp_path / "shards")
+    n_shards = export.write_training_shards(d, out, "doc_id", rows_per_shard=100, salt="rt")
+    assert n_shards == (n + 99) // 100
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n
+    # one data file per shard directory (the repartition-by-shard contract)
+    for s in range(n_shards):
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1, f"shard {s} has {len(files)} files"
+    # reloaded assignment identical to a fresh one
+    fresh = {
+        r["doc_id"]: (r["shard"], r["pos_in_shard"])
+        for r in export.assign_shards(d, "doc_id", 100, salt="rt").collect()
+    }
+    loaded = {
+        r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in back.collect()
+    }
+    assert fresh == loaded
