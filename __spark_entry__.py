@@ -325,6 +325,27 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id")
 
 
+def q_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ OR-amplified LSH ANN: 4-plane buckets × 8 independent tables —
+    recall driven toward 1-(1-p^4)^8 without coarsening the buckets. One
+    Arrow signature pass per side, equi-join on (table, bucket), distinct,
+    exact re-score. No oracle: approximate by design; recall-monotonicity
+    vs the single table and n_tables=1 equivalence pinned in
+    tests/test_knn.py."""
+    out = knn.lsh_knn_join_multiprobe(
+        _query_side(spark, sf_dir),
+        _emb(spark, sf_dir).select(F.col("vec_id"), F.col("embedding").alias("vec")),
+        k=5,
+        n_planes=4,
+        n_tables=8,
+        query_id="qid",
+        query_vec="qv",
+        corpus_id="vec_id",
+        corpus_vec="vec",
+    )
+    return out.select("qid", "vec_id")
+
+
 def q_knn_self_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ all-pairs similarity join: every vector queries the whole corpus
     (the embedding-dedup / nearest-neighbor-graph workload). 2-D block
@@ -1431,6 +1452,85 @@ def q_events_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ context-window sequence packing: bucketed greedy FFD into
+    256-token bins (operators/packing.py). No oracle: the greedy loop is
+    not SQL-expressible; budget/coverage/determinism invariants pinned in
+    tests/test_packing.py."""
+    from penr_oz_agent_memory_rust_spark.operators import packing
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    packed = packing.pack_sequences(docs, token_budget=256, n_buckets=8)
+    return packing.bin_stats(packed, token_budget=256)
+
+
+def q_dedup_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ both n-gram Jaccard variants in one gate: word-3-gram and
+    char-5-gram (stop-gram-capped), tagged and unioned — each variant runs
+    its complete inverted-index pipeline."""
+    word = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("word").alias("unit"), "a", "b", "jaccard"
+    )
+    char = q_dedup_char_ngram(spark, sf_dir).select(
+        F.lit("char").alias("unit"), "a", "b", "jaccard"
+    )
+    return word.unionByName(char)
+
+
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ frame-sampling + resize plumbing in one gate (both mapInPandas
+    pipelines over the deterministic fake decoder), folded to a common
+    (stage, media_id, idx, val) schema so one oracle pins both."""
+    frames = q_multimodal_frames(spark, sf_dir).select(
+        F.lit("frames").alias("stage"),
+        "media_id",
+        F.col("frame_idx").alias("idx"),
+        F.col("frame_bytes").cast("string").alias("val"),
+    )
+    resize = q_multimodal_resize(spark, sf_dir).select(
+        F.lit("resize").alias("stage"),
+        "media_id",
+        F.lit(0).cast("bigint").alias("idx"),
+        F.concat_ws(
+            ":",
+            F.concat(F.col("width").cast("string"), F.lit("x"), F.col("height").cast("string")),
+            "resized_hex",
+        ).alias("val"),
+    )
+    return frames.unionByName(resize)
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ deterministic training-shard assignment: global shuffle order by
+    md5('r2' || doc_id), exact fixed-size shards of 64 via the bucketed
+    global rank (no single-partition window — per-bucket row_number plus
+    broadcast prefix offsets; see operators/export.py)."""
+    from penr_oz_agent_memory_rust_spark.operators import export
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return export.assign_shards(d, "doc_id", rows_per_shard=64, salt="r2").select(
+        "doc_id", "shard", "pos_in_shard"
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ weighted-domain corpus mixture, both variants in one gate:
+    by-document-count quotas (200 docs at en/de/fr/es = 5/2/2/1) and
+    by-token-budget (20 000 ws-tokens at the same weights, boundary doc
+    included). Deterministic md5-order selection; one shuffle on lang."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    cnt = corpus.corpus_mixture_sample(
+        d, _MIX_WEIGHTS, n_total=200, group_col="lang", salt="mix"
+    ).select(F.lit("count").alias("variant"), "doc_id", "lang")
+    tok = corpus.corpus_token_mixture(
+        d, _MIX_WEIGHTS, token_budget=20_000, group_col="lang", salt="mix"
+    ).select(F.lit("token").alias("variant"), "doc_id", "lang")
+    return cnt.unionByName(tok)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's core query (§3.1 semantic top-k search)
     on sf0.001."""
@@ -1465,8 +1565,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- window: ★ dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_char_ngram": q_dedup_char_ngram,
+        "dedup_ngram_suite": q_dedup_ngram_suite,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
@@ -1487,8 +1586,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # --- window: ★ multimodal plumbing
         "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        # --- window: ★ training-data export
+        "training_shards": q_training_shards,
+        "corpus_mix": q_corpus_mix,
         # --- window: ★ streaming + time-series
         "stream_window_agg": q_stream_window_agg,
         "stream_dedup_distinct": q_stream_dedup_distinct,
@@ -1509,6 +1610,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_variant_agg": q_events_variant_agg,
         "doc_bigrams_udtf": q_doc_bigrams_udtf,
         # --- beyond the window: standalone variants of the merged gates
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_char_ngram": q_dedup_char_ngram,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         "mem_search_label_filter": q_mem_search_label_filter,
         "mem_search_threshold": q_mem_search_threshold,
         "fk_semi_join": q_fk_semi_join,
@@ -1547,8 +1652,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     sketch algorithms; accuracy pinned in tests/)
         "knn_join_blocked": q_knn_join_blocked,
         "lsh_ann": q_lsh_ann,
+        "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
         "ivf_ann": q_ivf_ann,
         "knn_self_all_pairs": q_knn_self_all_pairs,
+        "sequence_packing": q_sequence_packing,
         "embed_documents_search": q_embed_documents_search,
         "approx_distinct_users": q_approx_distinct_users,
         "events_percentiles_approx": q_events_percentiles_approx,
@@ -1647,7 +1754,7 @@ FROM sig GROUP BY simhash HAVING count(*) > 1
 
 def oracle_sql() -> dict[str, str]:
     cos_e_q = _dk_cos("e.embedding", "q.qv")
-    return {
+    d = {
         "mem_search_topk": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id, {cos_e_q} AS score
@@ -2443,7 +2550,61 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING),
                    w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
-        # knn_join_blocked, lsh_ann, events-stream variants: intentionally no
-        # oracle (float32 BLAS / approximate by design) — rows-only check;
-        # exactness is pinned against the expr strategy in tests/test_knn.py.
+        # knn_join_blocked, lsh_ann(_multiprobe), events-stream variants:
+        # intentionally no oracle (float32 BLAS / approximate by design) —
+        # rows-only check; exactness pinned vs the expr strategy in
+        # tests/test_knn.py.
+        "training_shards": """
+            WITH ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY md5('r2' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) - 1 AS r
+              FROM documents
+            )
+            SELECT doc_id, CAST(r // 64 AS BIGINT) AS shard,
+                   CAST(r % 64 AS BIGINT) AS pos_in_shard
+            FROM ranked
+        """,
+        "corpus_mix": r"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                     len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS nt,
+                     md5('mix' || CAST(doc_id AS VARCHAR)) AS k,
+                     CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40
+                               WHEN 'fr' THEN 40 WHEN 'es' THEN 20 END AS quota,
+                     CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 4000
+                               WHEN 'fr' THEN 4000 WHEN 'es' THEN 2000 END AS budget
+              FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')
+            ), ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn,
+                     coalesce(sum(nt) OVER (
+                       PARTITION BY lang ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS before
+              FROM base
+            )
+            SELECT 'count' AS variant, doc_id, lang FROM ranked WHERE rn <= quota
+            UNION ALL
+            SELECT 'token' AS variant, doc_id, lang FROM ranked WHERE before < budget
+        """,
     }
+    # merged-gate oracles compose the standalone variants' SQL verbatim, so
+    # gate and standalone can never drift apart
+    d["dedup_ngram_suite"] = f"""
+        SELECT 'word' AS unit, * FROM ({d["dedup_ngram_jaccard"]})
+        UNION ALL
+        SELECT 'char' AS unit, * FROM ({d["dedup_char_ngram"]})
+    """
+    d["multimodal_pipeline"] = f"""
+        SELECT 'frames' AS stage, media_id, frame_idx AS idx,
+               CAST(frame_bytes AS VARCHAR) AS val
+        FROM ({d["multimodal_frames"]})
+        UNION ALL
+        SELECT 'resize' AS stage, media_id, CAST(0 AS BIGINT) AS idx,
+               CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR)
+                 || ':' || resized_hex AS val
+        FROM ({d["multimodal_resize"]})
+    """
+    return d

@@ -40,8 +40,7 @@ HEADLINE = [
     "sql_api_search",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_char_ngram",
+    "dedup_ngram_suite",
     "dedup_simhash",
     "embedding_neardup",
     "dedup_clusters",
@@ -59,8 +58,9 @@ HEADLINE = [
     "doc_chunking",
     "pipeline_clean_corpus",
     "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
+    "multimodal_pipeline",
+    "training_shards",
+    "corpus_mix",
     "stream_window_agg",
     "stream_dedup_distinct",
     "sessionization",
@@ -79,8 +79,10 @@ HEADLINE = [
     "doc_bigrams_udtf",
     "knn_join_blocked",
     "lsh_ann",
+    "lsh_ann_multiprobe",
     "ivf_ann",
     "knn_self_all_pairs",
+    "sequence_packing",
 ]
 
 
