@@ -1452,6 +1452,24 @@ def q_events_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ cross-snapshot dedup: docs with doc_id < 250 form the already-
+    ingested snapshot (as fingerprints); the rest are the incoming batch —
+    keep batch docs whose fingerprint is new, min-id within the batch."""
+    docs = _docs(spark, sf_dir)
+    seen = dedup.exact_dedup(docs.filter(F.col("doc_id") < 250)).select("fp")
+    return dedup.incremental_exact_dedup(docs.filter(F.col("doc_id") >= 250), seen)
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ perplexity-proxy quality scoring: char-bigram LM trained on the
+    doc_id < 250 half of the corpus (counts bounded by alphabet², always
+    broadcast), add-0.5 smoothing, mean log2 prob per scored doc."""
+    docs = _docs(spark, sf_dir)
+    lm = corpus.char_bigram_counts(docs.filter(F.col("doc_id") < 250))
+    return corpus.lm_quality_score(docs.filter(F.col("doc_id") >= 250), lm)
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ context-window sequence packing: bucketed greedy FFD into
     256-token bins (operators/packing.py). No oracle: the greedy loop is
@@ -1609,6 +1627,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_unpivot": q_events_unpivot,
         "events_variant_agg": q_events_variant_agg,
         "doc_bigrams_udtf": q_doc_bigrams_udtf,
+        # --- beyond the window: additional ★ operators first (picked up if
+        #     the driver's evaluation cap ever exceeds the window)
+        "dedup_incremental": q_dedup_incremental,
+        "lm_quality": q_lm_quality,
         # --- beyond the window: standalone variants of the merged gates
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_char_ngram": q_dedup_char_ngram,
@@ -2590,6 +2612,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'token' AS variant, doc_id, lang FROM ranked WHERE before < budget
         """,
     }
+    d["dedup_incremental"] = f"""
+        WITH seen AS (
+          SELECT DISTINCT md5({_DK_NORM}) AS fp FROM documents WHERE doc_id < 250
+        ), batch AS (
+          SELECT md5({_DK_NORM}) AS fp, min(doc_id) AS doc_id
+          FROM documents WHERE doc_id >= 250 GROUP BY 1
+        )
+        SELECT doc_id, fp FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
+    """
+    d["lm_quality"] = f"""
+        WITH tnorm AS (
+          SELECT {_DK_NORM} AS norm FROM documents WHERE doc_id < 250
+        ), tbg AS (
+          SELECT unnest(list_transform(
+                   generate_series(1, length(norm) - 1),
+                   i -> substr(norm, i, 2))) AS bg
+          FROM tnorm WHERE length(norm) >= 2
+        ), lm AS (
+          SELECT bg, count(*) AS cnt FROM tbg GROUP BY bg
+        ), vocab AS (SELECT count(*) AS v FROM lm),
+        marg AS (
+          SELECT substr(bg, 1, 1) AS c1, sum(cnt) AS c1_cnt FROM lm GROUP BY 1
+        ), snorm AS (
+          SELECT doc_id, {_DK_NORM} AS norm FROM documents WHERE doc_id >= 250
+        ), sbg AS (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, length(norm) - 1),
+                   i -> substr(norm, i, 2))) AS bg
+          FROM snorm WHERE length(norm) >= 2
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(log2((coalesce(lm.cnt, 0) + 0.5)
+                 / (coalesce(marg.c1_cnt, 0) + 0.5 * (SELECT v FROM vocab)))), 6)
+                 AS lm_score
+        FROM sbg
+        LEFT JOIN lm ON sbg.bg = lm.bg
+        LEFT JOIN marg ON substr(sbg.bg, 1, 1) = marg.c1
+        GROUP BY doc_id
+    """
     # merged-gate oracles compose the standalone variants' SQL verbatim, so
     # gate and standalone can never drift apart
     d["dedup_ngram_suite"] = f"""

@@ -276,3 +276,81 @@ def corpus_token_mixture(
         .drop("__before")
         .withColumnRenamed("__toks", "n_tokens")
     )
+
+
+def char_bigram_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Character-bigram counts over the normalized text of a reference
+    corpus — the "language model" side of the perplexity-proxy quality
+    filter. Output: (bg, cnt). Bounded by alphabet² (~37² here), so the
+    trained model always broadcasts."""
+    norm = hashing.normalized_text(F.col(text_col))
+    bgs = F.expr(
+        "CASE WHEN length(__norm) >= 2 THEN "
+        "transform(sequence(1, length(__norm) - 1), i -> substring(__norm, i, 2)) "
+        "ELSE array() END"
+    )
+    return (
+        docs.withColumn("__norm", norm)
+        .select(F.explode(bgs).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """★ perplexity-proxy quality score: mean log2 of the add-alpha-smoothed
+    bigram probability of each doc under a reference corpus LM (the
+    KenLM-style filter of C4/CCNet pipelines, reduced to character bigrams
+    so it stays oracle-portable). Higher = more reference-like; gibberish
+    and wrong-language text score low. Output: (id, n_bigrams, lm_score).
+
+    P(c2|c1) = (cnt(c1c2) + alpha) / (cnt(c1·) + alpha · V), with V the
+    number of distinct bigrams observed — both marginal and V are derived
+    from the counts table, so the whole model is one bounded broadcast.
+    Scale shape: explode bigrams (N×L rows) → broadcast-join the ≤V-row
+    model → one hash-agg back to docs. No Python in the plan.
+    """
+    # the model is bounded by alphabet² rows (not corpus size), so one
+    # driver collect both sizes V and avoids re-scanning the training
+    # corpus for the marginals
+    rows = [(r["bg"], r["cnt"]) for r in lm.collect()]
+    v = len(rows)
+    spark = docs.sparkSession
+    lm = spark.createDataFrame(rows or [("", 0)], "bg string, cnt bigint")
+    marg = lm.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cnt").alias("c1_cnt")
+    )
+    norm = hashing.normalized_text(F.col(text_col))
+    bgs = F.expr(
+        "CASE WHEN length(__norm) >= 2 THEN "
+        "transform(sequence(1, length(__norm) - 1), i -> substring(__norm, i, 2)) "
+        "ELSE array() END"
+    )
+    exploded = (
+        docs.withColumn("__norm", norm)
+        .select(F.col(id_col), F.explode(bgs).alias("bg"))
+        .withColumn("c1", F.substring("bg", 1, 1))
+    )
+    scored = (
+        exploded.join(F.broadcast(lm), "bg", "left")
+        .join(F.broadcast(marg), "c1", "left")
+        .withColumn(
+            "__logp",
+            F.log2(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c1_cnt"), F.lit(0)) + F.lit(alpha) * F.lit(float(v)))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("__logp"), 6).alias("lm_score"),
+    )

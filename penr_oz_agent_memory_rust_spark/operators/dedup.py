@@ -419,3 +419,33 @@ def embedding_neardup_pairs(
         .filter(F.col("score") >= threshold)
         .select("a", "b", "score")
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """★ cross-snapshot dedup: drop incoming docs whose normalized-text
+    fingerprint already exists in a previously-ingested corpus, then dedup
+    within the batch (keep smallest id). Output: (doc_id, fp) — the rows to
+    ingest; union their fps into `seen_fps` to advance the snapshot.
+
+    Scale shape: the batch side groups once on fp (map-side partial agg),
+    then LEFT ANTI joins the seen-fingerprint table on fp. Both sides are
+    hash-partitioned on the join key, so a 100 TB history shuffles its
+    16-byte fps, never its documents; with the seen table bucketed/sorted
+    on fp the shuffle disappears entirely, and Spark's runtime bloom-filter
+    join (spark.sql.optimizer.runtime.bloomFilter.enabled) prunes
+    non-colliding batch partitions before the join on a real cluster.
+    """
+    batch = (
+        new_docs.withColumn(fp_col, hashing.fingerprint(F.col(text_col)))
+        .groupBy(fp_col)
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return batch.join(
+        seen_fps.select(fp_col).distinct(), on=fp_col, how="left_anti"
+    ).select(id_col, fp_col)

@@ -78,6 +78,31 @@ def main() -> None:
     out_rows["exact_dedup"] = dedup.exact_dedup(big_docs).count()
     t["exact_dedup"] = round(time.time() - t0, 2)
 
+    # training-shard assignment: the bucketed global rank must scale as a
+    # bucket-count-bounded pair of passes, not a global window
+    from penr_oz_agent_memory_rust_spark.operators import export, packing
+    from penr_oz_agent_memory_rust_spark.operators.corpus import corpus_mixture_sample
+
+    t0 = time.time()
+    out_rows["training_shards"] = export.assign_shards(
+        big_docs.select("doc_id"), "doc_id", rows_per_shard=4096, bucket_chars=3
+    ).count()
+    t["training_shards"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    out_rows["corpus_mix"] = corpus_mixture_sample(
+        big_docs.select("doc_id", "lang"),
+        {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1},
+        n_total=big_docs.count() // 2,
+    ).count()
+    t["corpus_mix"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    out_rows["sequence_packing"] = packing.pack_sequences(
+        big_docs.select("doc_id", "text"), token_budget=512, n_buckets=64
+    ).count()
+    t["sequence_packing"] = round(time.time() - t0, 2)
+
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     big_li = inflate(li, LI_COPIES, "l_orderkey", 100_000_000)
     t0 = time.time()

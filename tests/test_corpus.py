@@ -158,3 +158,43 @@ def test_corpus_token_mixture_budget(spark):
     out2 = corpus_token_mixture(df, {"en": 1.0}, token_budget=950)
     got2 = out2.agg(F.sum("n_tokens").alias("s"), F.count("*").alias("n")).first()
     assert got2["n"] == 10 and got2["s"] == 1000  # 10th doc straddles the cut
+
+
+def test_lm_quality_ranks_gibberish_low(spark):
+    """The perplexity proxy must rank reference-like text above character
+    gibberish and above wrong-alphabet-frequency text."""
+    from penr_oz_agent_memory_rust_spark.operators.corpus import (
+        char_bigram_counts,
+        lm_quality_score,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog and runs away") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    lm = char_bigram_counts(train)
+    probe = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),  # in-distribution
+            (2, "zxq vvk jjw qqz xxj kkv wwq zzx"),         # gibberish
+        ],
+        "doc_id bigint, text string",
+    )
+    scores = {r["doc_id"]: r["lm_score"] for r in lm_quality_score(probe, lm).collect()}
+    assert scores[1] > scores[2] + 2, scores
+
+
+def test_lm_quality_short_docs_absent(spark):
+    """Docs whose normalized text has < 2 chars produce no bigrams and no
+    row (never a [1,0]-sequence artifact)."""
+    from penr_oz_agent_memory_rust_spark.operators.corpus import (
+        char_bigram_counts,
+        lm_quality_score,
+    )
+
+    train = spark.createDataFrame([(1, "hello world")], "doc_id bigint, text string")
+    probe = spark.createDataFrame(
+        [(1, "x"), (2, ""), (3, "!!"), (4, "ok")], "doc_id bigint, text string"
+    )
+    out = lm_quality_score(probe, char_bigram_counts(train)).collect()
+    assert {r["doc_id"] for r in out} == {4}

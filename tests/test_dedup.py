@@ -132,3 +132,28 @@ def test_minhash_max_bucket_drops_degenerate_buckets(spark):
     # uncapped: 15 boilerplate pairs + the unique pair; capped: bucket of 6 dropped
     assert {(r["a"], r["b"]) for r in capped} == {(10, 11)}
     assert len(uncapped) == 16
+
+
+def test_incremental_dedup_semantics(spark):
+    """Batch docs duplicating the seen snapshot are dropped; in-batch dups
+    collapse to the min id; novel docs survive."""
+    from penr_oz_agent_memory_rust_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "Hello   world"), (2, "old news")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "hello WORLD"),   # dup of seen doc 1 (normalization collapses)
+            (11, "fresh content"),
+            (12, "Fresh  Content"),  # in-batch dup of 11
+            (13, "another novel doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    seen = exact_dedup(old).select("fp")
+    kept = {r["doc_id"] for r in incremental_exact_dedup(new, seen).collect()}
+    assert kept == {11, 13}

@@ -159,3 +159,47 @@ def test_tpch_q5_broadcasts_all_dimensions(spark, sf_dir):
     # formatted plans list each node in the tree AND a detail section
     assert plan.count("BroadcastHashJoin") >= 5, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_training_shards_no_global_window(spark, sf_dir):
+    """The exact global rank must never degenerate into the classic
+    single-partition global window: the plan's Window nodes all partition
+    by the bucket, and the offset side arrives by broadcast."""
+    from penr_oz_agent_memory_rust_spark.operators import export
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    df = export.assign_shards(d, "doc_id", rows_per_shard=64, salt="p")
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # every Window in the plan declares a partition spec (no WindowExec
+    # over a single global partition)
+    for frag in plan.split("Arguments: ")[1:]:
+        if frag.startswith("[row_number()"):
+            assert "windowspecdefinition(__bucket" in frag.split("\n")[0], frag[:200]
+
+
+def test_corpus_mix_single_shuffle_per_variant(spark, sf_dir):
+    """Each mixture variant is one hash shuffle on the group key — no
+    joins, no extra exchanges beyond the per-variant window partition."""
+    from penr_oz_agent_memory_rust_spark.operators.corpus import corpus_mixture_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    df = corpus_mixture_sample(d, {"en": 0.5, "de": 0.5}, n_total=40)
+    assert explain.count_shuffle_exchanges(df) == 1, explain.physical_plan(df)
+
+
+def test_multiprobe_lsh_no_corpus_broadcast_of_vectors(spark, sf_dir):
+    """The OR-amplified candidate join must be a shuffle equi-join on
+    (table, bucket) — broadcasting a 100 TB corpus side would be the
+    scale-killer. Only the tiny query side may broadcast."""
+    from penr_oz_agent_memory_rust_spark.operators import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    df = knn.lsh_knn_join_multiprobe(q, c, k=5, n_planes=4, n_tables=4)
+    plan = explain.physical_plan(df)
+    # the join keys must be the bucket columns, not a cross/nested-loop
+    assert "BroadcastNestedLoopJoin" not in plan, plan
