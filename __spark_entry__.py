@@ -1461,6 +1461,76 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_exact_dedup(docs.filter(F.col("doc_id") >= 250), seen)
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ ordered funnel signup -> view -> purchase with a 6-hour horizon
+    from the user's first signup: co-partitioned join per step, no
+    windows (operators/funnel.py)."""
+    from penr_oz_agent_memory_rust_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.funnel_conversion(
+        ev, ["signup", "view", "purchase"], within_seconds=21_600
+    )
+
+
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ cluster-balanced sampling: 8 k-means cells over the embedding
+    space, deterministic 10-per-cell quota. No oracle (k-means is not
+    SQL-expressible); quota/coverage/determinism pinned in
+    tests/test_corpus.py."""
+    return corpus.diversity_sample(
+        _emb(spark, sf_dir), n_clusters=8, per_cluster=10
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ contrastive hard-negative mining: per query, top-5 corpus rows
+    with cosine in [0.2, 0.6) — confusable-but-negative band; self-pairs
+    excluded. Same prenormed scan as the exact search, band filter below
+    the top-k window."""
+    out = knn.hard_negative_mining(
+        _query_side(spark, sf_dir, max_id=12),
+        _emb(spark, sf_dir).select(F.col("vec_id"), F.col("embedding").alias("vec")),
+        k=5,
+        lo=0.2,
+        hi=0.6,
+        query_id="qid",
+        query_vec="qv",
+        corpus_id="vec_id",
+        corpus_vec="vec",
+        round_to=6,
+    )
+    return out.select("qid", "vec_id", "score")
+
+
+def q_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ exact KNN + hard-negative mining in one gate (same scoring
+    pipeline, same schema, tagged)."""
+    top = q_knn_join(spark, sf_dir).select(
+        F.lit("top5").alias("variant"), "qid", "vec_id", "score"
+    )
+    neg = q_hard_negatives(spark, sf_dir).select(
+        F.lit("hardneg").alias("variant"), "qid", "vec_id", "score"
+    )
+    return top.unionByName(neg)
+
+
+def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ exact dedup + cross-snapshot incremental dedup in one gate (same
+    fingerprint machinery, tagged; dup_count is null on the incremental
+    side)."""
+    ex = q_dedup_exact(spark, sf_dir).select(
+        F.lit("full").alias("variant"), "doc_id", "fp", "dup_count"
+    )
+    inc = q_dedup_incremental(spark, sf_dir).select(
+        F.lit("incr").alias("variant"),
+        "doc_id",
+        "fp",
+        F.lit(None).cast("bigint").alias("dup_count"),
+    )
+    return ex.unionByName(inc)
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ perplexity-proxy quality scoring: char-bigram LM trained on the
     doc_id < 250 half of the corpus (counts bounded by alphabet², always
@@ -1581,14 +1651,14 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "distance_metrics": q_distance_metrics,
         "sql_api_search": q_sql_api_search,
         # --- window: ★ dedup family
-        "dedup_exact": q_dedup_exact,
+        "dedup_exact_suite": q_dedup_exact_suite,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_suite": q_dedup_ngram_suite,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
         # --- window: ★ search / ranking
-        "knn_join": q_knn_join,
+        "knn_suite": q_knn_suite,
         "bm25_search": q_bm25_search,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "quantized_search": q_quantized_search,
@@ -1631,6 +1701,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     the driver's evaluation cap ever exceeds the window)
         "dedup_incremental": q_dedup_incremental,
         "lm_quality": q_lm_quality,
+        "hard_negatives": q_hard_negatives,
+        "funnel_conversion": q_funnel_conversion,
+        "knn_join": q_knn_join,
+        "dedup_exact": q_dedup_exact,
         # --- beyond the window: standalone variants of the merged gates
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_char_ngram": q_dedup_char_ngram,
@@ -1678,6 +1752,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_ann": q_ivf_ann,
         "knn_self_all_pairs": q_knn_self_all_pairs,
         "sequence_packing": q_sequence_packing,
+        "diversity_sample": q_diversity_sample,
         "embed_documents_search": q_embed_documents_search,
         "approx_distinct_users": q_approx_distinct_users,
         "events_percentiles_approx": q_events_percentiles_approx,
@@ -2622,6 +2697,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, fp FROM batch b
         WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
     """
+    d["hard_negatives"] = f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 12),
+        scored AS (
+          SELECT q.qid, e.vec_id, {cos_e_q} AS score
+          FROM embeddings e, q
+          WHERE {_dk_norm_pos('e.embedding')} AND {_dk_norm_pos('q.qv')}
+            AND e.vec_id <> q.qid
+        )
+        SELECT qid, vec_id, score FROM scored
+        WHERE score >= 0.2 AND score < 0.6
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= 5
+    """
+    d["funnel_conversion"] = """
+        WITH s0 AS (
+          SELECT user_id AS u, min(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1
+        ), s1 AS (
+          SELECT s0.u, s0.t0, min(e.ts) AS t1
+          FROM s0 LEFT JOIN events e
+            ON e.user_id = s0.u AND e.event_type = 'view' AND e.ts > s0.t0
+           AND floor(epoch(e.ts)) <= floor(epoch(s0.t0)) + 21600
+          GROUP BY 1, 2
+        ), s2 AS (
+          SELECT s1.u, s1.t1, min(e.ts) AS t2
+          FROM s1 LEFT JOIN events e
+            ON e.user_id = s1.u AND e.event_type = 'purchase' AND e.ts > s1.t1
+           AND floor(epoch(e.ts)) <= floor(epoch(s1.t0)) + 21600
+          GROUP BY 1, 2, s1.t0
+        )
+        SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step, count(*) AS n_users FROM s2
+        UNION ALL
+        SELECT CAST(1 AS INT), 'view', count(t1) FROM s2
+        UNION ALL
+        SELECT CAST(2 AS INT), 'purchase', count(t2) FROM s2
+    """
     d["lm_quality"] = f"""
         WITH tnorm AS (
           SELECT {_DK_NORM} AS norm FROM documents WHERE doc_id < 250
@@ -2654,6 +2764,17 @@ def oracle_sql() -> dict[str, str]:
     """
     # merged-gate oracles compose the standalone variants' SQL verbatim, so
     # gate and standalone can never drift apart
+    d["knn_suite"] = f"""
+        SELECT 'top5' AS variant, * FROM ({d["knn_join"]})
+        UNION ALL
+        SELECT 'hardneg' AS variant, * FROM ({d["hard_negatives"]})
+    """
+    d["dedup_exact_suite"] = f"""
+        SELECT 'full' AS variant, doc_id, fp, dup_count FROM ({d["dedup_exact"]})
+        UNION ALL
+        SELECT 'incr' AS variant, doc_id, fp, CAST(NULL AS BIGINT) AS dup_count
+        FROM ({d["dedup_incremental"]})
+    """
     d["dedup_ngram_suite"] = f"""
         SELECT 'word' AS unit, * FROM ({d["dedup_ngram_jaccard"]})
         UNION ALL

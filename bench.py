@@ -38,13 +38,13 @@ HEADLINE = [
     "projection_validate",
     "distance_metrics",
     "sql_api_search",
-    "dedup_exact",
+    "dedup_exact_suite",
     "dedup_minhash_lsh",
     "dedup_ngram_suite",
     "dedup_simhash",
     "embedding_neardup",
     "dedup_clusters",
-    "knn_join",
+    "knn_suite",
     "bm25_search",
     "hybrid_search_rrf",
     "quantized_search",
@@ -83,6 +83,9 @@ HEADLINE = [
     "ivf_ann",
     "knn_self_all_pairs",
     "sequence_packing",
+    "lm_quality",
+    "diversity_sample",
+    "funnel_conversion",
 ]
 
 

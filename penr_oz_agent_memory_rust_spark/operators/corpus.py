@@ -354,3 +354,39 @@ def lm_quality_score(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("__logp"), 6).alias("lm_score"),
     )
+
+
+def diversity_sample(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    per_cluster: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    salt: str = "",
+) -> DataFrame:
+    """★ cluster-balanced (semantic-diversity) sampling: k-means cells over
+    the embedding space, then a deterministic per-cell quota — the
+    embedding-space analogue of stratified sampling, used to keep a
+    downsampled corpus from collapsing onto its dominant topics.
+
+    Scale shape: centroids train on a CAPPED sample (never a full
+    collect, knn.train_ivf_centroids); cell assignment is a pure codegen
+    expression usable as a partition column; the quota is one shuffle on
+    the cell id with WindowGroupLimit pruning. Output: (id, cell).
+    """
+    from penr_oz_agent_memory_rust_spark.operators import knn
+
+    cents = knn.train_ivf_centroids(
+        emb, vec_col=vec_col, n_centroids=n_clusters, seed=seed
+    )
+    assigned = emb.select(
+        F.col(id_col), knn.ivf_assign_expr(F.col(vec_col), cents).alias("cell")
+    )
+    order_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("cell").orderBy(order_key, F.col(id_col))
+    return (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_cluster)
+        .drop("__rn")
+    )

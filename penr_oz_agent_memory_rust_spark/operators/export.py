@@ -102,7 +102,9 @@ def assign_shards(
         keyed, SHUFFLE_KEY, id_col, rank_col="__rank", bucket_chars=bucket_chars
     )
     return (
-        ranked.withColumn(shard_col, (F.col("__rank") / rows_per_shard).cast("bigint"))
+        # integral `div`, not double division: exact for any rank, while a
+        # double quotient would lose exactness past 2^53 rows
+        ranked.withColumn(shard_col, F.expr(f"__rank div {rows_per_shard}"))
         .withColumn(pos_col, (F.col("__rank") % rows_per_shard).cast("bigint"))
         .drop("__rank", SHUFFLE_KEY)
     )

@@ -87,6 +87,59 @@ def expr_knn_join(
     return top_k_per_group(scored, [query_id], "score", k, tiebreak=corpus_id)
 
 
+def hard_negative_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lo: float = 0.3,
+    hi: float = 0.8,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    corpus_id: str = "id",
+    corpus_vec: str = "vec",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """★ contrastive-training hard negatives: per query, the top-k corpus
+    rows whose cosine lands in [lo, hi) — similar enough to be confusable,
+    dissimilar enough to be a true negative (positives sit above `hi`,
+    trivial negatives below `lo`).
+
+    Same plan as the exact search with the band filter applied BELOW the
+    per-query top-k window, so ranking work is bounded by band membership;
+    scoring itself is the embarrassingly-parallel prenormed-cosine scan.
+    Self-pairs are excluded (a row is never its own negative).
+    """
+    q = F.broadcast(
+        queries.select(
+            query_id, query_vec, similarity.norm_f64(F.col(query_vec)).alias("__qn")
+        )
+    )
+    scored = (
+        corpus.select(
+            corpus_id, corpus_vec, similarity.norm_f64(F.col(corpus_vec)).alias("__cn")
+        )
+        .crossJoin(q)
+        .withColumn(
+            "score",
+            similarity.cosine_f64_prenormed(
+                similarity.dot_f64(F.col(corpus_vec), F.col(query_vec)),
+                F.col("__cn"),
+                F.col("__qn"),
+                F.size(corpus_vec) == F.size(query_vec),
+            ),
+        )
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    banded = scored.filter(
+        F.col("score").isNotNull()
+        & (F.col("score") >= lo)
+        & (F.col("score") < hi)
+        & (F.col(query_id) != F.col(corpus_id))
+    ).select(query_id, corpus_id, "score")
+    return top_k_per_group(banded, [query_id], "score", k, tiebreak=corpus_id)
+
+
 def blocked_knn_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -198,3 +198,18 @@ def test_lm_quality_short_docs_absent(spark):
     )
     out = lm_quality_score(probe, char_bigram_counts(train)).collect()
     assert {r["doc_id"] for r in out} == {4}
+
+
+def test_diversity_sample_quota_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators.corpus import diversity_sample
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = diversity_sample(emb, n_clusters=8, per_cluster=5)
+    sizes = out.groupBy("cell").count().collect()
+    assert all(r["count"] <= 5 for r in sizes)
+    assert len(sizes) >= 2, "sampling collapsed to a single cell"
+    again = diversity_sample(emb, n_clusters=8, per_cluster=5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
