@@ -661,6 +661,34 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items in a
+    quarter — 4-way star join (nation broadcast), agg, bounded top-k."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    return (
+        joined.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
 def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ int8-quantized top-k search (4x smaller vector storage). The
     quantized table is WRITTEN once and scanned thereafter — quantization
@@ -1473,6 +1501,28 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ curriculum export: fixed-size shards ordered best-quality-first.
+    The sort key is the zero-padded complement of the 6dp quality score,
+    so lexicographic key order == descending quality; same bucketed
+    exact-rank machinery as training_shards, demonstrating
+    assign_shards_by_key over a semantic (non-uniform) ordering."""
+    from penr_oz_agent_memory_rust_spark.operators import export
+
+    docs = _docs(spark, sf_dir)
+    q = F.round(text_ops.quality_score_expr(F.col("text")), 6)
+    key = F.lpad(
+        (F.lit(1_000_000) - F.round(q * 1_000_000)).cast("bigint").cast("string"),
+        7,
+        "0",
+    )
+    keyed = docs.select("doc_id", key.alias("__k"))
+    out = export.assign_shards_by_key(
+        keyed, "__k", "doc_id", rows_per_shard=64, drop_key=True
+    )
+    return out.select("doc_id", "shard", "pos_in_shard")
+
+
 def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ cluster-balanced sampling: 8 k-means cells over the embedding
     space, deterministic 10-per-cell quota. No oracle (k-means is not
@@ -1703,6 +1753,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lm_quality": q_lm_quality,
         "hard_negatives": q_hard_negatives,
         "funnel_conversion": q_funnel_conversion,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "curriculum_shards": q_curriculum_shards,
         "knn_join": q_knn_join,
         "dedup_exact": q_dedup_exact,
         # --- beyond the window: standalone variants of the merged gates
@@ -2708,6 +2760,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT qid, vec_id, score FROM scored
         WHERE score >= 0.2 AND score < 0.6
         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= 5
+    """
+    d["tpch_q10_returned_items"] = """
+        SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+          SELECT c_custkey, c_name, c_acctbal, n_name,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1995-10-01'
+            AND o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ) ORDER BY revenue DESC, c_custkey LIMIT 20
+    """
+    d["curriculum_shards"] = f"""
+        WITH scored AS (
+          SELECT doc_id, {_DK_QUALITY} AS q FROM documents
+        ), keyed AS (
+          SELECT doc_id,
+                 lpad(CAST(CAST(1000000 - round(q * 1000000) AS BIGINT) AS VARCHAR),
+                      7, '0') AS k
+          FROM scored
+        ), ranked AS (
+          SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS r FROM keyed
+        )
+        SELECT doc_id, CAST(r // 64 AS BIGINT) AS shard,
+               CAST(r % 64 AS BIGINT) AS pos_in_shard
+        FROM ranked
     """
     d["funnel_conversion"] = """
         WITH s0 AS (

@@ -98,16 +98,47 @@ def assign_shards(
     if rows_per_shard < 1:
         raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
     keyed = deterministic_shuffle_key(df, id_col, salt)
-    ranked = exact_global_rank(
-        keyed, SHUFFLE_KEY, id_col, rank_col="__rank", bucket_chars=bucket_chars
+    return assign_shards_by_key(
+        keyed,
+        SHUFFLE_KEY,
+        id_col,
+        rows_per_shard,
+        shard_col=shard_col,
+        pos_col=pos_col,
+        bucket_chars=bucket_chars,
+        drop_key=True,
     )
-    return (
+
+
+def assign_shards_by_key(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_col: str,
+    rows_per_shard: int,
+    shard_col: str = "shard",
+    pos_col: str = "pos_in_shard",
+    bucket_chars: int = 2,
+    drop_key: bool = False,
+) -> DataFrame:
+    """Fixed-size shards over ANY precomputed string sort key — e.g. a
+    zero-padded quality score for curriculum ordering (easy shards first)
+    instead of the md5 shuffle key. Same bucketed exact-rank machinery;
+    with a non-uniform key the buckets skew (a quality spike concentrates
+    rows in few key prefixes), which costs balance in the rank windows but
+    never correctness — the per-bucket counts are exact."""
+    if rows_per_shard < 1:
+        raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
+    ranked = exact_global_rank(
+        df, key_col, tiebreak_col, rank_col="__rank", bucket_chars=bucket_chars
+    )
+    out = (
         # integral `div`, not double division: exact for any rank, while a
         # double quotient would lose exactness past 2^53 rows
         ranked.withColumn(shard_col, F.expr(f"__rank div {rows_per_shard}"))
         .withColumn(pos_col, (F.col("__rank") % rows_per_shard).cast("bigint"))
-        .drop("__rank", SHUFFLE_KEY)
+        .drop("__rank")
     )
+    return out.drop(key_col) if drop_key else out
 
 
 def write_training_shards(

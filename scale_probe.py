@@ -103,6 +103,17 @@ def main() -> None:
     ).count()
     t["sequence_packing"] = round(time.time() - t0, 2)
 
+    # LM quality scoring: train on a fixed slice, score the inflated corpus
+    from penr_oz_agent_memory_rust_spark.operators.corpus import (
+        char_bigram_counts,
+        lm_quality_score,
+    )
+
+    t0 = time.time()
+    lm = char_bigram_counts(big_docs.filter(F.col("doc_id") < 5000))
+    out_rows["lm_quality"] = lm_quality_score(big_docs, lm).count()
+    t["lm_quality"] = round(time.time() - t0, 2)
+
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     big_li = inflate(li, LI_COPIES, "l_orderkey", 100_000_000)
     t0 = time.time()
