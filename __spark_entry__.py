@@ -1590,6 +1590,27 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.lm_quality_score(docs.filter(F.col("doc_id") >= 250), lm)
 
 
+def q_token_offset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ concat-and-chunk layout: docs laid end-to-end in md5 order, shard
+    = first-token offset div 2048 (operators/packing.py) — the contiguous
+    counterpart of greedy bin packing, fully oracle-checked."""
+    from penr_oz_agent_memory_rust_spark.operators import packing
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return packing.token_offset_shards(docs, tokens_per_shard=2048, salt="tos")
+
+
+def q_lm_quality_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ LM quality scoring, Arrow fast path: the smoothed log-prob table
+    folds to a 256x256 ndarray and each doc scores as one vectorized
+    gather+mean — ~8x the expression path at sf0.1. No oracle (numpy mean
+    accumulation order differs in final ulps); 6dp agreement with the
+    oracle-checked expression path pinned in tests/test_corpus.py."""
+    docs = _docs(spark, sf_dir)
+    lm = corpus.char_bigram_counts(docs.filter(F.col("doc_id") < 250))
+    return corpus.lm_quality_score_arrow(docs.filter(F.col("doc_id") >= 250), lm)
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ context-window sequence packing: bucketed greedy FFD into
     256-token bins (operators/packing.py). No oracle: the greedy loop is
@@ -1755,6 +1776,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "funnel_conversion": q_funnel_conversion,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "curriculum_shards": q_curriculum_shards,
+        "token_offset_shards": q_token_offset_shards,
         "knn_join": q_knn_join,
         "dedup_exact": q_dedup_exact,
         # --- beyond the window: standalone variants of the merged gates
@@ -1805,6 +1827,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knn_self_all_pairs": q_knn_self_all_pairs,
         "sequence_packing": q_sequence_packing,
         "diversity_sample": q_diversity_sample,
+        "lm_quality_arrow": q_lm_quality_arrow,
         "embed_documents_search": q_embed_documents_search,
         "approx_distinct_users": q_approx_distinct_users,
         "events_percentiles_approx": q_events_percentiles_approx,
@@ -2789,6 +2812,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(r // 64 AS BIGINT) AS shard,
                CAST(r % 64 AS BIGINT) AS pos_in_shard
         FROM ranked
+    """
+    d["token_offset_shards"] = r"""
+        WITH base AS (
+          SELECT doc_id AS id,
+                 len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+                 md5('tos' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents
+        ), cum AS (
+          SELECT id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   ORDER BY k, id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS token_offset
+          FROM base
+        )
+        SELECT id, n_tokens, CAST(token_offset AS BIGINT) AS token_offset,
+               CAST(token_offset // 2048 AS BIGINT) AS shard
+        FROM cum
     """
     d["funnel_conversion"] = """
         WITH s0 AS (

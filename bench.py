@@ -84,6 +84,7 @@ HEADLINE = [
     "knn_self_all_pairs",
     "sequence_packing",
     "lm_quality",
+    "lm_quality_arrow",
     "diversity_sample",
     "funnel_conversion",
 ]

@@ -97,3 +97,66 @@ def bin_stats(packed: DataFrame, token_budget: int) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.sum("n_tokens") / F.lit(token_budget), 6).alias("fill_ratio"),
     )
+
+
+def token_offset_shards(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Contiguous concat-and-chunk layout: documents are laid end-to-end in
+    deterministic md5(salt||id) order and a doc belongs to the shard where
+    its FIRST token falls (shard = token_offset div tokens_per_shard) — the
+    layout used when sequences are built by concatenation + fixed-stride
+    chunking rather than per-doc bin packing. Unlike pack_sequences this is
+    a pure window expression, so it is SQL-oracle-checkable.
+
+    Output: (id, n_tokens, token_offset, shard). The token offset is a
+    cumulative sum over ONE global md5 ordering — computed per hash bucket
+    with broadcast offsets, the same no-global-window shape as
+    export.exact_global_rank, but accumulating token counts instead of row
+    counts."""
+    if tokens_per_shard < 1:
+        raise ValueError(f"tokens_per_shard must be >= 1, got {tokens_per_shard}")
+    from penr_oz_agent_memory_rust_spark.operators import text_ops
+    from pyspark.sql import Window
+
+    toks = (
+        F.col(token_count_col).cast("bigint")
+        if token_count_col
+        else text_ops.token_count_ws(F.col(text_col)).cast("bigint")
+    )
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    bucket = F.substring(key, 1, 2)
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        toks.alias("n_tokens"),
+        key.alias("__k"),
+        bucket.alias("__bucket"),
+    )
+    counts = (
+        src.groupBy("__bucket").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["__bucket"]):
+        offsets.append((r["__bucket"], acc))
+        acc += r["t"]
+    spark = docs.sparkSession
+    off = spark.createDataFrame(offsets or [("", 0)], "__bucket string, __off bigint")
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy("__k", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        src.join(F.broadcast(off), "__bucket")
+        .withColumn(
+            "token_offset",
+            F.col("__off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+        )
+        .withColumn("shard", F.expr(f"token_offset div {tokens_per_shard}"))
+        .select("id", "n_tokens", "token_offset", "shard")
+    )

@@ -213,3 +213,31 @@ def test_diversity_sample_quota_and_determinism(spark, sf_dir):
     assert len(sizes) >= 2, "sampling collapsed to a single cell"
     again = diversity_sample(emb, n_clusters=8, per_cluster=5)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_lm_quality_arrow_matches_expr(spark, sf_dir):
+    """The vectorized Arrow scorer must agree with the oracle-checked
+    expression path on every doc to the 6dp contract."""
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators.corpus import (
+        char_bigram_counts,
+        lm_quality_score,
+        lm_quality_score_arrow,
+    )
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = char_bigram_counts(docs.filter(F.col("doc_id") < 250))
+    probe = docs.filter(F.col("doc_id") >= 250)
+    a = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in lm_quality_score(probe, lm).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in lm_quality_score_arrow(probe, lm).collect()
+    }
+    assert set(a) == set(b)
+    bad = {k: (a[k], b[k]) for k in a if a[k][0] != b[k][0] or abs(a[k][1] - b[k][1]) > 1e-6}
+    assert not bad, list(bad.items())[:3]

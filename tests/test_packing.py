@@ -60,3 +60,19 @@ def test_ffd_fill_efficiency(spark, sf_dir):
     stats = packing.bin_stats(p, BUDGET).filter(F.col("total_tokens") <= BUDGET)
     mean_fill = stats.agg(F.avg("fill_ratio")).first()[0]
     assert mean_fill > 0.5, f"mean fill {mean_fill}"
+
+
+def test_token_offset_shards_contiguity(spark, sf_dir):
+    """Offsets are a gapless prefix-sum of token counts over the global
+    order, and shard boundaries fall exactly at offset div size."""
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = packing.token_offset_shards(docs, tokens_per_shard=512, salt="t").collect()
+    rows = sorted(out, key=lambda r: r["token_offset"])
+    acc = 0
+    for r in rows:
+        assert r["token_offset"] == acc, (r, acc)
+        assert r["shard"] == acc // 512
+        acc += r["n_tokens"]
+    assert len(rows) == docs.count()
