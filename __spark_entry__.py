@@ -1600,6 +1600,38 @@ def q_token_offset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.token_offset_shards(docs, tokens_per_shard=2048, salt="tos")
 
 
+def q_stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ stream-static enrichment: a REAL readStream over events joins the
+    customer dimension per micro-batch (broadcast, no state store), then
+    counts per (segment, event_type). availableNow + complete mode, so on
+    bounded input the result equals the batch join+agg oracle."""
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        run_enriched_counts_once,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    out = run_enriched_counts_once(
+        spark, f"{sf_dir}/events.parquet", dim, name="__stream_enrich_gate"
+    )
+    return out.select("segment", "event_type", "n")
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ BPE tokenizer end-to-end: distributed word histogram -> 200
+    driver-learned merges (bounded: histogram rows only) -> distributed
+    Arrow encode with a word->pieces memo. No oracle (iterative merge
+    learning is not SQL-expressible); classic-example merge order,
+    piece partitioning, prefix-stability, and compression monotonicity
+    pinned in tests/test_bpe.py."""
+    from penr_oz_agent_memory_rust_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe.train_bpe(bpe.word_histogram(docs, max_words=5000), n_merges=200)
+    return bpe.bpe_encode(docs, merges)
+
+
 def q_lm_quality_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ LM quality scoring, Arrow fast path: the smoothed log-prob table
     folds to a 256x256 ndarray and each doc scores as one vectorized
@@ -1777,6 +1809,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "curriculum_shards": q_curriculum_shards,
         "token_offset_shards": q_token_offset_shards,
+        "stream_enrich_counts": q_stream_enrich_counts,
         "knn_join": q_knn_join,
         "dedup_exact": q_dedup_exact,
         # --- beyond the window: standalone variants of the merged gates
@@ -1828,6 +1861,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sequence_packing": q_sequence_packing,
         "diversity_sample": q_diversity_sample,
         "lm_quality_arrow": q_lm_quality_arrow,
+        "bpe_tokenize": q_bpe_tokenize,
         "embed_documents_search": q_embed_documents_search,
         "approx_distinct_users": q_approx_distinct_users,
         "events_percentiles_approx": q_events_percentiles_approx,
@@ -2812,6 +2846,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(r // 64 AS BIGINT) AS shard,
                CAST(r % 64 AS BIGINT) AS pos_in_shard
         FROM ranked
+    """
+    d["stream_enrich_counts"] = """
+        SELECT c_mktsegment AS segment, event_type, count(*) AS n
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
     """
     d["token_offset_shards"] = r"""
         WITH base AS (

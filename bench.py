@@ -87,6 +87,8 @@ HEADLINE = [
     "lm_quality_arrow",
     "diversity_sample",
     "funnel_conversion",
+    "bpe_tokenize",
+    "stream_enrich_counts",
 ]
 
 

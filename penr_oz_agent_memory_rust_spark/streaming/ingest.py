@@ -377,3 +377,52 @@ def run_dedup_keys_once(
         q.awaitTermination()
         q.stop()
         return spark.table(name)
+
+
+def enrich_stream_with_dim(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch hash-joins against
+    the (batch) dimension frame — Spark re-plans the static side per batch,
+    so a small dim broadcasts and a huge one shuffle-joins, both without
+    any state store. The canonical shape for decorating an event stream
+    with slowly-changing reference data."""
+    return events_stream.join(
+        F.broadcast(dim.select(on, *dim_cols)), on, "left"
+    )
+
+
+def run_enriched_counts_once(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    on: str = "user_id",
+    dim_col: str = "segment",
+    name: str = "__stream_enrich",
+) -> DataFrame:
+    """Execute the stream-static join as a REAL streaming job (availableNow,
+    complete-mode memory sink): per-(dim_col, event_type) event counts of
+    the enriched stream. On bounded input this equals the batch join+agg —
+    the correctness oracle."""
+    with _nanos_as_long(spark):
+        schema = spark.read.parquet(events_path).schema
+        if os.path.isfile(events_path):
+            events_path = _stage_single_file(events_path)
+        raw = spark.readStream.schema(schema).parquet(events_path)
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        enriched = enrich_stream_with_dim(raw, dim, on, [dim_col])
+        agg = enriched.groupBy(dim_col, "event_type").agg(F.count("*").alias("n"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return spark.table(name)

@@ -203,3 +203,30 @@ def test_multiprobe_lsh_no_corpus_broadcast_of_vectors(spark, sf_dir):
     plan = explain.physical_plan(df)
     # the join keys must be the bucket columns, not a cross/nested-loop
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_token_offset_shards_no_global_window(spark, sf_dir):
+    """The cumulative token offset must partition its windows by the hash
+    bucket — a WindowExec with no partition spec would serialize the
+    corpus through one task."""
+    from penr_oz_agent_memory_rust_spark.operators import packing
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = packing.token_offset_shards(docs, tokens_per_shard=2048)
+    plan = explain.physical_plan(df)
+    for frag in plan.split("Arguments: ")[1:]:
+        head = frag.split("\n")[0]
+        if "windowspecdefinition" in head:
+            assert "windowspecdefinition(__bucket" in head, head[:200]
+
+
+def test_funnel_no_cartesian(spark, sf_dir):
+    """Each funnel step joins on the user key — a CartesianProduct or
+    nested-loop join would explode at scale."""
+    from penr_oz_agent_memory_rust_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    df = funnel.funnel_conversion(ev, ["signup", "view", "purchase"], within_seconds=21_600)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
