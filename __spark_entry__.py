@@ -1600,6 +1600,27 @@ def q_token_offset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.token_offset_shards(docs, tokens_per_shard=2048, salt="tos")
 
 
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ declarative data-quality checks: five expectations over events in
+    ONE scan (conditional aggregates; the check cost never multiplies by
+    rule count)."""
+    from penr_oz_agent_memory_rust_spark.operators.expectations import (
+        validate_expectations,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return validate_expectations(
+        ev,
+        {
+            "event_id_not_null": "event_id IS NOT NULL",
+            "user_in_range": "user_id >= 0 AND user_id < 100",
+            "value_non_negative": "value >= 0",
+            "known_event_type": "event_type IN ('view','click','purchase','signup','error')",
+            "ts_in_2024": "ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01'",
+        },
+    )
+
+
 def q_stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ stream-static enrichment: a REAL readStream over events joins the
     customer dimension per micro-batch (broadcast, no state store), then
@@ -1810,6 +1831,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "curriculum_shards": q_curriculum_shards,
         "token_offset_shards": q_token_offset_shards,
         "stream_enrich_counts": q_stream_enrich_counts,
+        "data_expectations": q_data_expectations,
         "knn_join": q_knn_join,
         "dedup_exact": q_dedup_exact,
         # --- beyond the window: standalone variants of the merged gates
@@ -2846,6 +2868,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(r // 64 AS BIGINT) AS shard,
                CAST(r % 64 AS BIGINT) AS pos_in_shard
         FROM ranked
+    """
+    d["data_expectations"] = """
+        WITH agg AS (
+          SELECT count(*) AS n,
+            sum(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END) AS v_id,
+            sum(CASE WHEN coalesce(user_id >= 0 AND user_id < 100, false) THEN 0 ELSE 1 END) AS v_user,
+            sum(CASE WHEN coalesce(value >= 0, false) THEN 0 ELSE 1 END) AS v_val,
+            sum(CASE WHEN coalesce(event_type IN ('view','click','purchase','signup','error'), false) THEN 0 ELSE 1 END) AS v_type,
+            sum(CASE WHEN coalesce(ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01', false) THEN 0 ELSE 1 END) AS v_ts
+          FROM events
+        )
+        SELECT 'event_id_not_null' AS rule, CAST(n AS BIGINT) AS n_rows,
+               CAST(v_id AS BIGINT) AS n_violations, round(v_id * 100.0 / n, 6) AS violation_pct FROM agg
+        UNION ALL SELECT 'user_in_range', n, v_user, round(v_user * 100.0 / n, 6) FROM agg
+        UNION ALL SELECT 'value_non_negative', n, v_val, round(v_val * 100.0 / n, 6) FROM agg
+        UNION ALL SELECT 'known_event_type', n, v_type, round(v_type * 100.0 / n, 6) FROM agg
+        UNION ALL SELECT 'ts_in_2024', n, v_ts, round(v_ts * 100.0 / n, 6) FROM agg
     """
     d["stream_enrich_counts"] = """
         SELECT c_mktsegment AS segment, event_type, count(*) AS n

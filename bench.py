@@ -89,6 +89,7 @@ HEADLINE = [
     "funnel_conversion",
     "bpe_tokenize",
     "stream_enrich_counts",
+    "data_expectations",
 ]
 
 

@@ -244,9 +244,17 @@ def corpus_token_mixture(
     is filled, boundary doc included, matching how corpus mixers cut).
 
     token_count_col defaults to whitespace token count computed on the
-    fly. Same single-shuffle window shape as the count-based mixture; the
-    running sum is a cumulative window over the same ordering, so both
-    variants share one exchange when composed.
+    fly.
+
+    Scale shape: a naive per-group cumulative window would sort an entire
+    group in one task (a single-language 100 TB corpus = one reducer).
+    Instead the running total uses the bucket-offset pattern of
+    export.exact_global_rank: rows bucket by an md5-key prefix, per-
+    (group, bucket) token sums (bounded: groups x 256 rows) prefix-sum on
+    the driver, and the window runs per (group, bucket). Buckets whose
+    start offset already meets the budget are dropped BEFORE the sort —
+    at scale the selected head of each group is all that ever gets
+    sorted.
     """
     from penr_oz_agent_memory_rust_spark.operators import text_ops
 
@@ -263,17 +271,43 @@ def corpus_token_mixture(
         else text_ops.token_count_ws(F.col("text")).cast("bigint")
     )
     order_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    src = (
+        docs.filter(F.col(group_col).isin(list(budgets)))
+        .withColumn("__toks", toks)
+        .withColumn("__k", order_key)
+        .withColumn("__bucket", F.substring("__k", 1, 2))
+    )
+    counts = (
+        src.groupBy(group_col, "__bucket").agg(F.sum("__toks").alias("t")).collect()
+    )
+    by_group: dict[str, list] = {}
+    for r in counts:
+        by_group.setdefault(r[group_col], []).append((r["__bucket"], r["t"]))
+    offsets = []
+    for g, lst in by_group.items():
+        acc = 0
+        for b, t in sorted(lst):
+            offsets.append((g, b, acc))
+            acc += t
+    spark = docs.sparkSession
+    off = spark.createDataFrame(
+        offsets or [("", "", 0)], f"{group_col} string, __bucket string, __off bigint"
+    )
     w = (
-        Window.partitionBy(group_col)
-        .orderBy(order_key, F.col(id_col))
+        Window.partitionBy(group_col, "__bucket")
+        .orderBy("__k", F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        docs.filter(F.col(group_col).isin(list(budgets)))
-        .withColumn("__toks", toks)
-        .withColumn("__before", F.coalesce(F.sum("__toks").over(w), F.lit(0)))
+        src.join(F.broadcast(off), [group_col, "__bucket"])
+        # whole-bucket prune: if the bucket starts at/past the budget no row
+        # in it can qualify — skip its sort entirely
+        .filter(F.col("__off") < budget_expr)
+        .withColumn(
+            "__before", F.col("__off") + F.coalesce(F.sum("__toks").over(w), F.lit(0))
+        )
         .filter(F.col("__before") < budget_expr)
-        .drop("__before")
+        .drop("__before", "__off", "__k", "__bucket")
         .withColumnRenamed("__toks", "n_tokens")
     )
 

@@ -230,3 +230,17 @@ def test_funnel_no_cartesian(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_mixture_no_per_group_global_window(spark, sf_dir):
+    """The running token total must window per (group, bucket), never per
+    group alone — one language must never serialize into one task."""
+    from penr_oz_agent_memory_rust_spark.operators.corpus import corpus_token_mixture
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    df = corpus_token_mixture(d, {"en": 0.5, "de": 0.5}, token_budget=10_000)
+    plan = explain.physical_plan(df)
+    for frag in plan.split("Arguments: ")[1:]:
+        head = frag.split("\n")[0]
+        if "windowspecdefinition" in head:
+            assert "__bucket" in head, head[:200]
