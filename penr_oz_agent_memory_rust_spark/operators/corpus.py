@@ -220,9 +220,15 @@ def corpus_mixture_sample(
     )[F.col(group_col)]
     order_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     w = Window.partitionBy(group_col).orderBy(order_key, F.col(id_col))
+    max_quota = max(quotas.values(), default=0)
     return (
         docs.filter(F.col(group_col).isin(list(quotas)))
         .withColumn("__rn", F.row_number().over(w))
+        # the FOLDABLE bound first: InferWindowGroupLimit only fires on a
+        # literal rank limit, turning the full per-group sort into a
+        # max_quota-row heap per map task; the per-group map lookup then
+        # trims to each group's exact quota
+        .filter(F.col("__rn") <= F.lit(max_quota))
         .filter(F.col("__rn") <= quota_expr)
         .drop("__rn")
     )

@@ -244,3 +244,13 @@ def test_token_mixture_no_per_group_global_window(spark, sf_dir):
         head = frag.split("\n")[0]
         if "windowspecdefinition" in head:
             assert "__bucket" in head, head[:200]
+
+
+def test_count_mixture_window_group_limit(spark, sf_dir):
+    """The foldable max-quota bound must trigger WindowGroupLimit so each
+    map task keeps a bounded heap instead of sorting its whole group."""
+    from penr_oz_agent_memory_rust_spark.operators.corpus import corpus_mixture_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    df = corpus_mixture_sample(d, {"en": 0.5, "de": 0.25, "fr": 0.25}, n_total=40)
+    assert "WindowGroupLimit" in explain.physical_plan(df)
