@@ -1639,6 +1639,22 @@ def q_stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("segment", "event_type", "n")
 
 
+def q_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ approximate kNN graph via OR-amplified LSH self-join — the scale
+    path for the all-pairs workload (stream-stream bucket equi-join,
+    nothing broadcast or collected). No oracle (approximate by design);
+    graph invariants + recall vs exact pinned in tests/test_knn.py."""
+    out = knn.lsh_knn_self_join(
+        _emb(spark, sf_dir).select(F.col("vec_id"), F.col("embedding").alias("vec")),
+        k=5,
+        n_planes=4,
+        n_tables=8,
+        id_col="vec_id",
+        vec_col="vec",
+    )
+    return out.select("vec_id_a", "vec_id_b")
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ BPE tokenizer end-to-end: distributed word histogram -> 200
     driver-learned merges (bounded: histogram rows only) -> distributed
@@ -1880,6 +1896,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
         "ivf_ann": q_ivf_ann,
         "knn_self_all_pairs": q_knn_self_all_pairs,
+        "knn_graph_lsh": q_knn_graph_lsh,
         "sequence_packing": q_sequence_packing,
         "diversity_sample": q_diversity_sample,
         "lm_quality_arrow": q_lm_quality_arrow,

@@ -82,6 +82,7 @@ HEADLINE = [
     "lsh_ann_multiprobe",
     "ivf_ann",
     "knn_self_all_pairs",
+    "knn_graph_lsh",
     "sequence_packing",
     "lm_quality",
     "lm_quality_arrow",

@@ -2,7 +2,7 @@
 
 The reference's S5 search handles ONE query vector per request via Qdrant's
 HNSW. At pipeline scale the shape is a *batch KNN join*: Q query vectors ×
-N corpus vectors -> top-k per query. Three strategies, cheapest first:
+N corpus vectors -> top-k per query. Strategies, cheapest first:
 
   1. expr_knn_join  — broadcast the (small) query side, score with the native
      column kernel, window top-k per query. Pure Catalyst, whole-stage
@@ -10,10 +10,20 @@ N corpus vectors -> top-k per query. Three strategies, cheapest first:
   2. blocked_knn_join — Arrow-batched mapInPandas: the query matrix is a
      broadcast variable, each corpus partition does ONE float32 BLAS matmul
      and emits only its local top-k per query, so the shuffle input is
-     Q×k×partitions rows, not Q×N. This is the 100 TB path.
-  3. lsh_knn_join  — random-hyperplane LSH bucketing (deterministic seed):
-     equi-join on bucket signature, exact re-score inside buckets.
-     Approximate; trades recall for avoiding the full scan.
+     Q×k×partitions rows, not Q×N. This is the 100 TB path for bounded
+     query batches; blocked_knn_self_join is its exact no-collect
+     all-pairs counterpart (2-D block nested loop).
+  3. lsh_knn_join / lsh_knn_join_multiprobe — random-hyperplane LSH
+     bucketing (deterministic seed): equi-join on (table, bucket), exact
+     re-score of collisions. Approximate; OR-amplification across
+     independent tables buys recall without coarsening buckets.
+  4. lsh_knn_self_join — the approximate kNN GRAPH: per-(table, bucket)
+     BLAS top-k via applyInPandas; cost ~ collision pairs, not N²
+     (measured 6 s vs 172 s exact at 100k vectors).
+  5. ivf_knn_join / ivf_index — k-means cells, probe-limited search;
+     persisted index turns probes into partition pruning.
+  6. hard_negative_mining — banded [lo, hi) variant of the exact scan for
+     contrastive-training negatives.
 
 Brute force is exact (recall 1.0) and embarrassingly parallel — the idiomatic
 Spark replacement for HNSW per SURVEY §4.
@@ -546,14 +556,19 @@ def _lsh_bucket_join(
     query_vec: str,
     corpus_id: str,
     corpus_vec: str,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate (query, corpus) rows sharing a bucket in ANY of `n_tables`
     independent hyperplane tables. Each row carries both vectors for the
     exact re-score stage. The signatures for all tables are computed in ONE
     Arrow pass per side (array of bigints, then posexplode), so adding
     tables costs one extra shuffle row per (row, table), never an extra
-    scan. Duplicate (q, c) pairs that collide in several tables are dropped
-    before scoring so each candidate is scored once."""
+    scan. A pair colliding in several tables appears once per collision;
+    the caller scores each occurrence and dedupes on (query, corpus)
+    AFTER projecting away the vectors — deduping first would shuffle rows
+    still carrying both embeddings (~KB each), which is what blows up on
+    duplicate-heavy corpora, while post-score rows are a few dozen bytes
+    and a pair's score is identical across its occurrences."""
     all_planes = [
         _hyperplanes(dim, n_planes, seed if n_tables == 1 else seed * 1000 + t)
         for t in range(n_tables)
@@ -567,13 +582,20 @@ def _lsh_bucket_join(
 
     qb = with_buckets(queries, query_vec)
     cb = with_buckets(corpus, corpus_vec)
-    joined = cb.join(qb, ["__table", "__bucket"]).drop("__table", "__bucket")
-    if n_tables == 1:
-        return joined
-    # OR-amplification: the same pair can collide in several tables; keep one
-    # occurrence per (query, corpus) so re-scoring work is bounded by the
-    # number of DISTINCT candidates, not table count.
-    return joined.dropDuplicates([query_id, corpus_id])
+    if max_bucket is not None:
+        # stop-bucket cap (same guard as the MinHash band join): a bucket
+        # holding > max_bucket corpus rows contributes O(members x queries)
+        # candidate pairs — on duplicate-heavy corpora or too-coarse plane
+        # counts that goes quadratic. Oversized buckets are dropped from
+        # THAT table only; the row keeps its chances in the other tables.
+        sizes = (
+            cb.groupBy("__table", "__bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .drop("count")
+        )
+        cb = cb.join(sizes, ["__table", "__bucket"])
+    return cb.join(qb, ["__table", "__bucket"]).drop("__table", "__bucket")
 
 
 def _multi_signature_udf(all_planes: list[np.ndarray]):
@@ -607,6 +629,7 @@ def lsh_knn_join_multiprobe(
     query_vec: str = "qvec",
     corpus_id: str = "id",
     corpus_vec: str = "vec",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """OR-amplified LSH ANN: `n_tables` independent hyperplane tables; a
     corpus vector is a candidate if it shares a bucket with the query in
@@ -628,6 +651,7 @@ def lsh_knn_join_multiprobe(
         query_vec,
         corpus_id,
         corpus_vec,
+        max_bucket=max_bucket,
     )
     scored = (
         candidates.withColumn(
@@ -635,5 +659,93 @@ def lsh_knn_join_multiprobe(
         )
         .filter(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
         .select(query_id, corpus_id, "score")
+        # one row per distinct pair; every occurrence carries the same score
+        .dropDuplicates([query_id, corpus_id])
     )
     return top_k_per_group(scored, [query_id], "score", k, tiebreak=corpus_id)
+
+
+def lsh_knn_self_join(
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    max_bucket: int | None = 5_000,
+) -> DataFrame:
+    """★ approximate kNN GRAPH: every vector's top-k neighbors via
+    OR-amplified LSH self-join — the scale path where the exact 2-D block
+    plan (blocked_knn_self_join) pays the full O(N²) score count. Both
+    sides stream through the (table, bucket) equi-join; nothing is
+    broadcast or collected, so the cost is bucket-collision pairs, not
+    N². Self-pairs are excluded. Output: (id, neighbor_id, score).
+
+    Size `n_planes` to the corpus: buckets = 2^planes per table, so aim
+    for log2(N / target_bucket_size) planes (~10 at 100k rows for ~100-row
+    buckets). `max_bucket` is the stop-bucket guard (same as the MinHash
+    band cap): duplicate-heavy corpora concentrate identical vectors in
+    one bucket, whose pair expansion is quadratic — oversized buckets are
+    dropped per table (exact duplicates should be removed by exact_dedup
+    BEFORE building a kNN graph anyway; clone pairs collide in EVERY
+    table, so on undeduped data the join degenerates by design). Recall
+    per true neighbor at cosine t is 1-(1-p^planes)^tables with
+    p = 1 - acos(t)/pi.
+
+    Measured (local[32], 100k distinct 64-dim vectors, 9 planes x 8
+    tables): 6 s for the k=3 graph vs 172 s for the exact 2-D block
+    all-pairs plan — the bucket-selectivity factor, delivered.
+    """
+    # Per-bucket BLAS, not a per-pair UDF: a (table, bucket) group arrives
+    # as ONE Arrow batch, one (m x m) f32 matmul scores all its pairs, and
+    # only each member's in-bucket top-k leaves the group. Arrow moves each
+    # vector once per table (N x T rows) instead of once per collision
+    # pair (sum of m^2) — the difference between ~N and ~N^2/buckets bytes.
+    all_planes = [
+        _hyperplanes(dim, n_planes, seed * 1000 + t) for t in range(n_tables)
+    ]
+    sig = _multi_signature_udf(all_planes)
+    members = corpus.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(sig(F.col(vec_col))).alias("__table", "__bucket")
+    )
+    if max_bucket is not None:
+        sizes = (
+            members.groupBy("__table", "__bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .drop("count")
+        )
+        members = members.join(sizes, ["__table", "__bucket"])
+    id_type = dict(corpus.dtypes)[id_col]
+    kk = k
+
+    def bucket_topk(pdf):
+        ids = pdf[id_col].to_numpy()
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = np.inf
+        Mn = M / norms
+        S = Mn @ Mn.T
+        np.fill_diagonal(S, -np.inf)
+        n = len(ids)
+        t = min(kk, n - 1)
+        if t <= 0:
+            return pd.DataFrame({"a": [], "b": [], "score": []})
+        part = np.argpartition(-S, t - 1, axis=1)[:, :t]
+        rows = np.repeat(np.arange(n), t)
+        cols = part.ravel()
+        return pd.DataFrame(
+            {"a": ids[rows], "b": ids[cols], "score": S[rows, cols].astype(np.float64)}
+        )
+
+    per_bucket = members.groupBy("__table", "__bucket").applyInPandas(
+        bucket_topk, schema=f"a {id_type}, b {id_type}, score double"
+    )
+    # a pair surviving several tables carries the same f32 score everywhere
+    deduped = per_bucket.dropDuplicates(["a", "b"])
+    out = top_k_per_group(deduped, ["a"], "score", k, tiebreak="b")
+    return out.select(
+        F.col("a").alias(id_col + "_a"), F.col("b").alias(id_col + "_b"), "score"
+    )

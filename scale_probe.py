@@ -66,6 +66,26 @@ def main() -> None:
         query_id="qid", corpus_id="vec_id", query_vec="qv", corpus_vec="vec",
     ).count()
     t["lsh_ann"] = round(time.time() - t0, 2)
+
+    # approximate kNN GRAPH: the scale alternative to the exact all-pairs
+    # plan above — bucket-collision pairs instead of N² scores. Measured on
+    # DISTINCT synthesized vectors: the inflated corpus is EMB_COPIES exact
+    # clones of each embedding, and clone pairs collide in every LSH table
+    # (the operator's documented degenerate case — dedup first on real data)
+    distinct_vecs = (
+        spark.range(n_emb)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> cast(sin(id * i + i) as float))"
+            ).alias("vec"),
+        )
+    )
+    t0 = time.time()
+    out_rows["knn_graph_lsh"] = knn.lsh_knn_self_join(
+        distinct_vecs, k=3, n_planes=9, n_tables=8, id_col="vec_id", vec_col="vec"
+    ).count()
+    t["knn_graph_lsh"] = round(time.time() - t0, 2)
     big_emb.unpersist()
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")

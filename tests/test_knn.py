@@ -204,3 +204,30 @@ def test_lsh_signature_expr_matches_udf(spark):
         lsh_signature_udf(planes)(F.col("vec")).alias("u"),
     ).collect()
     assert all(r["e"] == r["u"] for r in out)
+
+
+def test_lsh_self_join_graph(spark, sf_dir):
+    """The LSH kNN graph: no self-edges, <= k neighbors per node, decent
+    overlap with the exact graph, and self-matches never surface even
+    though they always collide."""
+    _, c = sides(spark, sf_dir, n_q=1)
+    approx = knn.lsh_knn_self_join(
+        c, k=3, n_planes=4, n_tables=8, id_col="id", vec_col="vec"
+    )
+    rows = approx.collect()
+    assert all(r["id_a"] != r["id_b"] for r in rows)
+    per = {}
+    for r in rows:
+        per[r["id_a"]] = per.get(r["id_a"], 0) + 1
+    assert max(per.values()) <= 3
+    # overlap with exact top-3 (excluding self) on a probe subset
+    probe = c.filter(F.col("id") < 10).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    exact = knn.expr_knn_join(probe, c, k=4)
+    exact_pairs = {
+        (r["query_id"], r["id"]) for r in exact.collect() if r["query_id"] != r["id"]
+    }
+    approx_pairs = {(r["id_a"], r["id_b"]) for r in rows if r["id_a"] < 10}
+    recall = len(exact_pairs & approx_pairs) / max(len(exact_pairs), 1)
+    assert recall >= 0.3, f"graph recall collapsed: {recall}"
