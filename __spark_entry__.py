@@ -1600,6 +1600,22 @@ def q_token_offset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.token_offset_shards(docs, tokens_per_shard=2048, salt="tos")
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ weekly retention cohorts: users grouped by first-activity week,
+    distinct active users per (cohort_week, week_offset). Two hash-aggs +
+    one co-partitioned join on user_id — the standard warehouse cohort
+    shape, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.unix_timestamp("ts") / F.lit(604_800)).cast("bigint")
+    activity = ev.select("user_id", week.alias("w")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("w").alias("w0"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(F.col("w0").alias("cohort_week"), (F.col("w") - F.col("w0")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ declarative data-quality checks: five expectations over events in
     ONE scan (conditional aggregates; the check cost never multiplies by
@@ -1848,6 +1864,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "token_offset_shards": q_token_offset_shards,
         "stream_enrich_counts": q_stream_enrich_counts,
         "data_expectations": q_data_expectations,
+        "retention_cohorts": q_retention_cohorts,
         "knn_join": q_knn_join,
         "dedup_exact": q_dedup_exact,
         # --- beyond the window: standalone variants of the merged gates
@@ -2885,6 +2902,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(r // 64 AS BIGINT) AS shard,
                CAST(r % 64 AS BIGINT) AS pos_in_shard
         FROM ranked
+    """
+    d["retention_cohorts"] = """
+        WITH activity AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+          FROM events
+        ), cohort AS (
+          SELECT user_id, min(w) AS w0 FROM activity GROUP BY 1
+        )
+        SELECT w0 AS cohort_week, w - w0 AS week_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2
     """
     d["data_expectations"] = """
         WITH agg AS (

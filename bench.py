@@ -91,6 +91,7 @@ HEADLINE = [
     "bpe_tokenize",
     "stream_enrich_counts",
     "data_expectations",
+    "retention_cohorts",
 ]
 
 
