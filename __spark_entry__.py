@@ -1600,6 +1600,16 @@ def q_token_offset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.token_offset_shards(docs, tokens_per_shard=2048, salt="tos")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ canonical selection: among exact duplicates keep the highest
+    quality-score doc (ties to smallest id) — the struct-max argmax stays
+    in HashAggregate, no window."""
+    docs = _docs(spark, sf_dir)
+    return dedup.exact_dedup_keep_best(
+        docs, F.round(text_ops.quality_score_expr(F.col("text")), 6)
+    )
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ weekly retention cohorts: users grouped by first-activity week,
     distinct active users per (cohort_week, week_offset). Two hash-aggs +
@@ -1865,6 +1875,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_enrich_counts": q_stream_enrich_counts,
         "data_expectations": q_data_expectations,
         "retention_cohorts": q_retention_cohorts,
+        "dedup_keep_best": q_dedup_keep_best,
         "knn_join": q_knn_join,
         "dedup_exact": q_dedup_exact,
         # --- beyond the window: standalone variants of the merged gates
@@ -2902,6 +2913,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(r // 64 AS BIGINT) AS shard,
                CAST(r % 64 AS BIGINT) AS pos_in_shard
         FROM ranked
+    """
+    d["dedup_keep_best"] = f"""
+        WITH scored AS (
+          SELECT doc_id, md5({_DK_NORM}) AS fp, {_DK_QUALITY} AS s FROM documents
+        ), ranked AS (
+          SELECT doc_id, fp, s,
+                 count(*) OVER (PARTITION BY fp) AS dup_count,
+                 row_number() OVER (PARTITION BY fp ORDER BY s DESC, doc_id) AS rn
+          FROM scored
+        )
+        SELECT doc_id, fp, dup_count, s AS score FROM ranked WHERE rn = 1
     """
     d["retention_cohorts"] = """
         WITH activity AS (

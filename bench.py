@@ -92,6 +92,7 @@ HEADLINE = [
     "stream_enrich_counts",
     "data_expectations",
     "retention_cohorts",
+    "dedup_keep_best",
 ]
 
 

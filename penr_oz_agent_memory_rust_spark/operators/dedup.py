@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from penr_oz_agent_memory_rust_spark.functions import hashing, similarity
 
@@ -449,3 +449,35 @@ def incremental_exact_dedup(
     return batch.join(
         seen_fps.select(fp_col).distinct(), on=fp_col, how="left_anti"
     ).select(id_col, fp_col)
+
+
+def exact_dedup_keep_best(
+    docs: DataFrame,
+    score_expr: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """★ canonical selection: among exact duplicates (same normalized-text
+    fingerprint), keep the highest-`score_expr` doc (ties to smallest id) —
+    the operational "which copy survives" policy (keep the best-quality
+    capture, not the lowest id). Output: (doc_id, fp, dup_count, score).
+
+    One shuffle on fp; the per-group argmax is a max over (score, -id)
+    structs, so it stays in HashAggregate — no window, no sort."""
+    scored = docs.select(
+        F.col(id_col),
+        hashing.fingerprint(F.col(text_col)).alias("fp"),
+        score_expr.alias("__s"),
+    )
+    # max of (score ASC, id DESC) struct == argmax score, min id on ties;
+    # negate the id so the struct max breaks ties toward the SMALLEST id
+    best = scored.groupBy("fp").agg(
+        F.max(F.struct(F.col("__s"), (-F.col(id_col)).alias("__negid"))).alias("b"),
+        F.count("*").alias("dup_count"),
+    )
+    return best.select(
+        (-F.col("b.__negid")).cast("bigint").alias(id_col),
+        "fp",
+        "dup_count",
+        F.col("b.__s").alias("score"),
+    )

@@ -157,3 +157,32 @@ def test_incremental_dedup_semantics(spark):
     seen = exact_dedup(old).select("fp")
     kept = {r["doc_id"] for r in incremental_exact_dedup(new, seen).collect()}
     assert kept == {11, 13}
+
+
+def test_keep_best_selects_highest_quality(spark):
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators.dedup import exact_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello World"),   # same fp group (normalization collapses)
+            (2, "hello   world"),
+            (3, "hello world"),
+            (9, "unique doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # score favors doc 2 (longest raw text in the dup group)
+    out = {
+        r["doc_id"]: (r["dup_count"], r["score"])
+        for r in exact_dedup_keep_best(df, F.length("text").cast("double")).collect()
+    }
+    assert set(out) == {2, 9}
+    assert out[2][0] == 3
+    # tie case: equal scores keep the smallest id
+    tie = spark.createDataFrame(
+        [(5, "same text"), (4, "same text")], "doc_id bigint, text string"
+    )
+    kept = exact_dedup_keep_best(tie, F.lit(1.0)).collect()
+    assert [r["doc_id"] for r in kept] == [4]
