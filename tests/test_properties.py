@@ -243,3 +243,55 @@ def test_simhash_matches_pure_python(spark):
     got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
     exp = {i: py_simhash(t) for i, t in enumerate(texts)}
     assert got == exp
+
+
+def test_global_rank_property_random_ids(spark):
+    """Property: for arbitrary string keys (duplicates included via the id
+    tiebreak), the bucketed distributed rank equals Python's sorted()
+    position — the operator's entire contract in one assertion."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators.export import exact_global_rank
+
+    rng = random.Random(1234)
+    n = 500
+    ids = rng.sample(range(100_000), n)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint").withColumn(
+        "k", F.md5(F.col("doc_id").cast("string"))
+    )
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in exact_global_rank(df, "k", "doc_id", bucket_chars=1).collect()
+    }
+    import hashlib
+
+    expected_order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    exp = {doc: pos for pos, doc in enumerate(expected_order)}
+    assert got == exp
+
+
+def test_token_mixture_budget_boundary_property(spark):
+    """Property: for random doc lengths, the selected set is exactly the
+    maximal prefix (in md5 order) whose preceding token total is under the
+    budget — recomputed independently in Python."""
+    import hashlib
+    import random
+
+    from penr_oz_agent_memory_rust_spark.operators.corpus import corpus_token_mixture
+
+    rng = random.Random(7)
+    rows = [(i, "w " * rng.randint(1, 60), "en") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    budget = 1500
+    got = sorted(
+        r["doc_id"] for r in corpus_token_mixture(df, {"en": 1.0}, budget).collect()
+    )
+    order = sorted(rows, key=lambda r: (hashlib.md5(("" + str(r[0])).encode()).hexdigest(), r[0]))
+    acc, exp = 0, []
+    for i, text, _ in order:
+        if acc < budget:
+            exp.append(i)
+        acc += len(text.split())
+    assert got == sorted(exp)
