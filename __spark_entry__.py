@@ -2636,8 +2636,8 @@ def oracle_sql() -> dict[str, str]:
         "events_variant_agg": """
             SELECT event_type,
                    count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_total,
-                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+                   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
             FROM events GROUP BY event_type
         """,
         "skew_salted_pipeline": """

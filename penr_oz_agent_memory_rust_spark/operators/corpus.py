@@ -261,6 +261,12 @@ def corpus_token_mixture(
     start offset already meets the budget are dropped BEFORE the sort —
     at scale the selected head of each group is all that ever gets
     sorted.
+
+    NOTE: the source is scanned twice (an EAGER offsets job runs at
+    DataFrame-construction time, then the window pass at action time);
+    the filtered/keyed source is persisted across the two passes so a
+    non-deterministic input cannot yield offsets inconsistent with the
+    window pass.
     """
     from penr_oz_agent_memory_rust_spark.operators import text_ops
 
@@ -282,7 +288,7 @@ def corpus_token_mixture(
         .withColumn("__toks", toks)
         .withColumn("__k", order_key)
         .withColumn("__bucket", F.substring("__k", 1, 2))
-    )
+    ).persist()
     counts = (
         src.groupBy(group_col, "__bucket").agg(F.sum("__toks").alias("t")).collect()
     )
@@ -296,8 +302,12 @@ def corpus_token_mixture(
             offsets.append((g, b, acc))
             acc += t
     spark = docs.sparkSession
+    # build the offsets frame with the SOURCE column's dtype, not a
+    # hardcoded string — an int domain id must join back losslessly
+    group_dtype = dict(docs.dtypes)[group_col]
     off = spark.createDataFrame(
-        offsets or [("", "", 0)], f"{group_col} string, __bucket string, __off bigint"
+        [(g, b, o) for g, b, o in offsets] or [],
+        f"{group_col} {group_dtype}, __bucket string, __off bigint",
     )
     w = (
         Window.partitionBy(group_col, "__bucket")

@@ -462,22 +462,22 @@ def exact_dedup_keep_best(
     the operational "which copy survives" policy (keep the best-quality
     capture, not the lowest id). Output: (doc_id, fp, dup_count, score).
 
-    One shuffle on fp; the per-group argmax is a max over (score, -id)
-    structs, so it stays in HashAggregate — no window, no sort."""
+    One shuffle on fp; the per-group argmax is a min_by over a
+    (-score, id) struct key, so it stays in HashAggregate — no window, no
+    sort — and the id keeps its source dtype (string ids tiebreak
+    lexicographically). score_expr must be numeric (it is negated to
+    build the tiebreak key)."""
     scored = docs.select(
         F.col(id_col),
         hashing.fingerprint(F.col(text_col)).alias("fp"),
         score_expr.alias("__s"),
     )
-    # max of (score ASC, id DESC) struct == argmax score, min id on ties;
-    # negate the id so the struct max breaks ties toward the SMALLEST id
+    # min over the (-score, id) struct == argmax score, smallest id on
+    # ties; min_by carries the ORIGINAL id value, so its type survives
+    tiebreak = F.struct((-F.col("__s")).alias("__ns"), F.col(id_col).alias("__id"))
     best = scored.groupBy("fp").agg(
-        F.max(F.struct(F.col("__s"), (-F.col(id_col)).alias("__negid"))).alias("b"),
+        F.min_by(F.col(id_col), tiebreak).alias(id_col),
+        F.max("__s").alias("score"),
         F.count("*").alias("dup_count"),
     )
-    return best.select(
-        (-F.col("b.__negid")).cast("bigint").alias(id_col),
-        "fp",
-        "dup_count",
-        F.col("b.__s").alias("score"),
-    )
+    return best.select(id_col, "fp", "dup_count", "score")

@@ -63,6 +63,11 @@ def exact_global_rank(
     Executor-side: one hash shuffle on the bucket + a per-bucket sort; at
     100 TB pick bucket_chars=4 (65 536 buckets) to keep each bucket's
     window task ~corpus/65 536 rows.
+
+    NOTE: the input is scanned twice — an EAGER per-bucket count job runs
+    at DataFrame-construction time, then the rank pass at action time.
+    The input must therefore be deterministic under re-evaluation (no
+    un-seeded sample/rand/limit upstream); persist such an input first.
     """
     bucket = F.substring(F.col(key_col), 1, bucket_chars)
     src = df.withColumn("__bucket", bucket)
@@ -158,7 +163,11 @@ def write_training_shards(
     count."""
     sharded = assign_shards(df, id_col, rows_per_shard, salt).persist()
     try:
-        n_shards = int(sharded.agg(F.max("shard")).first()[0]) + 1
+        max_shard = sharded.agg(F.max("shard")).first()[0]
+        if max_shard is None:  # empty input: write an empty dir, 0 shards
+            sharded.limit(0).write.mode("overwrite").partitionBy("shard").parquet(path)
+            return 0
+        n_shards = int(max_shard) + 1
         (
             sharded.repartition(n_shards, "shard")
             .sortWithinPartitions("shard", "pos_in_shard")

@@ -118,7 +118,12 @@ def token_offset_shards(
     cumulative sum over ONE global md5 ordering — computed per hash bucket
     with broadcast offsets, the same no-global-window shape as
     export.exact_global_rank, but accumulating token counts instead of row
-    counts."""
+    counts.
+
+    NOTE: the input is scanned twice (eager per-bucket token-sum job at
+    construction time, window pass at action time) — it must be
+    deterministic under re-evaluation; persist non-deterministic inputs
+    first (see export.exact_global_rank)."""
     if tokens_per_shard < 1:
         raise ValueError(f"tokens_per_shard must be >= 1, got {tokens_per_shard}")
     from penr_oz_agent_memory_rust_spark.operators import text_ops

@@ -384,15 +384,20 @@ def enrich_stream_with_dim(
     dim: DataFrame,
     on: str,
     dim_cols: list[str],
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment join: every micro-batch hash-joins against
-    the (batch) dimension frame — Spark re-plans the static side per batch,
-    so a small dim broadcasts and a huge one shuffle-joins, both without
-    any state store. The canonical shape for decorating an event stream
-    with slowly-changing reference data."""
-    return events_stream.join(
-        F.broadcast(dim.select(on, *dim_cols)), on, "left"
-    )
+    the (batch) dimension frame without any state store. The canonical
+    shape for decorating an event stream with slowly-changing reference
+    data.
+
+    ``broadcast_dim=True`` (default) pins a broadcast-hash join — correct
+    for a dimension that fits in executor memory and avoids a
+    per-micro-batch shuffle. For a huge dimension pass ``False`` so
+    Spark's per-batch planning picks a shuffle join instead of
+    broadcasting (and OOMing on) the big side."""
+    d = dim.select(on, *dim_cols)
+    return events_stream.join(F.broadcast(d) if broadcast_dim else d, on, "left")
 
 
 def run_enriched_counts_once(

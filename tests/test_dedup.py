@@ -186,3 +186,32 @@ def test_keep_best_selects_highest_quality(spark):
     )
     kept = exact_dedup_keep_best(tie, F.lit(1.0)).collect()
     assert [r["doc_id"] for r in kept] == [4]
+
+
+def test_keep_best_preserves_string_ids(spark):
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators.dedup import exact_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [
+            ("b", "same text"),
+            ("a", "same text"),
+            ("c", "other"),
+        ],
+        "doc_id string, text string",
+    )
+    out = exact_dedup_keep_best(df, F.lit(1.0), id_col="doc_id")
+    assert dict(out.dtypes)["doc_id"] == "string"
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {"a", "c"}  # tie in the dup group -> smallest id
+
+
+def test_keep_best_int_id_dtype_survives(spark):
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators.dedup import exact_dedup_keep_best
+
+    df = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id int, text string")
+    out = exact_dedup_keep_best(df, F.length("text").cast("double"))
+    assert dict(out.dtypes)["doc_id"] == "int"

@@ -108,3 +108,9 @@ def test_write_round_trip(spark, sf_dir, tmp_path):
         r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in back.collect()
     }
     assert fresh == loaded
+
+
+def test_write_empty_input_zero_shards(spark, tmp_path):
+    d = spark.createDataFrame([], "doc_id bigint, text string")
+    out = str(tmp_path / "empty_shards")
+    assert export.write_training_shards(d, out, "doc_id", rows_per_shard=10) == 0

@@ -1,0 +1,96 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB against the same sf0.01 parquet tables, then compares row count,
+schema (sorted column names), and a value hash that encodes dtype + value
+(so a DuckDB HUGEINT vs Spark bigint mismatch shows up, matching the
+driver's behavior observed in round 2).
+
+Usage:
+    python tools/check_correctness.py                # all oracle-checked queries
+    python tools/check_correctness.py q1 q2 ...      # just these
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from penr_oz_agent_memory_rust_spark.session import get_spark
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for col in df.columns:
+        s = df[col]
+        h.update(f"{col}:{s.dtype}".encode())
+        for v in s:
+            if isinstance(v, float):
+                v = round(v, 6)
+            h.update(repr(v).encode())
+    return h.hexdigest()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="poz-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results: dict[str, dict] = {}
+    for name, sql in oracles.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = _canon(qs[name](spark, sf_dir).toPandas())
+            odf = _canon(con.execute(sql).fetchdf())
+            rows = len(sdf) == len(odf)
+            schema = list(sdf.columns) == list(odf.columns)
+            hmatch = rows and schema and _value_hash(sdf) == _value_hash(odf)
+            results[name] = {
+                "rows_match": rows,
+                "schema_match": schema,
+                "hash_match": hmatch,
+                "spark_rows": len(sdf),
+                "oracle_rows": len(odf),
+                "err": None,
+            }
+            if not hmatch:
+                results[name]["spark_dtypes"] = {c: str(sdf[c].dtype) for c in sdf.columns}
+                results[name]["oracle_dtypes"] = {c: str(odf[c].dtype) for c in odf.columns}
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"err": f"{type(e).__name__}: {e}"}
+        flag = "OK " if results[name].get("hash_match") else "FAIL"
+        print(f"{flag} {name}: {json.dumps({k: v for k, v in results[name].items() if k not in ('spark_dtypes', 'oracle_dtypes')})}")
+    bad = {k: v for k, v in results.items() if not v.get("hash_match")}
+    print(json.dumps({"checked": len(results), "failed": sorted(bad)}, indent=None))
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
