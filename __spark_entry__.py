@@ -105,13 +105,38 @@ def _query_side(spark: SparkSession, sf_dir: str, max_id: int = 8) -> DataFrame:
     )
 
 
-def _scored_vs_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scored_vs_q0(spark: SparkSession, sf_dir: str, src: DataFrame | None = None) -> DataFrame:
     """embeddings scored against the vec_id=0 vector (f64, rounded 6dp);
     the §3.1 search plan: broadcast 1-row query side, cosine, drop NULLs.
     Norms are projected per side before the score expression (see
     similarity.cosine_f64_prenormed) — identical f64 values, ~2x less
-    interpreted higher-order-function work per row."""
-    emb = _emb(spark, sf_dir)
+    interpreted higher-order-function work per row. `src` substitutes a
+    different corpus frame (e.g. a persisted index's data files); the
+    query vector always comes from the embeddings table."""
+    emb = src if src is not None else _emb(spark, sf_dir)
+    if src is not None:
+        qv0 = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"),
+            similarity.norm_f64(F.col("embedding")).alias("__qn"),
+        )
+        return (
+            emb.withColumn("__en", similarity.norm_f64(F.col("embedding")))
+            .crossJoin(F.broadcast(qv0))
+            .withColumn(
+                "score",
+                F.round(
+                    similarity.cosine_f64_prenormed(
+                        similarity.dot_f64(F.col("embedding"), F.col("qv")),
+                        F.col("__en"),
+                        F.col("__qn"),
+                        F.size("embedding") == F.size("qv"),
+                    ),
+                    6,
+                ),
+            )
+            .filter(F.col("score").isNotNull())
+            .drop("__en", "__qn")
+        )
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"),
         similarity.norm_f64(F.col("embedding")).alias("__qn"),
@@ -1797,6 +1822,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Registration order is load-bearing: the driver evaluates a bounded
+def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ streaming → ANN-index incremental build: the persisted IVF index
+    is built from HALF the corpus (even vec_ids, trained centroids), then
+    the other half arrives as a REAL availableNow parquet stream whose
+    micro-batches are appended into the index's cell partitions with the
+    existing centroids (streaming.run_ivf_append_once → foreachBatch →
+    ivf_index.append_to_ivf_index). The gate then searches the streamed
+    index probing ALL cells, which makes the result the EXACT top-k over
+    the full corpus — so the DuckDB brute-force oracle checks that
+    search-after-append covers every row (a dropped or duplicated
+    micro-batch row changes the result set). Probe-limited (approximate)
+    search over the same machinery is exercised by ivf_ann and
+    tests/test_ivf_index.py."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from penr_oz_agent_memory_rust_spark.operators import ivf_index
+    from penr_oz_agent_memory_rust_spark.streaming import ingest as _ingest
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"stream|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = f"stream|{sf_dir}"
+    path = os.path.join(
+        _tf.gettempdir(), f"__ivf_streamed_{_hl.md5(ident.encode()).hexdigest()[:12]}"
+    )
+    marker = os.path.join(path, "_STREAMED_OK")
+    if not os.path.exists(marker):
+        if os.path.exists(path):  # partial state from an interrupted run
+            _sh.rmtree(path)
+        emb = _emb(spark, sf_dir)
+        ivf_index.build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            path,
+            id_col="vec_id",
+            vec_col="embedding",
+            n_centroids=8,
+            n_iters=3,
+        )
+        incoming = os.path.join(path, "_incoming")
+        emb.filter(F.col("vec_id") % 2 == 1).write.mode("overwrite").parquet(incoming)
+        _ingest.run_ivf_append_once(spark, incoming, path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    idx = spark.read.parquet(os.path.join(path, "data")).select("vec_id", "embedding")
+    return topk.top_k(
+        _scored_vs_q0(spark, sf_dir, src=idx), "score", 12, tiebreak="vec_id"
+    ).select("vec_id", "score")
+
+
 # prefix (~50) of this dict, so slots 1-50 hold one oracle-checked gate
 # per §2 operator and per flagship ★ pipeline (merged q_* gates bundle
 # sibling variants). Slots beyond the window hold the standalone variants
@@ -1847,6 +1925,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- window: ★ streaming + time-series
         "stream_window_agg": q_stream_window_agg,
         "stream_dedup_distinct": q_stream_dedup_distinct,
+        "stream_ivf_append": q_stream_ivf_append,
         "sessionization": q_sessionization,
         "asof_join_suite": q_asof_join_suite,
         "events_followup_day": q_events_followup_day,
@@ -2049,6 +2128,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_dk_norm_pos('e.embedding')} AND {_dk_norm_pos('q.qv')}
               AND {cos_e_q} >= 0.15
             ORDER BY score DESC, e.vec_id LIMIT 100
+        """,
+        "stream_ivf_append": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id, {cos_e_q} AS score
+            FROM embeddings e, q
+            WHERE {_dk_norm_pos('e.embedding')} AND {_dk_norm_pos('q.qv')}
+            ORDER BY score DESC, e.vec_id LIMIT 12
         """,
         "mem_delete_anti_join": """
             SELECT vec_id, label FROM embeddings

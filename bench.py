@@ -63,6 +63,7 @@ HEADLINE = [
     "corpus_mix",
     "stream_window_agg",
     "stream_dedup_distinct",
+    "stream_ivf_append",
     "sessionization",
     "asof_join_suite",
     "events_followup_day",
@@ -131,7 +132,7 @@ def main() -> None:
         .save()
     )
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     # interleaved rounds (q1..qN, q1..qN, ...) rather than back-to-back
     # repeats: VM noise is bursty, so spreading a query's runs across the
     # whole wall-clock window decorrelates them from any one burst
@@ -140,9 +141,12 @@ def main() -> None:
             fn = qs[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            samples[name].append(round(time.time() - t0, 3))
+    timings = {name: min(ts) for name, ts in samples.items()}
+    # per-query run variance: max-min over the interleaved runs, so a
+    # cross-round regression can be told apart from VM noise (a delta
+    # smaller than the query's spread is not a signal)
+    spread = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -151,6 +155,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
                 "runs": runs,
             }

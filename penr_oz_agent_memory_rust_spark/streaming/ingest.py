@@ -431,3 +431,42 @@ def run_enriched_counts_once(
         q.awaitTermination()
         q.stop()
         return spark.table(name)
+
+
+def run_ivf_append_once(
+    spark: SparkSession,
+    incoming_dir: str,
+    index_path: str,
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental ANN-index maintenance as a REAL streaming job: new
+    embedding batches arriving in `incoming_dir` are assigned to the
+    EXISTING centroids and appended into the persisted IVF index's cell
+    partitions (operators/ivf_index.append_to_ivf_index) via foreachBatch,
+    availableNow-triggered so the call drains what is currently there and
+    returns.
+
+    The checkpoint lives beside the index, so a re-run never reprocesses
+    files already appended (exactly-once per file across restarts — the
+    property that makes continuous index maintenance safe). Scale: the
+    per-batch work is a pure-expression cell assignment + partitioned
+    append; no state store, no driver materialization. Returns the number
+    of micro-batches executed."""
+    from penr_oz_agent_memory_rust_spark.operators import ivf_index
+
+    schema = spark.read.parquet(incoming_dir).schema
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    n_batches = {"n": 0}
+
+    def _append(bdf: DataFrame, _bid: int) -> None:
+        ivf_index.append_to_ivf_index(bdf, index_path, vec_col=vec_col)
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", os.path.join(index_path, "_append_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

@@ -118,3 +118,55 @@ def test_search_recall_and_self_match(spark, sf_dir, index_path):
     exact = {int(r["id"]) for r in memory_store.search(mem, qv, limit=5).collect()}
     approx = {r["vec_id"] for r in got}
     assert len(exact & approx) / len(exact) >= 0.4
+
+
+def test_streaming_append_equals_batch_build(spark, sf_dir, tmp_path):
+    """search-after-STREAMED-append == one-shot batch build with the same
+    centroids: the streamed index holds exactly the same (cell, row) sets,
+    and a re-run of the availableNow job is a no-op (checkpointed files
+    are never reprocessed)."""
+    import os
+
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import run_ivf_append_once
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+
+    streamed = str(tmp_path / "streamed")
+    ivf_index.build_ivf_index(base, streamed, n_centroids=4, n_iters=3)
+    incoming = str(tmp_path / "incoming")
+    rest.write.parquet(incoming)
+    n1 = run_ivf_append_once(spark, incoming, streamed)
+    assert n1 >= 1
+
+    # batch twin: same centroids (sidecar copy), all rows assigned at once
+    batch = str(tmp_path / "batch")
+    os.makedirs(batch)
+    import shutil
+
+    shutil.copy(
+        os.path.join(streamed, "centroids.json"), os.path.join(batch, "centroids.json")
+    )
+    ivf_index.append_to_ivf_index(emb, batch)
+
+    def snap(path):
+        return {
+            (r["ivf_cell"], r["vec_id"])
+            for r in spark.read.parquet(os.path.join(path, "data"))
+            .select("ivf_cell", "vec_id")
+            .collect()
+        }
+
+    assert snap(streamed) == snap(batch)
+    # searches agree exactly (same cells, same vectors)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    s1 = ivf_index.search_ivf_index(spark, streamed, qv, k=7, n_probes=4).collect()
+    s2 = ivf_index.search_ivf_index(spark, batch, qv, k=7, n_probes=4).collect()
+    assert [(r["vec_id"], r["score"]) for r in s1] == [
+        (r["vec_id"], r["score"]) for r in s2
+    ]
+    # idempotence: draining the same inbox again appends nothing
+    before = spark.read.parquet(os.path.join(streamed, "data")).count()
+    run_ivf_append_once(spark, incoming, streamed)
+    assert spark.read.parquet(os.path.join(streamed, "data")).count() == before

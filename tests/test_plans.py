@@ -254,3 +254,45 @@ def test_count_mixture_window_group_limit(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     df = corpus_mixture_sample(d, {"en": 0.5, "de": 0.25, "fr": 0.25}, n_total=40)
     assert "WindowGroupLimit" in explain.physical_plan(df)
+
+
+def test_keep_best_no_window_single_fp_shuffle(spark, sf_dir):
+    """Canonical dedup selection must stay a HashAggregate argmax (min_by
+    over the tiebreak struct) — a Window + row_number here would add a
+    per-group sort; and the only shuffle is the one on fp."""
+    from penr_oz_agent_memory_rust_spark.operators.dedup import exact_dedup_keep_best
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = exact_dedup_keep_best(d, F.length("text").cast("double"))
+    plan = explain.physical_plan(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert explain.count_shuffle_exchanges(df) == 1, plan
+
+
+def test_retention_cohorts_two_agg_no_window(spark, sf_dir):
+    """The cohort query is two hash-aggs + a co-partitioned join — no
+    window functions, no sort-merge of the fact against itself beyond the
+    user_id co-partitioning, and no broadcast of the (large) activity
+    side."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["retention_cohorts"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_ivf_search_partition_prune_and_heap(spark, sf_dir, tmp_path):
+    """The streamed-index search plan: the cell filter must prune
+    partitions at the scan and the top-k must be a TakeOrderedAndProject
+    heap, exactly like the batch-built index."""
+    from penr_oz_agent_memory_rust_spark.operators import ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    ivf_index.build_ivf_index(emb, str(tmp_path / "ix"), n_centroids=4, n_iters=2)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    df = ivf_index.search_ivf_index(spark, str(tmp_path / "ix"), qv, k=5, n_probes=2)
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan
+    assert "ivf_cell" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "TakeOrderedAndProject" in plan
