@@ -621,8 +621,8 @@ def lsh_knn_join_multiprobe(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 16,
     dim: int = 64,
     seed: int = 42,
     query_id: str = "query_id",
@@ -639,7 +639,14 @@ def lsh_knn_join_multiprobe(
     bucket selectivity (bits), unlike the single-table variant where the
     only lever (fewer planes) also blows up bucket size. Still fully
     distributed: one Arrow signature pass per side, equi-join on
-    (table, bucket), distinct, re-score."""
+    (table, bucket), distinct, re-score.
+
+    Defaults (4 planes x 16 tables) come from the measured worst case
+    (`python scale_probe.py recall`, PLANS.md "Recall probe"): on the
+    near-uniform sf0.1 embeddings — minimal neighbor contrast, the
+    hardest regime for LSH — they reach recall@10 ~= 0.93, and
+    (4, 24)/(4, 32) clear 0.95/0.99; clustered real-world embeddings
+    need fewer tables for the same recall."""
     candidates = _lsh_bucket_join(
         queries,
         corpus,

@@ -144,3 +144,34 @@ class ParquetTable:
         materialized = self.spark.read.schema(self.schema).format(self.fmt).load(tmp)
         self._writer(materialized, "overwrite").format(self.fmt).save(self.path)
         shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+
+    # -- mutation interface (shared with the Delta backend) ----------------
+    # On plain Parquet these are read-modify-overwrite, O(table); the
+    # DeltaTableIO twin (sources/delta_tables.py) implements the same three
+    # calls as transactional MERGE/DELETE/UPDATE, O(matched files). Code
+    # written against this interface gets the upgrade by swapping the
+    # constructor.
+
+    def merge_upsert(self, updates: DataFrame, key_cols: list[str]) -> None:
+        """Last-writer-wins upsert by key (S4): incoming rows replace
+        same-key rows, others are appended."""
+        current = self.read()
+        survivors = current.join(
+            F.broadcast(updates.select(*key_cols).distinct()), key_cols, "left_anti"
+        )
+        self.overwrite(survivors.unionByName(updates.select(*[f.name for f in self.schema.fields])))
+
+    def delete_where(self, condition) -> None:
+        """Delete rows matching a Column/SQL-string predicate (S3)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        self.overwrite(self.read().filter(~cond | cond.isNull()))
+
+    def update_where(self, condition, assignments: dict) -> None:
+        """Conditional in-place update (C3 touch): set `assignments`
+        (col -> Column/SQL-string) on rows matching the predicate."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        df = self.read()
+        for col, val in assignments.items():
+            v = F.expr(val) if isinstance(val, str) else val
+            df = df.withColumn(col, F.when(cond, v).otherwise(F.col(col)))
+        self.overwrite(df)

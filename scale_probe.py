@@ -39,6 +39,96 @@ def inflate(df, copies: int, id_col: str, stride: int):
     return out
 
 
+def recall_probe() -> None:
+    """Measure recall@k + runtime of the approximate ANN paths against
+    exact top-k on the sf0.1 embeddings (`python scale_probe.py recall`).
+    The grid answers "which (planes, tables, probes) settings clear 0.95
+    recall, and what does each cost" — results recorded in PLANS.md and
+    reflected in the operators' defaults."""
+    import shutil
+    import tempfile
+
+    from penr_oz_agent_memory_rust_spark.operators import ivf_index
+
+    spark = get_spark(app_name="poz-recall-probe")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    n = emb.count()
+    k = 10
+    n_queries = 200
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .cache()
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    q.count()
+
+    exact = knn.expr_knn_join(
+        q, c, k=k, query_id="qid", query_vec="qv", corpus_id="cid", corpus_vec="cvec"
+    )
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r["qid"], set()).add(r["cid"])
+
+    def recall_of(df, id_col="cid"):
+        hits = 0
+        for r in df.collect():
+            if r[id_col] in truth.get(r["qid"], ()):  # noqa: SIM401
+                hits += 1
+        return round(hits / (len(truth) * k), 4)
+
+    results = []
+    for planes, tables in [(4, 8), (4, 16), (4, 24), (4, 32), (5, 16), (6, 16)]:
+        t0 = time.time()
+        approx = knn.lsh_knn_join_multiprobe(
+            q, c, k=k, n_planes=planes, n_tables=tables,
+            query_id="qid", query_vec="qv", corpus_id="cid", corpus_vec="cvec",
+        )
+        rec = recall_of(approx)
+        results.append(
+            {
+                "op": "lsh_multiprobe",
+                "planes": planes,
+                "tables": tables,
+                "recall_at_10": rec,
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+
+    for n_cents, probes_list in [(8, (2, 4, 6, 7)), (16, (4, 8, 12)), (32, (8,))]:
+        path = tempfile.mkdtemp(prefix="poz_recall_ivf_")
+        try:
+            t0 = time.time()
+            ivf_index.build_ivf_index(
+                emb, path, id_col="vec_id", vec_col="embedding",
+                n_centroids=n_cents, n_iters=5,
+            )
+            build_s = round(time.time() - t0, 2)
+            for probes in probes_list:
+                t0 = time.time()
+                approx = ivf_index.search_ivf_index_batch(
+                    spark, path, q, k=k, n_probes=probes,
+                    query_id="qid", query_vec="qv",
+                    id_col="vec_id", vec_col="embedding",
+                )
+                rec = recall_of(approx, id_col="vec_id")
+                results.append(
+                    {
+                        "op": "ivf",
+                        "centroids": n_cents,
+                        "probes": probes,
+                        "build_sec": build_s,
+                        "recall_at_10": rec,
+                        "sec": round(time.time() - t0, 2),
+                    }
+                )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+    print(json.dumps({"corpus_rows": n, "queries": len(truth), "k": k, "grid": results}))
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -162,4 +252,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "recall":
+        recall_probe()
+    else:
+        main()
