@@ -137,7 +137,10 @@ class MemoryEngine:
         current = self.memories.read()
         existed = current.filter(F.col("id") == memory_id).limit(1).count() > 0
         if existed:
-            self.memories.overwrite(memory_store.delete(current, [memory_id]))
+            # seam mutation: plain parquet rewrites the table; a Delta
+            # backend turns this into a transactional DELETE of the
+            # matched files only (sources/delta_tables.py)
+            self.memories.delete_where(F.col("id") == memory_id)
         return existed
 
     # ------------------------------------------------ Qdrant-path parity
@@ -177,11 +180,14 @@ class MemoryEngine:
             MEMORY_POINTS_SCHEMA,
         )
         new = vector_store.enrich_session_id(new)  # P8
-        points.overwrite(vector_store.upsert(points.read(), new))  # S4
+        # S4 via the seam: id is always set here, so key-replace == the
+        # last-writer-wins reduction; Delta backend = one MERGE INTO commit
+        points.merge_upsert(new, ["id"])
         if session_id is not None:
-            # best-effort touch (routes.rs:281-283)
-            self.sessions.overwrite(
-                session_store.touch_sessions(self.sessions.read(), [session_id], now=self._clock())
+            # best-effort touch (routes.rs:281-283); Delta backend = UPDATE
+            self.sessions.update_where(
+                F.col("id").isin([session_id]),
+                {"updated_at": F.lit(self._clock()).cast("timestamp")},
             )
         return {
             "id": point_id,
