@@ -65,6 +65,41 @@ def append_to_ivf_index(new_rows: DataFrame, path: str, vec_col: str = "embeddin
     indexed.write.mode("append").partitionBy("ivf_cell").parquet(os.path.join(path, "data"))
 
 
+def compact_ivf_index(spark: SparkSession, path: str) -> dict:
+    """Rewrite the index data so each cell partition holds ONE file — the
+    OPTIMIZE job for a stream-maintained index, where every availableNow
+    append leaves one small file per micro-batch per cell and
+    probe-limited search degrades into a small-file listing problem.
+
+    One shuffle: repartition on the cell column with n_cells target
+    partitions lands every cell's rows in exactly one task (a hash
+    collision only means one task writes two cell directories — still one
+    file each), so the partitioned write emits one file per directory
+    with no single-task bottleneck. The rewrite lands in a temp dir and
+    swaps in with two renames — the read side never sees a
+    half-compacted index. Returns {files_before, files_after, cells}."""
+    import glob
+    import shutil
+
+    data = os.path.join(path, "data")
+    before = len(glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True))
+    n_cells = max(1, len(glob.glob(os.path.join(data, "ivf_cell=*"))))
+    df = spark.read.parquet(data)
+    tmp = data + "__compacting"
+    (
+        df.repartition(n_cells, "ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(tmp)
+    )
+    old = data + "__old"
+    os.rename(data, old)
+    os.rename(tmp, data)
+    shutil.rmtree(old, ignore_errors=True)
+    after = len(glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True))
+    return {"files_before": before, "files_after": after, "cells": n_cells}
+
+
 def search_ivf_index(
     spark: SparkSession,
     path: str,

@@ -238,3 +238,47 @@ def test_push_ann_index_lifecycle(mock_server, spark, sf_dir, tmp_path):
     # idempotent re-push: same end state
     push_ann_index(spark, str(tmp_path / "idx"), client(url), batch_size=32)
     assert len(store.points["test_col"]) == manifest["n_points"]
+
+
+def test_streaming_batches_push_to_store(mock_server, spark, sf_dir, tmp_path):
+    """Connect the streaming ingest to the HTTP pusher: micro-batches of
+    embeddings become upsert bodies pushed per batch — the continuous
+    version of the bulk index push (bounded driver memory per batch)."""
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.sources.ann_push import push_batches
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+    store, url = mock_server
+    store.collections["test_col"] = {}
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            F.col("vec_id").cast("string").alias("point_id"),
+            F.col("embedding").cast("array<float>").alias("vector"),
+        )
+    )
+    inbox = str(tmp_path / "inbox")
+    emb.write.parquet(inbox)
+    schema = spark.read.parquet(inbox).schema
+    stream = spark.readStream.schema(schema).parquet(inbox)
+    c = client(url)
+    pushed = {"n": 0}
+
+    def _push(bdf, _bid):
+        pts = [
+            {"id": r["point_id"], "vector": [float(x) for x in r["vector"]], "payload": {}}
+            for r in bdf.toLocalIterator()
+        ]
+        pushed["n"] += push_batches(c, [pts])
+
+    q = (
+        stream.writeStream.foreachBatch(_push)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert pushed["n"] == 100
+    assert len(store.points["test_col"]) == 100

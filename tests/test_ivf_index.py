@@ -170,3 +170,31 @@ def test_streaming_append_equals_batch_build(spark, sf_dir, tmp_path):
     before = spark.read.parquet(os.path.join(streamed, "data")).count()
     run_ivf_append_once(spark, incoming, streamed)
     assert spark.read.parquet(os.path.join(streamed, "data")).count() == before
+
+
+def test_compact_streamed_index(spark, sf_dir, tmp_path):
+    """After N micro-batch appends each cell dir holds N+1 files; compaction
+    rewrites to one file per cell with identical search results."""
+    import glob
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "ix")
+    ivf_index.build_ivf_index(
+        emb.filter(F.col("vec_id") < 100), path, n_centroids=4, n_iters=2
+    )
+    for lo in (100, 200):
+        ivf_index.append_to_ivf_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)), path
+        )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    before_hits = ivf_index.search_ivf_index(spark, path, qv, k=5, n_probes=4).collect()
+    stats = ivf_index.compact_ivf_index(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+    # exactly one file per cell directory
+    for cell_dir in glob.glob(os.path.join(path, "data", "ivf_cell=*")):
+        assert len(glob.glob(os.path.join(cell_dir, "*.parquet"))) == 1, cell_dir
+    after_hits = ivf_index.search_ivf_index(spark, path, qv, k=5, n_probes=4).collect()
+    assert [(r["vec_id"], r["score"]) for r in before_hits] == [
+        (r["vec_id"], r["score"]) for r in after_hits
+    ]

@@ -231,3 +231,17 @@ def test_lsh_self_join_graph(spark, sf_dir):
     approx_pairs = {(r["id_a"], r["id_b"]) for r in rows if r["id_a"] < 10}
     recall = len(exact_pairs & approx_pairs) / max(len(exact_pairs), 1)
     assert recall >= 0.3, f"graph recall collapsed: {recall}"
+
+
+def test_multiprobe_default_recall_floor(spark, sf_dir):
+    """The probe-derived defaults (4 planes x 16 tables — PLANS.md "Recall
+    probe") must hold a recall floor even on the near-uniform sf vectors,
+    the measured worst case. Deterministic: fixed seed, fixed data."""
+    q, c = sides(spark, sf_dir, n_q=20)
+    exact = {(r["query_id"], r["id"]) for r in knn.expr_knn_join(q, c, k=5).collect()}
+    approx = {
+        (r["query_id"], r["id"])
+        for r in knn.lsh_knn_join_multiprobe(q, c, k=5).collect()  # defaults
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"default-parameter recall regressed: {recall}"
