@@ -33,10 +33,12 @@ class ProviderConfig:
 
 @dataclass
 class VectorStoreConfig:
-    table_path: str  # replaces Qdrant URL: the parquet table location
+    table_path: str  # replaces Qdrant URL: the parquet table location; an
+    # http(s) URL here addresses an EXTERNAL store for the push path
     collection: str = "memory"
     dimensions: int = 768  # src/config.rs:61-64
     distance: str = "cosine"  # Cosine | Euclid | Dot (src/config.rs:66-69)
+    api_key: str | None = None  # src/config.rs:58-60; QDRANT_API_KEY overlay
 
 
 @dataclass
@@ -73,6 +75,7 @@ class EngineConfig:
                 collection=vs.get("collection", "memory"),
                 dimensions=int(vs.get("dimensions", 768)),
                 distance=str(vs.get("distance", "cosine")).lower(),
+                api_key=vs.get("api_key"),
             )
         # Env overlay, mirroring src/config.rs:110-139: URL alone enables,
         # the other two only override an existing config.
@@ -84,6 +87,8 @@ class EngineConfig:
         if cfg.vector_store is not None:
             if env.get("QDRANT_COLLECTION"):
                 cfg.vector_store.collection = env["QDRANT_COLLECTION"]
+            if env.get("QDRANT_API_KEY"):  # src/config.rs:129-133
+                cfg.vector_store.api_key = env["QDRANT_API_KEY"]
 
         sess = data.get("sessions", {})
         cfg.sessions_path = sess.get("path") or cfg.sessions_path

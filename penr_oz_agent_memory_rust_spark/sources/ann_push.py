@@ -65,6 +65,20 @@ class AnnStoreClient:
         self._sleep = sleep
         self._opener = opener or urllib.request.build_opener()
 
+    @classmethod
+    def from_config(cls, vs_cfg) -> "AnnStoreClient":
+        """Build from a config.VectorStoreConfig whose table_path is an
+        http(s) URL (the [qdrant] TOML section / QDRANT_* env overlays,
+        reference src/config.rs:45-69)."""
+        if not str(vs_cfg.table_path).startswith(("http://", "https://")):
+            raise ValueError(
+                "vector_store.table_path is not an http(s) URL; the push "
+                f"client needs an external store address, got {vs_cfg.table_path!r}"
+            )
+        return cls(
+            vs_cfg.table_path, vs_cfg.collection, api_key=vs_cfg.api_key or None
+        )
+
     # -- transport ---------------------------------------------------------
 
     def _request(self, method: str, path: str, body: dict | None = None):

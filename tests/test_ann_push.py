@@ -282,3 +282,25 @@ def test_streaming_batches_push_to_store(mock_server, spark, sf_dir, tmp_path):
     q.awaitTermination()
     assert pushed["n"] == 100
     assert len(store.points["test_col"]) == 100
+
+
+def test_client_from_config_env_overlay():
+    """[qdrant] TOML + QDRANT_* env overlays feed the push client
+    (reference src/config.rs:45-69,110-139: URL enables, collection and
+    api-key override)."""
+    from penr_oz_agent_memory_rust_spark.config import EngineConfig
+    from penr_oz_agent_memory_rust_spark.sources.ann_push import AnnStoreClient
+
+    cfg = EngineConfig.load(
+        path=None,
+        env={
+            "QDRANT_URL": "http://store:6333",
+            "QDRANT_COLLECTION": "mem2",
+            "QDRANT_API_KEY": "k2",
+        },
+    )
+    c = AnnStoreClient.from_config(cfg.vector_store)
+    assert (c.base_url, c.collection, c.api_key) == ("http://store:6333", "mem2", "k2")
+    cfg.vector_store.table_path = "/data/points"
+    with pytest.raises(ValueError, match="http"):
+        AnnStoreClient.from_config(cfg.vector_store)
