@@ -1,0 +1,137 @@
+"""End-to-end training-data pipeline demo — the ★ LLM-pipeline surface in
+one runnable script, the counterpart of examples/agent_demo.py for the
+batch side:
+
+    documents ─ profile ─ quality filter ─ exact+near dedup (keep best)
+              ─ decontaminate vs a held-out set ─ token-budget mixture
+              ─ fixed-size training shards (written to disk)
+    embeddings ─ build IVF index ─ STREAM-append the rest ─ compact
+               ─ push to an external ANN store (local mock here)
+
+Run: python examples/training_pipeline_demo.py        (~1 min, sf0.001)
+Every step is the same oracle-checked operator the driver gates; this
+script only chains them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.operators import (
+    corpus,
+    dedup,
+    export,
+    ivf_index,
+    text_ops,
+)
+from penr_oz_agent_memory_rust_spark.session import get_spark
+from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+from penr_oz_agent_memory_rust_spark.streaming.ingest import run_ivf_append_once
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark(app_name="poz-training-pipeline-demo")
+    work = tempfile.mkdtemp(prefix="poz_pipeline_demo_")
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+    print(f"[1] corpus: {n0} docs from {SF_DIR}")
+
+    # -- profile + quality gate (one scan, all native expressions)
+    profile = text_ops.analyze_documents(docs)
+    scored = docs.join(profile.select("doc_id", "quality"), "doc_id")
+    kept = corpus.quality_quantile_filter(scored, "quality", q=0.25)
+    print(f"[2] quality gate (drop bottom quartile): {kept.count()} docs")
+
+    # -- canonical dedup: among exact duplicates keep the best-quality copy
+    best = dedup.exact_dedup_keep_best(kept, F.col("quality"))
+    canon = kept.join(best.select("doc_id"), "doc_id")
+    print(f"[3] exact dedup keep-best: {canon.count()} docs")
+
+    # -- near-dup pruning via MinHash+LSH (drop the higher id of each pair)
+    pairs = dedup.minhash_lsh_pairs(canon)  # (a, b) id pairs, a < b
+    losers = pairs.select(F.col("b").alias("doc_id")).distinct()
+    canon = canon.join(losers, "doc_id", "left_anti")
+    print(f"[4] minhash near-dup prune: {canon.count()} docs")
+
+    # -- decontaminate against a pretend eval set (every 37th doc)
+    evalset = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+    dirty = corpus.decontaminate(canon, evalset, n=3).filter(F.col("n_overlap") >= 5)
+    canon = canon.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    print(f"[5] decontaminated: {canon.count()} docs")
+
+    # -- token-budget mixture over languages
+    langs = [r[0] for r in canon.select("lang").distinct().collect()]
+    weights = {lang: 1.0 for lang in langs}
+    mixture = corpus.corpus_token_mixture(
+        canon.select("doc_id", "text", "lang"), weights, token_budget=20_000
+    )
+    print(f"[6] token mixture ({len(langs)} langs, 20k budget): {mixture.count()} docs")
+
+    # -- fixed-size shards on disk
+    shards_path = os.path.join(work, "shards")
+    n_shards = export.write_training_shards(
+        mixture.select("doc_id", "text"), shards_path, "doc_id", rows_per_shard=64
+    )
+    print(f"[7] wrote {n_shards} training shards -> {shards_path}")
+
+    # -- ANN index: batch-build half, STREAM-append the rest, compact
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index_path = os.path.join(work, "ivf")
+    ivf_index.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), index_path, n_centroids=4, n_iters=3
+    )
+    inbox = os.path.join(work, "inbox")
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(inbox)
+    run_ivf_append_once(spark, inbox, index_path)
+    stats = ivf_index.compact_ivf_index(spark, index_path)
+    print(
+        f"[8] IVF index: streamed append + compaction "
+        f"({stats['files_before']} -> {stats['files_after']} files, {stats['cells']} cells)"
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    hits = ivf_index.search_ivf_index(spark, index_path, qv, k=3, n_probes=2).collect()
+    print(f"[9] probe-limited search: {[(r['vec_id'], round(r['score'], 4)) for r in hits]}")
+
+    # -- push the sink layout to an external store (local mock server)
+    from tests.test_ann_push import MockStore, _Handler  # reuse the test mock
+
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from penr_oz_agent_memory_rust_spark.sources import ann_sink
+    from penr_oz_agent_memory_rust_spark.sources.ann_push import (
+        AnnStoreClient,
+        push_ann_index,
+    )
+
+    sink_path = os.path.join(work, "sink")
+    ann_sink.write_ann_index(
+        emb.limit(200), sink_path, id_col="vec_id", vec_col="embedding", n_centroids=4
+    )
+    store = MockStore()
+    handler = type("H", (_Handler,), {"store": store})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    client = AnnStoreClient(
+        f"http://127.0.0.1:{srv.server_address[1]}", "agent_memory"
+    )
+    push_stats = push_ann_index(spark, sink_path, client, batch_size=64)
+    srv.shutdown()
+    print(f"[10] pushed to external store: {json.dumps(push_stats)}")
+    assert len(store.points["agent_memory"]) == push_stats["points"]
+
+    print("\npipeline complete:", work)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
