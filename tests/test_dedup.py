@@ -215,3 +215,13 @@ def test_keep_best_int_id_dtype_survives(spark):
     df = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id int, text string")
     out = exact_dedup_keep_best(df, F.length("text").cast("double"))
     assert dict(out.dtypes)["doc_id"] == "int"
+
+
+def test_cpu_rebalance_is_noop_on_wide_inputs(spark):
+    from penr_oz_agent_memory_rust_spark.functions.hashing import cpu_rebalance
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target + 4)
+    assert cpu_rebalance(wide) is wide  # already >= cores: unchanged plan
+    narrow = spark.range(1000).coalesce(1)
+    assert cpu_rebalance(narrow).rdd.getNumPartitions() == target

@@ -85,3 +85,39 @@ def test_delta_backend_gated_without_package(spark, tmp_path):
         pytest.skip("delta present; gating path not reachable")
     with pytest.raises(NotConfiguredError, match="delta-spark"):
         DeltaTableIO(spark, str(tmp_path / "d"), SCHEMA)
+
+
+def test_mutation_sequence_matches_dict_model(spark, tmp_path):
+    """Model-based check: a fixed random sequence of merge_upsert /
+    delete_where / update_where applied to a ParquetTable must equal the
+    same sequence applied to a plain Python dict (one deterministic
+    seeded run — each table mutation launches Spark jobs, so this is a
+    single scripted trajectory, not a hypothesis search)."""
+    import random
+
+    rng = random.Random(42)
+    t = ParquetTable(spark, str(tmp_path / "model_tbl"), SCHEMA)
+    model: dict[str, tuple[int, str]] = {}
+    ids = [f"k{i}" for i in range(12)]
+
+    for step in range(18):
+        op = rng.choice(["upsert", "delete", "update"])
+        if op == "upsert":
+            picks = rng.sample(ids, rng.randint(1, 3))
+            rows = [(i, rng.randint(0, 99), rng.choice("xyz")) for i in picks]
+            t.merge_upsert(spark.createDataFrame(rows, SCHEMA), ["id"])
+            for i, v, g in rows:
+                model[i] = (v, g)
+        elif op == "delete":
+            cut = rng.randint(0, 99)
+            t.delete_where(F.col("val") < cut)
+            model = {k: vg for k, vg in model.items() if not (vg[0] < cut)}
+        else:
+            tag = rng.choice("xyz")
+            bump = rng.randint(100, 199)
+            t.update_where(F.col("tag") == tag, {"val": F.lit(bump)})
+            model = {
+                k: ((bump, g) if g == tag else (v, g)) for k, (v, g) in model.items()
+            }
+    got = {r["id"]: (r["val"], r["tag"]) for r in t.read().collect()}
+    assert got == model
