@@ -60,7 +60,7 @@ def cpu_rebalance(df):
     return df
 
 
-def word_shingle_rows(docs, id_col: str, text_col: str, n: int = 3):
+def word_shingle_rows(docs, id_col: str, text_col: str, n: int = 3, rebalance: bool = True):
     """Exploded (id, shingle) rows via an Arrow-batched pandas UDF.
 
     Produces exactly the distinct shingle STRINGS of `word_shingles` (so any
@@ -68,9 +68,13 @@ def word_shingle_rows(docs, id_col: str, text_col: str, n: int = 3):
     Catalyst evaluates higher-order lambdas interpreted per element, while
     the Arrow batch runs tight Python string ops. This is the hot path of
     every shingle-based dedup operator, so the input is cpu_rebalance()d
-    first. NULL text yields no rows (matching explode-of-null semantics).
+    first by default; pass rebalance=False when the downstream work per
+    shingle is light (e.g. a broadcast-probe like decontaminate, where
+    the extra exchange measured slower than the single-task scan). NULL
+    text yields no rows (matching explode-of-null semantics).
     """
-    docs = cpu_rebalance(docs)
+    if rebalance:
+        docs = cpu_rebalance(docs)
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _shingles(texts: pd.Series) -> pd.Series:
         def sh(t):

@@ -44,9 +44,12 @@ def decontaminate(
     broadcast, so the (huge) train side is a single scan + map-side hash
     probe + one groupBy on id — no shuffle of raw shingles.
     """
-    train_sh = hashing.word_shingle_rows(train, id_col, text_col, n)
+    # rebalance=False: the per-shingle work here is one hash + a
+    # broadcast-dict probe — spreading the scan measured slower than
+    # just running it (unlike the minhash/ngram pipelines)
+    train_sh = hashing.word_shingle_rows(train, id_col, text_col, n, rebalance=False)
     test_sh = (
-        hashing.word_shingle_rows(test, id_col, text_col, n)
+        hashing.word_shingle_rows(test, id_col, text_col, n, rebalance=False)
         .select("sh")
         .distinct()
     )
