@@ -116,3 +116,37 @@ def test_approx_percentiles_near_exact(spark, sf_dir):
     for t in exact:
         for a, e in zip(approx[t], exact[t]):
             assert abs(a - e) <= 0.05 * max(abs(e), 1e-9), (t, a, e)
+
+
+def test_stream_ivf_append_cache_and_partial_state_recovery(spark, sf_dir):
+    """The streamed-index gate caches per testdata identity: a second call
+    reuses the built index (same result), and a missing completion marker
+    (interrupted build) forces a clean rebuild rather than appending into
+    half-written state."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    first = {tuple(r) for r in ALL_QUERIES["stream_ivf_append"](spark, sf_dir).collect()}
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    ident = f"stream|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"__ivf_streamed_{hashlib.md5(ident.encode()).hexdigest()[:12]}",
+    )
+    marker = os.path.join(path, "_STREAMED_OK")
+    assert os.path.exists(marker)
+    mtime = os.path.getmtime(os.path.join(path, "centroids.json"))
+    again = {tuple(r) for r in ALL_QUERIES["stream_ivf_append"](spark, sf_dir).collect()}
+    assert again == first
+    # cache hit: the index was NOT rebuilt
+    assert os.path.getmtime(os.path.join(path, "centroids.json")) == mtime
+    # simulate an interrupted build: marker gone, stale partial data present
+    os.remove(marker)
+    rebuilt = {tuple(r) for r in ALL_QUERIES["stream_ivf_append"](spark, sf_dir).collect()}
+    assert rebuilt == first
+    assert os.path.exists(marker)
+    assert os.path.getmtime(os.path.join(path, "centroids.json")) > mtime
+    shutil.rmtree(path, ignore_errors=True)  # leave no cross-test state
