@@ -470,3 +470,66 @@ def run_ivf_append_once(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+CORPUS_INBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def continuous_corpus_ingest(
+    spark: SparkSession,
+    inbox_dir: str,
+    corpus_table: ParquetTable,
+    fps_table: ParquetTable,
+    checkpoint_dir: str,
+    index_path: str | None = None,
+    embed_udf=None,
+):
+    """★ continuous training-corpus ingestion: one micro-batch stream that
+    chains the pipeline's maintenance operators —
+
+        validate non-empty text
+        -> cross-snapshot exact dedup against the seen-fingerprint table
+           (operators/dedup.incremental_exact_dedup: first arrival wins
+           across batches, min-id wins within a batch)
+        -> append survivors to the corpus table + their fps to the
+           fingerprint table
+        -> optionally embed survivors and append into the persisted IVF
+           index (ivf_index.append_to_ivf_index)
+
+    Returns the StreamingQuery (availableNow: drains the inbox and stops).
+    Scale shape per batch: the fingerprint anti-join keys are 16-byte
+    hashes (bloom-prunable on a real cluster); corpus/fps writes are
+    appends; the index append is a pure-expression cell assignment. No
+    state store — the fps table IS the state, shared with batch jobs.
+    """
+    from penr_oz_agent_memory_rust_spark.operators import dedup as dedup_ops
+    from penr_oz_agent_memory_rust_spark.operators import ivf_index
+
+    if index_path is not None and embed_udf is None:
+        raise ValueError("index_path requires an embed_udf")
+    stream = spark.readStream.schema(CORPUS_INBOX_SCHEMA).parquet(inbox_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ok, _rejects = memory_store.validate_nonempty_text(batch_df)
+        fresh = dedup_ops.incremental_exact_dedup(ok, fps_table.read())
+        survivors = ok.join(fresh.select("doc_id", "fp"), "doc_id")
+        corpus_table.append(survivors.select("doc_id", "text", "fp"))
+        fps_table.append(survivors.select("fp"))
+        if index_path is not None:
+            vecs = survivors.select(
+                F.col("doc_id").alias("vec_id"),
+                embed_udf(F.col("text")).alias("embedding"),
+            )
+            ivf_index.append_to_ivf_index(vecs, index_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

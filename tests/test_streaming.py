@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F, types as T
 
 from penr_oz_agent_memory_rust_spark.schemas import MEMORIES_SCHEMA, SESSIONS_SCHEMA
 from penr_oz_agent_memory_rust_spark.sources.embedding_providers import hash_embed_udf
@@ -369,3 +369,84 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_continuous_corpus_ingest_dedup_and_index(spark, tmp_path):
+    """★ continuous corpus ingestion: two inbox drops with duplicates within
+    and across batches -> the corpus table holds one doc per fingerprint
+    (first arrival wins across batches, min-id within a batch), the fps
+    table is the shared dedup state, and every survivor lands in the IVF
+    index."""
+    import os
+
+    from penr_oz_agent_memory_rust_spark.operators import dedup, ivf_index
+    from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        continuous_corpus_ingest,
+    )
+
+    corpus_t = ParquetTable(
+        spark, str(tmp_path / "corpus"), T.StructType.fromDDL("doc_id bigint, text string, fp string")
+    )
+    fps_t = ParquetTable(spark, str(tmp_path / "fps"), T.StructType.fromDDL("fp string"))
+    index_path = str(tmp_path / "ivf")
+    seedvecs = spark.createDataFrame(
+        [(i, f"seed {i}") for i in range(8)], "vec_id bigint, text string"
+    ).select("vec_id", hash_embed_udf(16)(F.col("text")).alias("embedding"))
+    ivf_index.build_ivf_index(seedvecs, index_path, n_centroids=2, n_iters=2)
+    n_seed = spark.read.parquet(os.path.join(index_path, "data")).count()
+
+    import glob
+    import shutil
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+
+    def drop(df, name):
+        # FileStreamSource watches top-level files: stage the part file in
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(inbox, f"{name}.parquet"))
+        return staging
+
+    # batch 1: doc 5 and 6 share text (min id 5 wins); doc 7 unique; 8 empty text
+    drop1 = drop(
+        spark.createDataFrame(
+            [(5, "dup text"), (6, "dup  TEXT"), (7, "unique one"), (8, "   ")],
+            "doc_id bigint, text string",
+        ),
+        "drop1",
+    )
+    q = continuous_corpus_ingest(
+        spark, inbox, corpus_t, fps_t, str(tmp_path / "ck"),
+        index_path=index_path, embed_udf=hash_embed_udf(16),
+    )
+    q.awaitTermination()
+    # batch 2: doc 3 duplicates the already-seen text (first arrival 5 kept),
+    # doc 9 is new
+    drop2 = drop(
+        spark.createDataFrame(
+            [(3, "dup text"), (9, "another new")], "doc_id bigint, text string"
+        ),
+        "drop2",
+    )
+    q = continuous_corpus_ingest(
+        spark, inbox, corpus_t, fps_t, str(tmp_path / "ck"),
+        index_path=index_path, embed_udf=hash_embed_udf(16),
+    )
+    q.awaitTermination()
+
+    got = {r["doc_id"] for r in corpus_t.read().collect()}
+    assert got == {5, 7, 9}  # 6 in-batch dup, 3 cross-batch dup, 8 empty
+    # fps table is exactly the surviving fingerprints
+    assert fps_t.read().distinct().count() == 3
+    # streamed state equals the batch operator over the union of the drops
+    all_docs = spark.read.parquet(drop1, drop2).filter(F.trim("text") != "")
+    assert corpus_t.read().select("fp").distinct().count() == (
+        dedup.exact_dedup(all_docs).count()
+    )
+    # every survivor's vector landed in the index
+    idx = spark.read.parquet(os.path.join(index_path, "data"))
+    assert idx.count() == n_seed + 3
+    assert {r["vec_id"] for r in idx.filter(F.col("vec_id") > 2).collect()} >= {5, 7, 9}
