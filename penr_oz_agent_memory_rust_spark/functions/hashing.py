@@ -68,10 +68,14 @@ def word_shingle_rows(docs, id_col: str, text_col: str, n: int = 3, rebalance: b
     Catalyst evaluates higher-order lambdas interpreted per element, while
     the Arrow batch runs tight Python string ops. This is the hot path of
     every shingle-based dedup operator, so the input is cpu_rebalance()d
-    first by default; pass rebalance=False when the downstream work per
-    shingle is light (e.g. a broadcast-probe like decontaminate, where
-    the extra exchange measured slower than the single-task scan). NULL
-    text yields no rows (matching explode-of-null semantics).
+    first by default (re-confirmed by a warmed, alternating A/B at sf0.1:
+    minhash_lsh_pairs med 1.48 s with vs 2.42 s without — the per-shingle
+    seeded-md5 work parallelizes; a cold-JVM-biased measurement will show
+    the opposite, so always interleave when re-measuring). Pass
+    rebalance=False when the downstream work per shingle is light (e.g. a
+    broadcast-probe like decontaminate, where the extra exchange measured
+    slower than the single-task scan). NULL text yields no rows (matching
+    explode-of-null semantics).
     """
     if rebalance:
         docs = cpu_rebalance(docs)

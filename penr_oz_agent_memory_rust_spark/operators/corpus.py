@@ -338,25 +338,36 @@ def char_bigram_counts(
     corpus — the "language model" side of the perplexity-proxy quality
     filter. Output: (bg, cnt). Bounded by alphabet² (~37² here), so the
     trained model always broadcasts."""
+    # rebalance=False: the training explode feeds ONE bounded hash-agg
+    # (<= alphabet² groups) — A/B at sf0.1 the pre-shuffle cost the Arrow
+    # scoring path 1.14 s vs 0.83 s without, with no win on the
+    # expression path (its gain comes from the scoring explode below)
     return (
-        _exploded_bigrams(docs, text_col)
+        _exploded_bigrams(docs, text_col, rebalance=False)
         .groupBy("bg")
         .agg(F.count("*").alias("cnt"))
     )
 
 
-def _exploded_bigrams(docs: DataFrame, text_col: str, *keep: str) -> DataFrame:
+def _exploded_bigrams(
+    docs: DataFrame, text_col: str, *keep: str, rebalance: bool = True
+) -> DataFrame:
     """(keep..., bg) rows, one per character bigram of the normalized text.
 
     Shaped as explode(sequence) + substring — every operator stays inside
     whole-stage codegen. The equivalent transform(..., lambda) form runs
     the lambda INTERPRETED per element (HigherOrderFunction is not
     codegen'd), which measured ~2x slower on this 50M-element path. The
-    input is cpu_rebalance()d: a single-file scan otherwise runs this
-    explode on one core (no-op at real scale)."""
+    scoring input is cpu_rebalance()d by default: a single-file scan
+    otherwise runs this explode + the model join + hash-agg on one core
+    (A/B at sf0.1: 2.3 s vs 3.3 s without; no-op at real scale). Training
+    (char_bigram_counts) opts out — its downstream agg is bounded by
+    alphabet² and the exchange measured as pure overhead."""
     norm = hashing.normalized_text(F.col(text_col))
+    if rebalance:
+        docs = hashing.cpu_rebalance(docs)
     return (
-        hashing.cpu_rebalance(docs).withColumn("__norm", norm)
+        docs.withColumn("__norm", norm)
         .filter(F.length("__norm") >= 2)
         .select(
             *keep,
