@@ -1226,7 +1226,9 @@ def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ev.select(
         "event_type",
         "value",
-        F.ntile(10).over(w).alias("decile"),
+        # cast: Spark ntile is int32, DuckDB's is BIGINT — align the wire
+        # dtype so the hash compare never depends on harness normalization
+        F.ntile(10).over(w).cast("long").alias("decile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
     )
     return ranked.groupBy("event_type", "decile").agg(
@@ -3027,13 +3029,17 @@ def oracle_sql() -> dict[str, str]:
     d["data_expectations"] = """
         WITH agg AS (
           SELECT count(*) AS n,
-            sum(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END) AS v_id,
-            sum(CASE WHEN coalesce(user_id >= 0 AND user_id < 100, false) THEN 0 ELSE 1 END) AS v_user,
-            sum(CASE WHEN coalesce(value >= 0, false) THEN 0 ELSE 1 END) AS v_val,
-            sum(CASE WHEN coalesce(event_type IN ('view','click','purchase','signup','error'), false) THEN 0 ELSE 1 END) AS v_type,
-            sum(CASE WHEN coalesce(ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01', false) THEN 0 ELSE 1 END) AS v_ts
+            CAST(sum(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_id,
+            CAST(sum(CASE WHEN coalesce(user_id >= 0 AND user_id < 100, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_user,
+            CAST(sum(CASE WHEN coalesce(value >= 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_val,
+            CAST(sum(CASE WHEN coalesce(event_type IN ('view','click','purchase','signup','error'), false) THEN 0 ELSE 1 END) AS BIGINT) AS v_type,
+            CAST(sum(CASE WHEN coalesce(ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01', false) THEN 0 ELSE 1 END) AS BIGINT) AS v_ts
           FROM events
         )
+        -- sums CAST in the CTE: DuckDB sum(int) is HUGEINT, and a UNION ALL
+        -- branch left uncast widens the whole output column to HUGEINT ->
+        -- pandas float64, hash-red vs Spark's int64 (r3 judge finding; same
+        -- class as the r2 events_variant_agg fix)
         SELECT 'event_id_not_null' AS rule, CAST(n AS BIGINT) AS n_rows,
                CAST(v_id AS BIGINT) AS n_violations, round(v_id * 100.0 / n, 6) AS violation_pct FROM agg
         UNION ALL SELECT 'user_in_range', n, v_user, round(v_user * 100.0 / n, 6) FROM agg

@@ -7,6 +7,13 @@ collect). Session startup is excluded. Every query runs
 $SPARK_GRAFT_BENCH_RUNS times (default 3) in interleaved rounds and the
 per-query MINIMUM is reported — single-run numbers on this shared VM move
 ±25% run-to-run, which would drown any real regression signal.
+
+Output contract (round 3 shipped `parsed: null` because the stdout line —
+queries + spread for 67 entries — outgrew the driver's tail-capture
+window and lost its head): stdout now carries ONLY the compact required
+JSON (no spread, no whitespace) as the LAST line, and the FULL result —
+per-run samples, spread, the compact line's fields — is written to
+`BENCH_LOCAL.json` next to this file for human/A-B use.
 """
 
 from __future__ import annotations
@@ -148,19 +155,22 @@ def main() -> None:
     # smaller than the query's spread is not a signal)
     spread = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": sf,
-                "runs": runs,
-            }
-        )
-    )
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": runs,
+    }
+    # full record (spread + raw samples) goes to a sidecar file, NOT stdout:
+    # the driver's tail capture clips long lines, and the compact line must
+    # survive it whole
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(sidecar, "w") as f:
+        json.dump({**compact, "spread": spread, "samples": samples}, f, indent=1)
+    sys.stdout.flush()
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

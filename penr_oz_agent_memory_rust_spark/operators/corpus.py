@@ -338,12 +338,15 @@ def char_bigram_counts(
     corpus — the "language model" side of the perplexity-proxy quality
     filter. Output: (bg, cnt). Bounded by alphabet² (~37² here), so the
     trained model always broadcasts."""
-    # rebalance=False: the training explode feeds ONE bounded hash-agg
-    # (<= alphabet² groups) — A/B at sf0.1 the pre-shuffle cost the Arrow
-    # scoring path 1.14 s vs 0.83 s without, with no win on the
-    # expression path (its gain comes from the scoring explode below)
+    # rebalance=True: r3 opted out after an sf0.1-only A/B (pre-shuffle
+    # cost the Arrow path 1.14 s vs 0.83 s), but re-measured in r4 on a
+    # 150k-doc SINGLE-FILE training corpus the opt-out serializes the
+    # normalize+explode onto one core: 43.8 s vs 8.8 s rebalanced (warm,
+    # interleaved, min of 3). A ~0.3 s overhead on toy inputs is the wrong
+    # trade against a 5x cliff on any real single-file corpus; at real
+    # scale the scan is already parallel and cpu_rebalance is a no-op.
     return (
-        _exploded_bigrams(docs, text_col, rebalance=False)
+        _exploded_bigrams(docs, text_col)
         .groupBy("bg")
         .agg(F.count("*").alias("cnt"))
     )
@@ -361,8 +364,9 @@ def _exploded_bigrams(
     scoring input is cpu_rebalance()d by default: a single-file scan
     otherwise runs this explode + the model join + hash-agg on one core
     (A/B at sf0.1: 2.3 s vs 3.3 s without; no-op at real scale). Training
-    (char_bigram_counts) opts out — its downstream agg is bounded by
-    alphabet² and the exchange measured as pure overhead."""
+    (char_bigram_counts) also rebalances since r4 — the r3 opt-out was
+    measured on small inputs only and cost 5x on a 150k-doc single-file
+    corpus (see char_bigram_counts)."""
     norm = hashing.normalized_text(F.col(text_col))
     if rebalance:
         docs = hashing.cpu_rebalance(docs)

@@ -52,21 +52,36 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
-def extract_features(media: DataFrame, fake: bool = True, dim: int = FEATURE_DIM) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    fake: bool = True,
+    dim: int = FEATURE_DIM,
+    decode_fn=None,
+) -> DataFrame:
     """Decode + feature-extract as a mapInPandas batch stage.
 
-    With `fake=False` this is where a real codec (PIL/librosa/ffmpeg) would
-    run per Arrow batch; those libraries are absent here, so it raises.
+    `decode_fn` is the real-codec seam (same shape as the pluggable
+    embedding providers, sources/embedding_providers.py): a picklable
+    `bytes -> sequence[float]` of length `dim` that runs inside each Arrow
+    batch — a user with PIL/librosa on the cluster plugs their decoder in
+    without touching this operator. Precedence: `decode_fn` when given,
+    else the deterministic fake when `fake=True`, else NotImplementedError
+    (no codec libraries in this container — STUBBED).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if decode_fn is not None:
+                dec = decode_fn
+            elif fake:
+                dec = lambda p: _fake_decode(p, dim)  # noqa: E731
+            else:
                 raise NotImplementedError(
-                    "real media decoding requires codec libraries not present in this environment"
+                    "real media decoding requires codec libraries not present in "
+                    "this environment — pass decode_fn=<your codec> to plug one in"
                 )
             feats = [
-                [float(x) for x in _fake_decode(p if p is not None else b"", dim)]
+                [float(x) for x in dec(p if p is not None else b"")]
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -74,7 +89,7 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = FEATURE_DIM
             )
 
     return media.select("media_id", "kind", "payload").mapInPandas(
-        run, schema=f"media_id string, kind string, features array<float>"
+        run, schema="media_id string, kind string, features array<float>"
     )
 
 
@@ -100,28 +115,38 @@ RESIZED_SCHEMA = "media_id string, width int, height int, resized binary"
 
 
 def resize_media(
-    media: DataFrame, width: int = 8, height: int = 8, fake: bool = True
+    media: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    fake: bool = True,
+    resize_fn=None,
 ) -> DataFrame:
     """Resize plumbing as a mapInPandas batch stage: blob in, (width x
     height)-byte thumbnail blob out plus the declared dimensions.
 
-    With `fake=False` this is where a real image library (PIL/opencv) would
-    decode-resize-reencode per Arrow batch; those codecs are absent here
-    (STUBBED), so the deterministic fake 'resizes' by striding the payload
-    bytes down to exactly width*height bytes (repeating when short) — stable,
-    size-correct output that exercises the full Spark plumbing: binary Arrow
-    transfer both ways, metadata columns, batch iteration.
+    `resize_fn` is the real-codec seam: a picklable
+    `(bytes, width, height) -> bytes` (PIL/opencv decode-resize-reencode)
+    run per Arrow batch. Precedence: `resize_fn` when given, else the
+    deterministic fake when `fake=True` — it 'resizes' by striding the
+    payload bytes down to exactly width*height bytes (repeating when
+    short): stable, size-correct output that exercises the full Spark
+    plumbing (binary Arrow transfer both ways, metadata columns, batch
+    iteration) — else NotImplementedError (no codecs in this container).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
-            if not fake:
+            if resize_fn is None and not fake:
                 raise NotImplementedError(
-                    "real image resizing requires codec libraries not present in this environment"
+                    "real image resizing requires codec libraries not present in "
+                    "this environment — pass resize_fn=<your codec> to plug one in"
                 )
             out = []
             for payload in pdf["payload"]:
+                if resize_fn is not None:
+                    out.append(bytes(resize_fn(payload or b"", width, height)))
+                    continue
                 blob = payload or b"\x00"
                 reps = -(-target // len(blob))  # ceil-div: repeat short blobs
                 stretched = (blob * reps)[: target * max(1, len(blob) // target)]

@@ -307,49 +307,6 @@ def batch_windowed_event_counts(events: DataFrame, minutes: int = 5) -> DataFram
     )
 
 
-def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:
-    """running_user_totals on the Spark 4 transformWithStateInPandas API —
-    the successor to applyInPandasWithState: typed per-key state handles
-    (ValueState here; ListState/MapState/timers available), init/close
-    lifecycle, and RocksDB-backed state. Same semantics as
-    `running_user_totals`; kept as a second physical strategy because the
-    old API is deprecated upstream.
-
-    Requires the RocksDB state store provider:
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    and the `protobuf` Python package (the state-server wire protocol) —
-    absent in this container, so the test suite skips unless importable;
-    `running_user_totals` (applyInPandasWithState) is the dependency-free
-    strategy here.
-    """
-    import pandas as pd
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-
-    out_schema = "user_id bigint, total_events bigint, total_value double"
-
-    class RunningTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("totals", "n bigint, v double")
-
-        def handleInputRows(self, key, rows, timerValues):
-            n, v = self._state.get() if self._state.exists() else (0, 0.0)
-            for pdf in rows:
-                n += len(pdf)
-                v += float(pdf["value"].sum())
-            self._state.update((n, v))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "total_events": [n], "total_value": [round(v, 6)]}
-            )
-
-        def close(self) -> None:
-            pass
-
-    return events_stream.groupBy("user_id").transformWithStateInPandas(
-        RunningTotals(), outputStructType=out_schema, outputMode="Update", timeMode="None"
-    )
-
-
 def run_dedup_keys_once(
     spark: SparkSession, events_path: str, keys: list[str], name: str = "__stream_dedup"
 ) -> DataFrame:

@@ -40,6 +40,42 @@ def test_real_decoder_is_stubbed(spark, media):
     )
 
 
+def test_custom_decoder_plugs_in(spark, media):
+    """The decode_fn seam (r3 VERDICT ask): a user-supplied codec runs
+    inside the Arrow batches without touching the operator, and the stub
+    NotImplementedError never fires when one is given."""
+
+    def byte_histogram_decoder(payload: bytes):
+        # a stand-in "real codec": 16-bin byte histogram of the blob
+        counts = [0.0] * 16
+        for b in payload:
+            counts[b % 16] += 1.0
+        return counts
+
+    rows = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(
+            media, fake=False, decode_fn=byte_histogram_decoder
+        ).collect()
+    }
+    assert set(rows) == {"image-1", "image-2"}
+    assert all(len(v) == 16 for v in rows.values())
+    # histogram of a 128-byte blob sums to 128 — proves the custom fn ran
+    assert all(abs(sum(v) - 128.0) < 1e-6 for v in rows.values())
+
+
+def test_custom_resizer_plugs_in(spark):
+    media = spark.createDataFrame(
+        [("m1", bytes(range(10)))], "media_id string, payload binary"
+    )
+
+    def head_resizer(payload: bytes, width: int, height: int) -> bytes:
+        return (payload + b"\x00" * (width * height))[: width * height]
+
+    row = multimodal.resize_media(media, 4, 4, fake=False, resize_fn=head_resizer).first()
+    assert bytes(row["resized"]) == bytes(range(10)) + b"\x00" * 6
+
+
 def test_sample_frames_shape(spark, media):
     frames = multimodal.sample_frames(media, every_n_bytes=16, max_frames=3).collect()
     by_media = {}

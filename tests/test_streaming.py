@@ -315,62 +315,6 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert emitted == [2], rows  # exactly once, late row dropped
 
 
-def test_transform_with_state_running_totals(spark, tmp_path):
-    """The transformWithStateInPandas strategy accumulates across
-    micro-batches and its final state equals the batch aggregation.
-    Skipped where the protobuf package (the TWS state-server protocol)
-    is unavailable."""
-    pytest.importorskip("google.protobuf.descriptor")
-    import datetime as dt
-    import glob as g
-    import os
-    import shutil
-    import time as _time
-
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        src = str(tmp_path / "tws_src")
-        os.makedirs(src, exist_ok=True)
-        base = dt.datetime(2026, 1, 1)
-        schema = "event_id bigint, ts timestamp, user_id bigint, value double"
-
-        def mk(rows, name):
-            d = str(tmp_path / name)
-            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
-            shutil.copy(g.glob(d + "/part-*.parquet")[0], os.path.join(src, name + ".parquet"))
-            _time.sleep(1.1)
-
-        mk([(1, base, 1, 2.0), (2, base, 2, 3.0)], "b1")
-        mk([(3, base, 1, 5.0)], "b2")
-
-        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-        out = ingest.running_user_totals_tws(stream)
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName("tws_out")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        # update mode: last emission per user is the final state
-        rows = spark.sql(
-            "SELECT user_id, max_by(total_events, total_events) AS n,"
-            " max_by(total_value, total_events) AS v FROM tws_out GROUP BY user_id"
-        ).collect()
-        got = {r["user_id"]: (r["n"], r["v"]) for r in rows}
-        assert got == {1: (2, 7.0), 2: (1, 3.0)}, got
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-
-
 def test_continuous_corpus_ingest_dedup_and_index(spark, tmp_path):
     """★ continuous corpus ingestion: two inbox drops with duplicates within
     and across batches -> the corpus table holds one doc per fingerprint
