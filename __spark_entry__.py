@@ -1674,6 +1674,20 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Gopher-style repetition-removal signals (Rae et al. 2021):
+    dup-word fraction, top-word mass, top-bigram mass, and the pass/fail
+    flag — the repetition leg of training-data quality filtering."""
+    return text_ops.repetition_profile(_docs(spark, sf_dir))
+
+
+def q_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): per-window min gram hash, rightmost on ties, as
+    one packed-bigint running window min."""
+    return text_ops.winnowing_fingerprints(_docs(spark, sf_dir), k=8, window=4)
+
+
 def q_stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ stream-static enrichment: a REAL readStream over events joins the
     customer dimension per micro-batch (broadcast, no state store), then
@@ -1910,6 +1924,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quantized_search": q_quantized_search,
         # --- window: ★ text / corpus pipeline
         "text_profile": q_text_profile,
+        "repetition_profile": q_repetition_profile,
+        "winnowing_fps": q_winnowing_fps,
         "decontaminate_ngram": q_decontaminate_ngram,
         "word_freq_topk": q_word_freq_topk,
         "pii_scan": q_pii_scan,
@@ -2818,6 +2834,57 @@ def oracle_sql() -> dict[str, str]:
                                    * 1.0 / len(string_split(lower(text), ' ')), 6)
                         ELSE 0.0 END AS repetition
             FROM h
+        """,
+        "repetition_profile": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2
+            ), ws AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_word
+              FROM wc GROUP BY 1
+            ), bc AS (
+              SELECT doc_id, bg, count(*) AS c
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i + 1])) AS bg
+                FROM toks WHERE len(t) >= 2
+              ) GROUP BY 1, 2
+            ), bs AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                     CAST(max(c) AS BIGINT) AS top_bigram
+              FROM bc GROUP BY 1
+            )
+            SELECT ws.doc_id, n_words,
+                   round(1.0 - n_distinct * 1.0 / n_words, 6) AS dup_word_frac,
+                   round(top_word * 1.0 / n_words, 6) AS top_word_frac,
+                   round(top_bigram * 1.0 / n_bigrams, 6) AS top_bigram_frac,
+                   (round(1.0 - n_distinct * 1.0 / n_words, 6) <= 0.30
+                    AND coalesce(round(top_bigram * 1.0 / n_bigrams, 6) <= 0.18, TRUE)
+                   ) AS repetition_ok
+            FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        """,
+        "winnowing_fps": f"""
+            WITH norm AS (
+              SELECT doc_id, {_DK_NORM} AS t FROM documents
+            ), keyed AS (
+              SELECT doc_id, i AS pos,
+                     ('0x' || substring(md5(substring(t, i, 8)), 1, 10))::BIGINT
+                       * 1048576 + (1048575 - i) AS k
+              FROM norm, unnest(generate_series(1, least(length(t) - 7, 1048575))) AS u(i)
+              WHERE length(t) >= 8
+            ), sel AS (
+              SELECT DISTINCT doc_id,
+                     min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
+              FROM keyed
+            )
+            SELECT doc_id, CAST(1048575 - (k % 1048576) AS BIGINT) AS pos,
+                   CAST(k // 1048576 AS BIGINT) AS fp
+            FROM sel
         """,
         "sampling_suite": """
             SELECT 'stratified' AS variant, doc_id, lang FROM documents

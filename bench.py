@@ -101,6 +101,8 @@ HEADLINE = [
     "data_expectations",
     "retention_cohorts",
     "dedup_keep_best",
+    "repetition_profile",
+    "winnowing_fps",
 ]
 
 

@@ -128,6 +128,152 @@ def analyze_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def repetition_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """★ Gopher-style repetition signals per document (Rae et al. 2021,
+    §A1.1 "repetition removal" — public paper): the fraction of duplicated
+    words and the mass of the most frequent word/bigram, which catch
+    keyword-stuffed and boilerplate-looped documents that length/punct
+    heuristics miss. Output per doc:
+
+      n_words          whitespace token count
+      dup_word_frac    1 - distinct_words / n_words
+      top_word_frac    occurrences of the most frequent word / n_words
+      top_bigram_frac  occurrences of the most frequent word-bigram /
+                       (n_words - 1); null for 1-word docs
+      repetition_ok    dup_word_frac <= 0.30 AND top_bigram_frac <= 0.18
+                       (Gopher's top-2-gram threshold; dup threshold
+                       adapted from its dup-line rule for lineless docs)
+
+    Scale shape: two explode -> groupBy((id, gram)) -> groupBy(id)
+    pipelines joined on id. The (id, gram) keys make partial aggregation
+    collapse each document inside its own scan partition (docs are
+    contiguous), so the exchanges carry one row per distinct gram per doc,
+    never one per token; no windows, no skew (id is in every key). All
+    fractions rounded to 6dp (f64) for the oracle."""
+    toks = hashing.word_tokens(F.col(text_col))
+    words = docs.select(F.col(id_col), F.explode(toks).alias("w"))
+    word_stats = (
+        words.groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_word"),
+        )
+    )
+    bigrams = (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - F.lit(1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, 2)),
+                )
+            ).alias("bg"),
+        )
+    )
+    bigram_stats = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram"))
+    )
+    dup_frac = F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
+    top_w_frac = F.round(F.col("top_word") / F.col("n_words"), 6)
+    top_bg_frac = F.round(F.col("top_bigram") / F.col("n_bigrams"), 6)
+    return (
+        word_stats.join(bigram_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            dup_frac.alias("dup_word_frac"),
+            top_w_frac.alias("top_word_frac"),
+            top_bg_frac.alias("top_bigram_frac"),
+            (
+                (dup_frac <= 0.30) & F.coalesce(top_bg_frac <= 0.18, F.lit(True))
+            ).alias("repetition_ok"),
+        )
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """★ winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm, public paper): hash every k-char
+    gram of the normalized text, slide a window of `window` consecutive
+    gram hashes, and select the minimum hash of each window (rightmost
+    position on ties). The selected set is position-robust: any shared
+    substring of length >= k + window - 1 is guaranteed to contribute at
+    least one common fingerprint, at ~2/(window+1) the density of the full
+    gram set. Output: distinct (doc_id, pos, fp), pos 1-based into the
+    normalized text.
+
+    The min-then-rightmost rule runs as ONE window min by packing
+    (hash, position) into a single bigint: key = h40 * 2^20 + (2^20-1-pos)
+    — 40-bit gram hash, 20-bit reversed position, so bigint `min` picks
+    the smallest hash and, among equals, the largest pos. Portable: the
+    oracle computes the identical key. Docs are truncated at 2^20-1 grams
+    (1M chars) to keep the packing exact — fingerprint the leading 1 MB,
+    the standard containment-screen compromise.
+
+    Scale shape: explode to one row per gram position, then a single
+    running `min` over (partitionBy doc, orderBy pos, ROWS CURRENT..w-1
+    FOLLOWING) and a distinct — one hash exchange on doc_id with a
+    per-doc local sort, no self-joins. Tail windows (< w grams remaining)
+    shrink identically in Spark and DuckDB, so the oracle agrees at doc
+    boundaries."""
+    from pyspark.sql import Window
+
+    max_pos = (1 << 20) - 1
+    norm = hashing.normalized_text(F.col(text_col))
+    grams = (
+        docs.select(F.col(id_col), norm.alias("__t"))
+        .filter(F.length("__t") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.least(F.length("__t") - F.lit(k - 1), F.lit(max_pos))
+                )
+            ).alias("pos"),
+            F.col("__t"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            # 40-bit portable gram hash (10 hex chars of md5)
+            F.conv(F.substring(F.md5(F.expr(f"substring(__t, pos, {k})")), 1, 10), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    key = F.col("h") * F.lit(1 << 20) + (F.lit(max_pos) - F.col("pos"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    selected = grams.select(
+        F.col(id_col), F.min(key).over(w).alias("__k")
+    ).distinct()
+    return selected.select(
+        F.col(id_col),
+        (F.lit(max_pos) - F.col("__k") % F.lit(1 << 20)).cast("bigint").alias("pos"),
+        # integer DIV, not `/`: float division loses exactness above 2^53
+        F.expr(f"CAST(__k DIV {1 << 20} AS BIGINT)").alias("fp"),
+    )
+
+
 def register_bigrams_udtf(spark) -> None:
     """Python UDTF (Spark 4 table-function API): lateral-join a text column
     into (idx, bigram) rows. Registered as SQL `bigrams(text)` — the

@@ -129,6 +129,115 @@ def recall_probe() -> None:
     spark.stop()
 
 
+def dedup_caps_probe() -> None:
+    """Quantify what the stop-bucket / stop-shingle caps buy on a 5M-doc
+    synthetic corpus with skewed duplicates (`python scale_probe.py dedup`;
+    SCALE_DEDUP_DOCS overrides N). This is the 100 TB question for the
+    dedup family: a few boilerplate templates with huge copy counts make
+    candidate generation quadratic in the hottest bucket, and the caps are
+    the only thing standing between the plan and a |bucket|^2 blowup.
+
+    Corpus shape (all synthesized in-plan, nothing collected):
+      - 0.5% boilerplate: 5 templates, identical text per template
+        (~5k copies each at 5M docs) — the degenerate hot clusters.
+      - 20% near-dup pairs: adjacent ids share all but one word.
+      - 79.5% unique: words derived from the doc id.
+
+    The UNCAPPED candidate-pair cost is computed analytically as
+    sum(C(size, 2)) over band buckets / shingle posting lists — running it
+    would BE the blowup. The CAPPED pipelines execute for real and report
+    wall time + output rows. Results recorded in PLANS.md.
+    """
+    n_docs = int(os.environ.get("SCALE_DEDUP_DOCS", "5000000"))
+    words = 24
+    spark = get_spark(app_name="poz-dedup-probe")
+
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    sel = F.pmod(F.col("doc_id"), F.lit(1000))
+    fam = (
+        F.when(sel < 5, F.pmod(F.col("doc_id"), F.lit(5)))  # 0.5% boilerplate
+        .when(sel < 205, F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(2)))
+        .otherwise(F.col("doc_id"))
+    )
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(words)),
+            lambda j: F.substring(F.md5(F.concat(fam.cast("string"), F.lit(":"), j.cast("string"))), 1, 8),
+        ),
+        " ",
+    )
+    # near-dups get one extra doc-unique word so they are near, not exact
+    tail = F.when(
+        (sel >= 5) & (sel < 205),
+        F.concat(F.lit(" "), F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":t"))), 1, 8)),
+    ).otherwise(F.lit(""))
+    docs = base.select("doc_id", F.concat(body, tail).alias("text"))
+
+    report: dict = {"n_docs": n_docs, "words_per_doc": words}
+    pair_cost = (F.col("sz") * (F.col("sz") - 1) / 2).cast("double")
+
+    # ---- minhash LSH band buckets ----
+    cap = 100
+    members = dedup.minhash_band_members(docs, "doc_id", "text").select(
+        F.size("ids").alias("sz")
+    ).persist()
+    stats = members.agg(
+        F.count("*").alias("buckets"),
+        F.max("sz").alias("max_bucket_size"),
+        F.sum(pair_cost).alias("cost_uncapped"),
+        F.sum(F.when(F.col("sz") <= cap, pair_cost).otherwise(F.lit(0.0))).alias("cost_capped"),
+    ).first()
+    members.unpersist()
+    t0 = time.time()
+    capped_pairs = dedup.minhash_lsh_pairs(docs, max_bucket=cap).count()
+    report["minhash"] = {
+        "cap": cap,
+        "buckets_gt1": stats["buckets"],
+        "max_bucket_size": stats["max_bucket_size"],
+        "cand_pair_cost_uncapped": int(stats["cost_uncapped"]),
+        "cand_pair_cost_capped": int(stats["cost_capped"]),
+        "capped_pairs_out": capped_pairs,
+        "capped_exec_sec": round(time.time() - t0, 2),
+    }
+
+    # ---- n-gram inverted-index posting lists ----
+    from penr_oz_agent_memory_rust_spark.functions import hashing
+
+    dfreq_cap = 50
+    sh = hashing.word_shingle_rows(docs, "doc_id", "text", 3)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("sz"))
+    nstats = dfreq.agg(
+        F.count("*").alias("shingles"),
+        F.max("sz").alias("max_doc_freq"),
+        F.sum(pair_cost).alias("cost_uncapped"),
+        F.sum(F.when(F.col("sz") <= dfreq_cap, pair_cost).otherwise(F.lit(0.0))).alias("cost_capped"),
+        F.sum(F.when(F.col("sz") > dfreq_cap, 1).otherwise(0)).alias("hot_shingles"),
+    ).first()
+    t0 = time.time()
+    ngram_pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_doc_freq=dfreq_cap
+    ).count()
+    report["ngram"] = {
+        "cap_doc_freq": dfreq_cap,
+        "distinct_shingles": nstats["shingles"],
+        "max_doc_freq": nstats["max_doc_freq"],
+        "hot_shingles_dropped": int(nstats["hot_shingles"]),
+        "join_cost_uncapped": int(nstats["cost_uncapped"]),
+        "join_cost_capped": int(nstats["cost_capped"]),
+        "capped_pairs_out": ngram_pairs,
+        "capped_exec_sec": round(time.time() - t0, 2),
+    }
+
+    # exact dedup sweeps up what the stop-shingle cap excludes (boilerplate
+    # is byte-identical): prove the division of labor on the same corpus
+    t0 = time.time()
+    exact_groups = dedup.exact_dedup(docs).filter(F.col("dup_count") > 1).count()
+    report["exact"] = {"dup_groups": exact_groups, "exec_sec": round(time.time() - t0, 2)}
+
+    print(json.dumps(report))
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -254,5 +363,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "recall":
         recall_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "dedup":
+        dedup_caps_probe()
     else:
         main()

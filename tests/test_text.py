@@ -121,3 +121,97 @@ def test_portable_hash_matches_duckdb(spark):
             f"SELECT ('0x' || substring(md5('{w}'), 1, 15))::BIGINT"
         ).fetchone()[0]
         assert got[w] == expect, w
+
+
+def test_repetition_profile_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # 6 words: 'spam' x4 + 'a b'; distinct=3; top word 4/6
+            # bigrams: 'spam spam' x3, 'spam a', 'a b' -> top 3/5
+            (1, "spam spam spam spam a b"),
+            # all distinct: dup 0, top word 1/4, top bigram 1/3
+            (2, "one two three four"),
+            # single word: no bigrams -> null top_bigram_frac, ok=true
+            (3, "word"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_ops.repetition_profile(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 6
+    assert r1["dup_word_frac"] == pytest.approx(0.5)
+    assert r1["top_word_frac"] == pytest.approx(round(4 / 6, 6))
+    assert r1["top_bigram_frac"] == pytest.approx(0.6)
+    assert not r1["repetition_ok"]  # dup 0.5 > 0.30
+    r2 = rows[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["top_word_frac"] == 0.25
+    # every bigram of a 4-word all-distinct doc carries 1/3 of the bigram
+    # mass — above the 0.18 Gopher threshold, so even this doc flags (the
+    # thresholds target real-length docs; callers gate on n_words)
+    assert r2["top_bigram_frac"] == pytest.approx(round(1 / 3, 6))
+    assert not r2["repetition_ok"]
+    r3 = rows[3]
+    assert r3["top_bigram_frac"] is None
+    assert r3["repetition_ok"]
+
+
+def test_repetition_gopher_thresholds(spark):
+    """The pass flag applies BOTH rules: a doc under the dup threshold but
+    over the top-bigram threshold fails."""
+    looped = "alpha beta " * 40 + "gamma delta " + "x1 x2 x3 x4 x5 x6 x7 x8"
+    docs = spark.createDataFrame([(1, looped.strip())], "doc_id bigint, text string")
+    r = text_ops.repetition_profile(docs).first()
+    assert r["top_bigram_frac"] > 0.18
+    assert not r["repetition_ok"]
+
+
+def _winnow_brute(text: str, k: int = 8, w: int = 4):
+    """Reference implementation straight from the paper: per window of w
+    gram hashes take (min value, rightmost position), dedupe."""
+    import hashlib as hl
+    import re
+
+    t = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+    if len(t) < k:
+        return set()
+    hs = [
+        int(hl.md5(t[i : i + k].encode()).hexdigest()[:10], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    out = set()
+    for p in range(len(hs)):  # shrink tail windows like the SQL frame does
+        win = hs[p : p + w]
+        m = min(win)
+        pos = p + max(i for i, v in enumerate(win) if v == m)
+        out.add((pos + 1, m))  # 1-based
+    return out
+
+
+def test_winnowing_matches_bruteforce(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "aaaaaaaaaaaaaaaaaaaa"),  # degenerate: identical grams, tie-breaks
+        (3, "Mixed CASE and punct!!! gets normalized away..."),
+        (4, "short"),  # below k after normalization -> no fingerprints
+    ]
+    docs = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got: dict[int, set] = {}
+    for r in text_ops.winnowing_fingerprints(docs, k=8, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for doc_id, text in texts:
+        assert got.get(doc_id, set()) == _winnow_brute(text), doc_id
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The paper's guarantee: any shared substring of length >= k + w - 1
+    (= 11 here) contributes at least one COMMON fingerprint value."""
+    shared = "zqxwvutsrqp"  # 11 chars, appears in both docs
+    docs = spark.createDataFrame(
+        [(1, f"first document {shared} tail one"), (2, f"other text {shared} end")],
+        "doc_id bigint, text string",
+    )
+    fps = {1: set(), 2: set()}
+    for r in text_ops.winnowing_fingerprints(docs, k=8, window=4).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2]
