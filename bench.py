@@ -103,6 +103,8 @@ HEADLINE = [
     "dedup_keep_best",
     "repetition_profile",
     "winnowing_fps",
+    "semantic_dedup",
+    "dsir_select",
 ]
 
 

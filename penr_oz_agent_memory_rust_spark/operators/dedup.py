@@ -458,6 +458,121 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_cell_planes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
+    """Fixed random hyperplanes for the oracle-checkable cell assignment,
+    rounded to 6 dp so the identical constants embed into both the Spark
+    plan and the DuckDB oracle SQL with no repr drift."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return [[round(float(x), 6) for x in row] for row in planes]
+
+
+def semantic_cells_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Cell id = packed sign bits of f64 dots with the literal planes —
+    a pure column expression (no UDF, no training, no collect)."""
+    cell = F.lit(0).cast("bigint")
+    for j, p in enumerate(planes):
+        lit_p = F.array(*[F.lit(x) for x in p]).cast("array<double>")
+        cell = cell + F.when(similarity.dot_f64(vec, lit_p) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("bigint")
+    return cell
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    cells: str = "hyperplane",
+    n_planes: int = 4,
+    n_centroids: int = 16,
+    seed: int = 11,
+    max_cell: int | None = 100_000,
+) -> DataFrame:
+    """★ SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop a document
+    when its embedding is near-duplicate (cosine ≥ threshold) of a
+    LOWER-ID document in the same cluster cell; the surviving lower id is
+    the kept representative. Output: one row per DROPPED doc —
+    (id, rep_id, score) where rep_id = smallest same-cell id with
+    score ≥ threshold and score = that pair's f64 cosine rounded to 6 dp.
+
+    `cells` picks the partitioning that bounds the quadratic stage:
+      "hyperplane" — packed sign bits of f64 dots with fixed literal
+                     planes (semantic_cell_planes). Fully deterministic,
+                     zero training, exactly reproducible in the DuckDB
+                     oracle — the correctness-gate shape.
+      "ivf"        — k-means cells (knn.train_ivf_centroids), the
+                     published SemDeDup shape: tighter clusters → fewer
+                     cross-cell false negatives at the same cell count.
+                     Centroids are data-dependent (capped driver-side
+                     sample), so this path is recall-pinned in tests, not
+                     oracle-hashed.
+
+    Scale shape is the minhash-bucket pattern: one groupBy on the cell
+    with sorted-array pair expansion (never a self-join that would
+    re-evaluate the cell expression per side), `max_cell` stop-bucket cap
+    against degenerate cells, exact re-score joins only candidate pairs.
+    Like SemDeDup itself, dedup is WITHIN cells only — a cross-cell
+    near-dup pair (both members near a plane/centroid boundary) survives;
+    raise n_planes/n_centroids for tighter cells, or run embedding_neardup
+    for the exhaustive answer."""
+    # zero-norm vectors can never be near-duplicates (cosine undefined) and
+    # the ivf assignment divides by the norm — drop them before cells
+    vectors = vectors.filter(similarity.norm_f64(F.col(vec_col)) > 0)
+    if cells == "ivf":
+        from penr_oz_agent_memory_rust_spark.operators import knn
+
+        cents = knn.train_ivf_centroids(
+            vectors, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+        )
+        cell_expr = knn.ivf_assign_expr(F.col(vec_col), cents).cast("bigint")
+    else:
+        dim = len(vectors.select(vec_col).first()[0])
+        cell_expr = semantic_cells_expr(
+            F.col(vec_col), semantic_cell_planes(dim, n_planes, seed)
+        )
+    members = (
+        vectors.select(F.col(id_col), cell_expr.alias("__cell"))
+        .groupBy("__cell")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_cell is not None:
+        members = members.filter(F.size("ids") <= max_cell)
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    base = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        similarity.norm_f64(F.col(vec_col)).alias("__n"),
+    ).filter(F.col("__n") > 0)
+    left = base.select(F.col("__id").alias("a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+    right = base.select(F.col("__id").alias("b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
+    scored = (
+        pairs.join(left, "a")
+        .join(right, "b")
+        .withColumn(
+            "score",
+            F.round(similarity.dot_f64(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    # per dropped doc: the smallest qualifying representative and that
+    # pair's score — min over (a, score) structs stays in HashAggregate
+    best = scored.groupBy(F.col("b").alias(id_col)).agg(
+        F.min(F.struct(F.col("a").alias("rep_id"), F.col("score").alias("score"))).alias("__r")
+    )
+    return best.select(id_col, F.col("__r.rep_id").alias("rep_id"), F.col("__r.score").alias("score"))
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     seen_fps: DataFrame,

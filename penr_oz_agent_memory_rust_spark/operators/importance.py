@@ -1,0 +1,169 @@
+"""DSIR-style importance resampling (north-star ★ operator, SURVEY §2.7).
+
+Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+arXiv:2302.03169): select raw-corpus documents whose hashed-n-gram
+distribution resembles a small TARGET corpus. The published recipe maps
+1:1 onto declarative Spark:
+
+  1. features   — unigrams + bigrams hashed into B buckets (hashed n-gram
+                  features; B bounds the model regardless of vocabulary).
+  2. models     — bag-of-n-grams bucket distributions for target and raw,
+                  add-one smoothed over all B buckets. Each model is B rows
+                  (a few KB) — broadcastable no matter how big the corpora.
+  3. weights    — per raw doc, log w = Σ_grams [log p_target(b) − log p_raw(b)];
+                  one explode + one broadcast join + one map-side-combinable
+                  per-doc aggregate. The raw corpus never shuffles its text.
+  4. resample   — Gumbel top-k: key = log w + Gumbel(0,1). With a
+                  DETERMINISTIC per-doc uniform (seeded md5 of the id) this
+                  equals sampling-without-replacement ∝ w (Efraimidis-
+                  Spirakis via the Gumbel trick) yet is exactly reproducible
+                  and oracle-checkable in SQL.
+
+All hashing is portable md5 (functions/hashing.py) so every stage has an
+exact DuckDB equivalent; log/exp differences between libm implementations
+sit ~1 ulp and are absorbed by the 6-dp rounding the gates compare at.
+
+100 TB shape: the only full-corpus stages are one explode→hash→count per
+model (map-side partial agg into B buckets) and the per-doc weight agg;
+the model join is a broadcast of B rows; selection is a bounded-heap
+TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from penr_oz_agent_memory_rust_spark.functions import hashing
+from penr_oz_agent_memory_rust_spark.operators.topk import top_k
+
+# 2^60: md5_long values are 60-bit non-negative, so (h+1)/(2^60+1) ∈ (0, 1)
+_MD5_SPAN = 1 << 60
+
+
+def hashed_gram_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """One row per n-gram OCCURRENCE (unigrams + bigrams), hashed into
+    [0, n_buckets): (id, bucket). Occurrence rows (not distinct) because
+    the DSIR model is a bag-of-n-grams distribution.
+
+    Bigrams reuse word_shingles(n=2): a one-token doc contributes its
+    whole text once as the degenerate "bigram" (same convention as every
+    shingle operator here, and the same expression the oracle uses)."""
+    toks = hashing.word_tokens(F.col(text_col))
+    grams = F.concat(toks, hashing.word_shingles(F.col(text_col), 2))
+    return docs.select(
+        F.col(id_col),
+        F.explode(grams).alias("__g"),
+    ).select(
+        F.col(id_col),
+        F.pmod(hashing.md5_long(F.col("__g")), F.lit(n_buckets)).alias("bucket"),
+    )
+
+
+def train_bucket_model(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Add-one-smoothed bucket log-probabilities over the corpus:
+    (bucket, logp) with exactly n_buckets rows — ln((c_b + 1) / (T + B)),
+    T = total gram occurrences. The dense spine (spark.range) gives absent
+    buckets their smoothed floor, so the scoring join never needs an outer
+    join or a null path. The 1-row total is crossJoined in (the deliberate
+    broadcast-1-row pattern) to keep the plan fully declarative."""
+    counts = (
+        hashed_gram_rows(docs, id_col, text_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    spine = docs.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    dense = spine.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    total = dense.agg(F.sum("c").alias("__t"))
+    return dense.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        F.log(
+            (F.col("c") + F.lit(1)).cast("double")
+            / (F.col("__t") + F.lit(n_buckets)).cast("double")
+        ).alias("logp"),
+    )
+
+
+def importance_weights(
+    raw_docs: DataFrame,
+    target_model: DataFrame,
+    raw_model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-doc DSIR log importance weight: (id, logratio).
+    logratio = Σ over the doc's gram occurrences of
+    logp_target(bucket) − logp_raw(bucket). Docs whose text produces no
+    grams (empty after tokenization) get no row — they carry no evidence
+    either way and resampling skips them."""
+    model = F.broadcast(
+        target_model.select("bucket", F.col("logp").alias("__lt")).join(
+            raw_model.select("bucket", F.col("logp").alias("__lr")), "bucket"
+        )
+    )
+    grams = hashed_gram_rows(raw_docs, id_col, text_col, n_buckets)
+    return (
+        grams.join(model, "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__lt") - F.col("__lr")).alias("logratio"))
+    )
+
+
+def gumbel_key(weight: Column, id_col: Column, seed: int) -> Column:
+    """Deterministic Gumbel perturbation: u = (md5_60bit(seed|id)+1)/(2^60+1)
+    ∈ (0,1), key = weight − ln(−ln u). Reproducible across engines (md5) and
+    runs; equals Gumbel-top-k sampling ∝ exp(weight)."""
+    u = (
+        (hashing.seeded_md5_long(id_col.cast("string"), seed) + F.lit(1)).cast("double")
+        / F.lit(float(_MD5_SPAN + 1))
+    )
+    return weight - F.log(-F.log(u))
+
+
+def importance_resample(
+    weighted: DataFrame,
+    k: int,
+    seed: int = 97,
+    id_col: str = "doc_id",
+    weight_col: str = "logratio",
+) -> DataFrame:
+    """Gumbel top-k selection over (id, logratio): the k sampled docs,
+    (id, logratio, gkey) with both values rounded to 6 dp for cross-engine
+    hash comparison. TakeOrderedAndProject — no global sort, no window."""
+    keyed = weighted.withColumn(
+        "gkey", gumbel_key(F.col(weight_col), F.col(id_col), seed)
+    )
+    return top_k(keyed, "gkey", k, tiebreak=id_col).select(
+        id_col,
+        F.round(F.col(weight_col), 6).alias(weight_col),
+        F.round(F.col("gkey"), 6).alias("gkey"),
+    )
+
+
+def dsir_select(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    seed: int = 97,
+) -> DataFrame:
+    """The end-to-end DSIR pipeline: train both bucket models, weight every
+    raw doc, Gumbel-top-k resample. Output: (id, logratio, gkey) × k."""
+    tm = train_bucket_model(target_docs, id_col, text_col, n_buckets)
+    rm = train_bucket_model(raw_docs, id_col, text_col, n_buckets)
+    w = importance_weights(raw_docs, tm, rm, id_col, text_col, n_buckets)
+    return importance_resample(w, k, seed, id_col)

@@ -225,3 +225,62 @@ def test_cpu_rebalance_is_noop_on_wide_inputs(spark):
     assert cpu_rebalance(wide) is wide  # already >= cores: unchanged plan
     narrow = spark.range(1000).coalesce(1)
     assert cpu_rebalance(narrow).rdd.getNumPartitions() == target
+
+
+def _semdedup_vecs(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.985, 0.02, 0.0, 0.0]),  # near-dup of 1 and 2
+        (4, [0.0, 1.0, 0.0, 0.0]),     # distinct direction
+        (5, [0.0, 0.0, 0.0, 0.0]),     # zero vector: never scored
+    ]
+    return spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+
+
+def test_semantic_dedup_hyperplane_drops_to_lowest_rep(spark):
+    df = _semdedup_vecs(spark)
+    out = {r["vec_id"]: (r["rep_id"], r["score"]) for r in
+           dedup.semantic_dedup(df, threshold=0.95, cells="hyperplane",
+                                n_planes=3, seed=11).collect()}
+    # identical-direction vectors always share every sign bit => same cell,
+    # so both near-dups drop against the smallest id
+    assert set(out) == {2, 3}
+    assert out[2][0] == 1 and out[3][0] == 1
+    assert out[2][1] > 0.99
+    # survivors: the representative, the distinct direction, the zero vector
+
+
+def test_semantic_dedup_ivf_matches_hyperplane_on_tight_cells(spark):
+    df = _semdedup_vecs(spark)
+    hyper = {(r["vec_id"], r["rep_id"]) for r in
+             dedup.semantic_dedup(df, threshold=0.95, cells="hyperplane",
+                                  n_planes=3, seed=11).collect()}
+    ivf = {(r["vec_id"], r["rep_id"]) for r in
+           dedup.semantic_dedup(df, threshold=0.95, cells="ivf",
+                                n_centroids=2, seed=11).collect()}
+    # near-identical vectors land in one k-means cell too: same drops
+    assert ivf == hyper == {(2, 1), (3, 1)}
+
+
+def test_semantic_dedup_reported_scores_are_exact_cosines(spark, sf_dir):
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    drops = dedup.semantic_dedup(emb, threshold=0.4, cells="hyperplane",
+                                 n_planes=4, seed=11).collect()
+    exact = {(r["a"], r["b"]): r["score"] for r in
+             dedup.embedding_neardup_pairs(emb, threshold=0.4,
+                                           prefilter="none").collect()}
+    assert drops, "gate shape must be non-trivial on testdata"
+    for r in drops:
+        assert r["rep_id"] < r["vec_id"]
+        # every reported (rep, dropped, score) is an exact neardup pair
+        assert exact[(r["rep_id"], r["vec_id"])] == r["score"]
+
+
+def test_semantic_dedup_max_cell_cap_silences_degenerate_cells(spark):
+    df = _semdedup_vecs(spark)
+    out = dedup.semantic_dedup(df, threshold=0.5, cells="hyperplane",
+                               n_planes=2, seed=11, max_cell=1).collect()
+    assert out == []  # every populated cell exceeds the cap => no pairs
