@@ -1393,6 +1393,30 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ STATEFUL streaming sessionization: the native session_window
+    operator run as a real availableNow stream (state-store windows merge
+    as events arrive; complete-mode final state). On bounded input this
+    equals the batch session_window plan, so it shares the
+    events_session_window_native islands oracle."""
+    from penr_oz_agent_memory_rust_spark.sources.tables import testdata_path
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import run_session_windows_once
+
+    return run_session_windows_once(spark, testdata_path(sf_dir, "events"))
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ stream-stream interval join (attribution shape): purchases joined
+    to same-user views in the preceding hour, both streams watermarked so
+    join state is evicted once rows can no longer match. Inner join on
+    bounded availableNow input emits exactly the batch interval join —
+    the SQL oracle."""
+    from penr_oz_agent_memory_rust_spark.sources.tables import testdata_path
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import run_interval_join_once
+
+    return run_interval_join_once(spark, testdata_path(sf_dir, "events"))
+
+
 def q_asof_tolerance_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ as-of join with a staleness tolerance (pandas merge_asof
     semantics): the carried most-recent order only counts if it is at most
@@ -2014,6 +2038,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     the driver's evaluation cap ever exceeds the window)
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
+        "stream_session_window": q_stream_session_window,
+        "stream_interval_join": q_stream_interval_join,
         "dedup_incremental": q_dedup_incremental,
         "lm_quality": q_lm_quality,
         "hard_negatives": q_hard_negatives,
@@ -3352,5 +3378,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR)
                  || ':' || resized_hex AS val
         FROM ({d["multimodal_resize"]})
+    """
+    # streaming session_window equals the batch native operator on bounded
+    # input — the same islands oracle pins both
+    d["stream_session_window"] = d["events_session_window_native"]
+    d["stream_interval_join"] = """
+        SELECT p.event_id AS p_id, v.event_id AS v_id
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
     """
     return d

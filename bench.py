@@ -105,6 +105,8 @@ HEADLINE = [
     "winnowing_fps",
     "semantic_dedup",
     "dsir_select",
+    "stream_session_window",
+    "stream_interval_join",
 ]
 
 

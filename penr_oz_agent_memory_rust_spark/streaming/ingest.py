@@ -357,6 +357,129 @@ def enrich_stream_with_dim(
     return events_stream.join(F.broadcast(d) if broadcast_dim else d, on, "left")
 
 
+def _events_readstream(spark: SparkSession, events_path: str) -> DataFrame:
+    """readStream over the events parquet with the shared ts normalization
+    (TIMESTAMP(NANOS) scanned as bigint → micros → timestamp). Caller must
+    hold _nanos_as_long."""
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        events_path = _stage_single_file(events_path)
+    raw = spark.readStream.schema(schema).parquet(events_path)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def run_session_windows_once(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    name: str = "__stream_sess_win",
+) -> DataFrame:
+    """Gap-based sessionization as a REAL streaming job: watermarked
+    `session_window` aggregation (the native stateful session operator —
+    state-store window MERGES as events arrive, unlike tumbling windows),
+    availableNow trigger, complete-mode memory sink. On bounded input the
+    final state equals the batch session_window aggregation — the same
+    islands oracle as the batch gate. Timestamps truncate to whole seconds
+    first so streaming and batch bucket sub-second gaps identically.
+    Output: (user_id, sess_start epoch-seconds, n_events)."""
+    with _nanos_as_long(spark):
+        raw = _events_readstream(spark, events_path)
+        sec = F.timestamp_seconds(F.unix_timestamp("ts"))
+        agg = (
+            raw.withWatermark("ts", watermark)
+            .groupBy(F.session_window(sec, gap).alias("sw"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_timestamp(F.col("sw.start")).alias("sess_start"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return spark.table(name)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    on: str,
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    right rows within [left_ts - lookback, left_ts] of a matching key.
+    Both sides carry watermarks (callers set them), so the state store
+    evicts rows once they can no longer match — state is bounded by
+    watermark + lookback, the canonical attribution-join shape."""
+    return left.join(
+        right,
+        (F.col(on) == F.col(f"__r_{on}"))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"interval {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts)),
+    )
+
+
+def run_interval_join_once(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "purchase",
+    right_type: str = "view",
+    lookback: str = "1 hour",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+    name: str = "__stream_ssj",
+) -> DataFrame:
+    """Attribution as a REAL stream-stream join: purchases joined to the
+    views that preceded them within `lookback` for the same user, both
+    sides watermarked (right watermark >= left + lookback so no in-range
+    view is evicted early), availableNow, append-mode memory sink. Inner
+    stream-stream joins emit a pair as soon as both rows have arrived, so
+    the bounded run produces exactly the batch interval join — the SQL
+    oracle. Output: (p_id, v_id)."""
+    with _nanos_as_long(spark):
+
+        def side(alias: str, et: str, wm: str, key_alias: str) -> DataFrame:
+            return (
+                _events_readstream(spark, events_path)
+                .filter(F.col("event_type") == et)
+                .select(
+                    F.col("event_id").alias(f"{alias}_id"),
+                    F.col("user_id").alias(key_alias),
+                    F.col("ts").alias(f"{alias}_ts"),
+                )
+                .withWatermark(f"{alias}_ts", wm)
+            )
+
+        p = side("p", left_type, left_watermark, "user_id")
+        v = side("v", right_type, right_watermark, "__r_user_id")
+        joined = interval_join_streams(
+            p, v, left_ts="p_ts", right_ts="v_ts", on="user_id", lookback=lookback
+        )
+        out = joined.select("p_id", "v_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return spark.table(name)
+
+
 def run_enriched_counts_once(
     spark: SparkSession,
     events_path: str,

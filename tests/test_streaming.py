@@ -394,3 +394,58 @@ def test_continuous_corpus_ingest_dedup_and_index(spark, tmp_path):
     idx = spark.read.parquet(os.path.join(index_path, "data"))
     assert idx.count() == n_seed + 3
     assert {r["vec_id"] for r in idx.filter(F.col("vec_id") > 2).collect()} >= {5, 7, 9}
+
+
+def test_run_session_windows_once_matches_batch(spark, sf_dir):
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table, testdata_path
+
+    got = ingest.run_session_windows_once(
+        spark, testdata_path(sf_dir, "events"), name="__t_sess_eq"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.timestamp_seconds(F.unix_timestamp("ts"))
+    batch = (
+        ev.groupBy(F.session_window(sec, "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("sess_start"),
+            "n_events",
+        )
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_run_interval_join_once_matches_batch(spark, sf_dir):
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table, testdata_path
+
+    got = ingest.run_interval_join_once(
+        spark, testdata_path(sf_dir, "events"), name="__t_ssj_eq"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), F.col("user_id").alias("vu"), F.col("ts").alias("v_ts")
+    )
+    batch = p.join(
+        v,
+        (F.col("pu") == F.col("vu"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("interval 1 hour"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select("p_id", "v_id")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_runners_are_rerunnable(spark, sf_dir):
+    """bench runs every gate 3x in one session: a second .start() with the
+    same memory-sink name must REPLACE the table, not append to it."""
+    from penr_oz_agent_memory_rust_spark.sources.tables import testdata_path
+
+    path = testdata_path(sf_dir, "events")
+    a = ingest.run_interval_join_once(spark, path, name="__t_ssj_rerun").count()
+    b = ingest.run_interval_join_once(spark, path, name="__t_ssj_rerun").count()
+    assert a == b
