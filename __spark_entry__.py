@@ -626,6 +626,81 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id")
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ product-quantization ANN (Jégou et al. 2011): vectors become
+    m=8 uint8-range codes (32× smaller than 64×f32), search is an ADC
+    lookup-table scan over the code table with exact cosine re-rank of
+    the k' candidates — the billion-vector memory lever. Codebooks +
+    codes are built once per corpus and cached (the ivf_ann recipe); no
+    per-query retraining. No oracle: approximate by design; recall,
+    determinism, and the compression claim pinned in tests/test_pq.py."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from penr_oz_agent_memory_rust_spark.operators import pq as _pq
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    path = os.path.join(
+        _tf.gettempdir(), f"__pq_index_{_hl.md5(ident.encode()).hexdigest()[:12]}"
+    )
+    books_path = os.path.join(path, "codebooks.npy")
+    codes_path = os.path.join(path, "codes.parquet")
+    if not os.path.exists(books_path):
+        import numpy as _np
+
+        os.makedirs(path, exist_ok=True)
+        books = _pq.train_pq_codebooks(_emb(spark, sf_dir), m=8, ksub=256, n_iters=5)
+        _pq.encode_pq(_emb(spark, sf_dir), books).write.mode("overwrite").parquet(codes_path)
+        with open(books_path, "wb") as f:
+            _np.save(f, books)
+    import numpy as _np
+
+    books = _np.load(books_path)
+    qv = [float(x) for x in _emb(spark, sf_dir).filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = _pq.pq_search_rerank(
+        spark.read.parquet(codes_path), _emb(spark, sf_dir), books, qv, k=5, kprime=50
+    )
+    return out.select("vec_id", F.round("score", 4).alias("score4"))
+
+
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ IVF-PQ (FAISS IVFADC): coarse cells as parquet partitions + PQ
+    residual codes inside them — search prunes to n_probes partition
+    directories at the scan AND scans 32×-smaller code rows, then
+    exact-cosine re-ranks the k' candidates. The composition of the two
+    billion-vector levers (ivf_ann's pruning, pq_ann's compression).
+    Built once per corpus, cached. No oracle: approximate by design;
+    recall/pruning/residual-advantage pinned in tests/test_ivfpq.py."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from penr_oz_agent_memory_rust_spark.operators import ivfpq as _ivfpq
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    path = os.path.join(
+        _tf.gettempdir(), f"__ivfpq_index_{_hl.md5(ident.encode()).hexdigest()[:12]}"
+    )
+    if not os.path.exists(os.path.join(path, "model.json")):
+        _ivfpq.build_ivfpq_index(
+            _emb(spark, sf_dir), path, n_cells=8, m=8, ksub=256, n_iters=5
+        )
+    qv = [float(x) for x in _emb(spark, sf_dir).filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = _ivfpq.search_ivfpq_index(
+        spark, path, qv, k=5, n_probes=3, kprime=50, rerank=_emb(spark, sf_dir)
+    )
+    return out.select("vec_id", F.round("score", 4).alias("score4"))
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-k (the KNN reduction shape on relational data): top-3
     lineitems by revenue within each supplier."""
@@ -2100,6 +2175,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lsh_ann": q_lsh_ann,
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
         "ivf_ann": q_ivf_ann,
+        "pq_ann": q_pq_ann,
+        "ivfpq_ann": q_ivfpq_ann,
         "knn_self_all_pairs": q_knn_self_all_pairs,
         "knn_graph_lsh": q_knn_graph_lsh,
         "sequence_packing": q_sequence_packing,

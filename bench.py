@@ -89,6 +89,8 @@ HEADLINE = [
     "lsh_ann",
     "lsh_ann_multiprobe",
     "ivf_ann",
+    "pq_ann",
+    "ivfpq_ann",
     "knn_self_all_pairs",
     "knn_graph_lsh",
     "sequence_packing",
