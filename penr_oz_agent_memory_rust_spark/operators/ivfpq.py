@@ -1,0 +1,243 @@
+"""IVF-PQ: coarse inverted-file partitioning + product-quantized residual
+codes — the FAISS `IVFx,PQy` (IVFADC) recipe (Jégou et al., TPAMI 2011)
+re-expressed as a Spark table layout.
+
+Why this shape survives 100 TB / billions of vectors:
+  * the index table stores (id, m uint8-range codes) PARTITIONED BY the
+    coarse cell — a 64-dim f32 corpus shrinks 32× AND a search touches
+    only `n_probes / n_cells` of the files (partition pruning at the
+    scan, same mechanism as operators/ivf_index.py);
+  * residual encoding (vector minus its cell centroid) concentrates the
+    quantizer's budget on the within-cell distribution, which is what
+    makes PQ codes usable at coarse-cell granularity;
+  * search never decodes: per probed cell a tiny m x ksub lookup table
+    (built driver-side from the query's residual) is broadcast and each
+    code row costs m int gathers (ADC); an exact re-rank joins only the
+    k' candidate ids back to the float vectors.
+
+Approximate by construction -> recall-pinned in tests/test_ivfpq.py and
+PLANS.md rather than DuckDB-hashed (same policy as lsh_ann / ivf_ann /
+pq_ann). No counterpart in the reference (`/root/reference` searches
+brute-force in SQLite or delegates to Qdrant, src/memory.rs:154-198,
+src/vector_store.rs:257-296); this is the north-star scale path beyond
+it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from penr_oz_agent_memory_rust_spark.functions import similarity
+from penr_oz_agent_memory_rust_spark.operators.topk import top_k
+
+
+def _rng(seed: int) -> np.random.Generator:
+    return np.random.Generator(
+        np.random.PCG64(int.from_bytes(hashlib.md5(f"ivfpq{seed}".encode()).digest()[:8], "little"))
+    )
+
+
+def _kmeans_l2(X: np.ndarray, k: int, n_iters: int, rng: np.random.Generator) -> np.ndarray:
+    """Plain l2 k-means, deterministic: seeded init, fixed iterations,
+    dead centroids re-seeded at the worst-served point."""
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].astype(np.float32).copy()
+    for _ in range(n_iters):
+        d2 = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            else:
+                C[c] = X[np.argmax(d2.min(axis=1))]
+    return C
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    n_iters: int = 8,
+    seed: int = 42,
+    max_sample_rows: int = 50_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train (coarse, books): coarse = (n_cells, d) l2 centroids; books =
+    (m, ksub', dsub) sub-codebooks fit on the sample's RESIDUALS against
+    its assigned coarse centroid. Only a capped sample ever reaches the
+    driver (the train_ivf_centroids guard); assignment and encoding stay
+    distributed."""
+    df = corpus.select(vec_col)
+    n = df.count()
+    frac = min(1.0, max_sample_rows / max(n, 1))
+    if frac < 1.0:
+        df = df.sample(fraction=frac, seed=seed)
+    X = np.asarray([r[0] for r in df.limit(max_sample_rows).collect()], dtype=np.float32)
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = _rng(seed)
+    coarse = _kmeans_l2(X, n_cells, n_iters, rng)
+    d2 = (
+        (X * X).sum(axis=1, keepdims=True)
+        - 2.0 * (X @ coarse.T)
+        + (coarse * coarse).sum(axis=1)[None, :]
+    )
+    R = X - coarse[np.argmin(d2, axis=1)]
+    k = min(ksub, len(R))
+    books = np.empty((m, k, dsub), dtype=np.float32)
+    for j in range(m):
+        books[j] = _kmeans_l2(R[:, j * dsub : (j + 1) * dsub], k, n_iters, rng)
+    return coarse, books
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    n_iters: int = 8,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train, then ONE Arrow pass (assign cell -> residual -> PQ codes per
+    batch, all BLAS) and a write partitioned by cell. The corpus never
+    shuffles — every task encodes its own scan split and the partitioned
+    write fans rows into cell directories. Sidecar `model.json` holds the
+    coarse centroids + codebooks (a few hundred KB) beside the data dir,
+    never inside it (a non-parquet file in the table root corrupts the
+    listing — ivf_index.py:38-41)."""
+    coarse, books = train_ivfpq(
+        corpus, vec_col=vec_col, n_cells=n_cells, m=m, ksub=ksub,
+        n_iters=n_iters, seed=seed,
+    )
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((coarse, books))
+    mm, _, dsub = books.shape
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C, B = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float32)
+            d2 = (
+                (X * X).sum(axis=1, keepdims=True)
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            cell = np.argmin(d2, axis=1)
+            R = X - C[cell]
+            codes = np.empty((len(X), mm), dtype=np.int16)
+            for j in range(mm):
+                S = R[:, j * dsub : (j + 1) * dsub]
+                Bj = B[j]
+                dj = (
+                    (S * S).sum(axis=1, keepdims=True)
+                    - 2.0 * (S @ Bj.T)
+                    + (Bj * Bj).sum(axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(dj, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "ivf_cell": cell.astype(np.int32), "codes": list(codes)}
+            )
+
+    out_schema = f"{id_col} bigint, ivf_cell int, codes array<smallint>"
+    encoded = corpus.select(id_col, vec_col).mapInPandas(enc, schema=out_schema)
+    encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(os.path.join(path, "data"))
+    with open(os.path.join(path, "model.json"), "w") as f:
+        json.dump({"coarse": coarse.tolist(), "books": books.tolist()}, f)
+    return coarse, books
+
+
+def load_ivfpq_model(path: str) -> tuple[np.ndarray, np.ndarray]:
+    with open(os.path.join(path, "model.json")) as f:
+        obj = json.load(f)
+    return (
+        np.asarray(obj["coarse"], dtype=np.float32),
+        np.asarray(obj["books"], dtype=np.float32),
+    )
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 2,
+    kprime: int = 50,
+    rerank: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe-limited ADC search. The `ivf_cell IN (...)` filter sits on the
+    partition column -> PartitionFilters prune non-probed cells before any
+    file opens (plan-pinned in tests/test_ivfpq.py). Each probed cell gets
+    its own residual LUT (query minus THAT cell's centroid — the reason
+    IVFADC re-derives the table per cell); the broadcast payload is
+    n_probes x m x ksub floats. Without `rerank`, returns (id, adc) by
+    ascending approximate l2; with `rerank` (a DataFrame carrying the
+    original vectors), the k' ADC candidates are exact-cosine re-ranked —
+    only k' rows ever touch float vectors."""
+    coarse, books = load_ivfpq_model(path)
+    m, ksub, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float32)
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != index dim {m * dsub}")
+    d2c = ((coarse - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in np.argsort(d2c)[: min(n_probes, len(coarse))]]
+    luts = {}
+    for cell in probes:
+        r = q - coarse[cell]
+        lut = np.empty((m, ksub), dtype=np.float32)
+        for j in range(m):
+            diff = books[j] - r[j * dsub : (j + 1) * dsub][None, :]
+            lut[j] = (diff * diff).sum(axis=1)
+        luts[cell] = lut
+    bc = spark.sparkContext.broadcast(luts)
+
+    @F.pandas_udf("float")
+    def adc(cell: pd.Series, codes: pd.Series) -> pd.Series:
+        L = bc.value
+        out = np.empty(len(cell), dtype=np.float32)
+        cells = cell.to_numpy()
+        M = np.asarray(list(codes), dtype=np.int64)
+        cols = np.arange(m)
+        for c in np.unique(cells):
+            mask = cells == c
+            out[mask] = L[int(c)][cols[None, :], M[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    scan = spark.read.parquet(os.path.join(path, "data")).filter(
+        F.col("ivf_cell").isin(probes)  # partition pruning at the scan
+    )
+    scored = scan.withColumn("adc", adc(F.col("ivf_cell"), F.col("codes")))
+    cand = scored.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(
+        kprime if rerank is not None else k
+    )
+    if rerank is None:
+        return cand.select(id_col, "adc")
+    qlit = similarity.query_vec_lit([float(x) for x in query_vec], "f64")
+    exact = (
+        cand.select(id_col)
+        .join(rerank.select(id_col, vec_col), id_col)
+        .withColumn("score", F.round(similarity.cosine_f64(F.col(vec_col), qlit), 6))
+        .filter(F.col("score").isNotNull())
+    )
+    return top_k(exact, "score", k, tiebreak=id_col).select(id_col, "score")

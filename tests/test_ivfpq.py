@@ -1,0 +1,117 @@
+"""IVF-PQ index: build layout, partition-pruned ADC search, residual
+advantage over plain PQ, recall with re-rank, determinism."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.operators import ivfpq, memory_store
+from penr_oz_agent_memory_rust_spark.plans import explain
+from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    coarse, books = ivfpq.build_ivfpq_index(
+        emb, path, n_cells=8, m=8, ksub=64, n_iters=5
+    )
+    assert coarse.shape == (8, 64) and books.shape == (8, 64, 8)
+    return path
+
+
+def test_layout_partitioned_with_sidecar(index_path):
+    cells = [d for d in os.listdir(f"{index_path}/data") if d.startswith("ivf_cell=")]
+    assert len(cells) >= 2
+    assert os.path.exists(f"{index_path}/model.json")
+
+
+def test_train_deterministic(emb):
+    a = ivfpq.train_ivfpq(emb, n_cells=4, m=8, ksub=16, n_iters=3)
+    b = ivfpq.train_ivfpq(emb, n_cells=4, m=8, ksub=16, n_iters=3)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_search_prunes_partitions(spark, emb, index_path):
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    df = ivfpq.search_ivfpq_index(spark, index_path, qv, k=5, n_probes=2)
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ivf_cell" in part_section, part_section
+
+
+def test_self_match_and_rerank_recall(spark, emb, index_path):
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    out = ivfpq.search_ivfpq_index(
+        spark, index_path, qv, k=10, n_probes=4, kprime=100, rerank=emb
+    )
+    rows = out.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["score"] == 1.0
+    mem = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.lit("t").alias("text"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("string").alias("session"),
+        "embedding",
+        F.lit(None).cast("timestamp").alias("created_at"),
+    )
+    exact = [int(r["id"]) for r in memory_store.search(mem, qv, limit=10).collect()]
+    got = [r["vec_id"] for r in rows]
+    # 4-of-8 probes on uniform-random data (the PQ worst case): half the
+    # corpus is never scanned, so bound the overlap rather than demand it
+    overlap = len(set(got) & set(exact))
+    assert overlap >= 5, f"IVFPQ top-10 overlap too low: {overlap}"
+
+
+def test_residual_codes_beat_plain_pq(emb):
+    """Residual encoding must reconstruct better than codebooks fit on raw
+    vectors with the same budget — the reason IVFADC exists."""
+    from penr_oz_agent_memory_rust_spark.operators import pq
+
+    X = np.asarray(
+        [r["embedding"] for r in emb.select("embedding").orderBy(F.rand(1)).collect()],
+        dtype=np.float32,
+    )
+    coarse, books = ivfpq.train_ivfpq(emb, n_cells=8, m=8, ksub=32, n_iters=5)
+    d2 = (
+        (X * X).sum(axis=1, keepdims=True)
+        - 2.0 * (X @ coarse.T)
+        + (coarse * coarse).sum(axis=1)[None, :]
+    )
+    cells = np.argmin(d2, axis=1)
+    R = X - coarse[cells]
+    dsub = 8
+
+    def recon_err(vecs, bks):
+        err = 0.0
+        for j in range(8):
+            S = vecs[:, j * dsub : (j + 1) * dsub]
+            B = bks[j]
+            dj = (
+                (S * S).sum(axis=1, keepdims=True)
+                - 2.0 * (S @ B.T)
+                + (B * B).sum(axis=1)[None, :]
+            )
+            err += float(np.maximum(dj.min(axis=1), 0.0).sum())
+        return err / len(vecs)
+
+    ivfpq_err = recon_err(R, books)
+    plain_books = pq.train_pq_codebooks(emb, m=8, ksub=32, n_iters=5)
+    plain_err = recon_err(X, plain_books)
+    assert ivfpq_err < plain_err, (ivfpq_err, plain_err)
+
+
+def test_query_dim_mismatch_raises(spark, index_path):
+    with pytest.raises(ValueError, match="query dim"):
+        ivfpq.search_ivfpq_index(spark, index_path, [0.0] * 10)
