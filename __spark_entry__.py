@@ -701,6 +701,37 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 4).alias("score4"))
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ k-means assignment step as a pure native expression: seeds are
+    the first 8 vectors (data-defined, so the oracle can mirror them),
+    every row gets its nearest seed by float64 l2 with index tie-break —
+    zero shuffle, zero Python, the assignment half of
+    operators/kmeans.kmeans_fit. The only collect is the 8 seed rows."""
+    import numpy as _np
+
+    from penr_oz_agent_memory_rust_spark.operators import kmeans as _km
+
+    emb = _emb(spark, sf_dir)
+    seeds = _np.asarray(
+        [r["embedding"] for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()],
+        dtype=_np.float32,
+    )
+    return _km.assign_clusters(emb, seeds, round_dp=6).select("vec_id", "cell")
+
+
+def q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ distributed Lloyd's end-to-end: map-side partial aggregation
+    (≤ k rows per Arrow batch cross the wire, corpus never shuffles),
+    then the per-cluster curation profile. No oracle: iterative training
+    is not SQL-expressible; determinism, inertia monotonicity, and the
+    no-shuffle assignment plan are pinned in tests/test_kmeans.py."""
+    from penr_oz_agent_memory_rust_spark.operators import kmeans as _km
+
+    emb = _emb(spark, sf_dir)
+    C, _hist = _km.kmeans_fit(emb, k=5, n_iters=4)
+    return _km.cluster_profile(emb, C)
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-k (the KNN reduction shape on relational data): top-3
     lineitems by revenue within each supplier."""
@@ -2177,6 +2208,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
         "ivfpq_ann": q_ivfpq_ann,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_profile": q_kmeans_profile,
         "knn_self_all_pairs": q_knn_self_all_pairs,
         "knn_graph_lsh": q_knn_graph_lsh,
         "sequence_packing": q_sequence_packing,
@@ -2466,6 +2499,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.did = a JOIN sizes sb ON sb.did = b
             WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+        """,
+        "kmeans_assign": """
+            SELECT e.vec_id, c.vec_id::INT AS cell
+            FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+            QUALIFY row_number() OVER (
+              PARTITION BY e.vec_id
+              ORDER BY round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    i -> (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                       * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), 6),
+                c.vec_id
+            ) = 1
         """,
         "dedup_simhash": _simhash_sql(16),
         "embedding_neardup": f"""

@@ -91,6 +91,8 @@ HEADLINE = [
     "ivf_ann",
     "pq_ann",
     "ivfpq_ann",
+    "kmeans_assign",
+    "kmeans_profile",
     "knn_self_all_pairs",
     "knn_graph_lsh",
     "sequence_packing",
