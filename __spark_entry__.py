@@ -732,6 +732,103 @@ def q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km.cluster_profile(emb, C)
 
 
+def q_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ closed-form quality probe: per-dimension class-centroid
+    difference weights (one distributed posexplode aggregation — d rows
+    to the driver, bounded by the dimension), then sigmoid scoring as a
+    pure native expression over the whole corpus. Weights and the dot
+    product are 6dp-rounded on both engines so parity never rides on
+    aggregation-order or exp ulps."""
+    from penr_oz_agent_memory_rust_spark.operators import classifier as _clf
+
+    emb = _emb(spark, sf_dir)
+    w = _clf.class_centroid_weights(emb)
+    return emb.select(
+        "vec_id",
+        _clf.score_expr(F.col("embedding"), w, round_dot_dp=6).alias("score"),
+    )
+
+
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ distributed logistic regression end-to-end (the fastText-style
+    classifier-filter trainer): full-batch GD where each iteration is one
+    Arrow pass emitting a single (d+2)-float partial row per batch — no
+    shuffle, gradient traffic bounded by partition count — then a
+    map-only scored filter of the corpus. No oracle: iterative training
+    is not SQL-expressible; loss-descent, accuracy, determinism, and the
+    pure-expression scoring plan are pinned in tests/test_classifier.py."""
+    from penr_oz_agent_memory_rust_spark.operators import classifier as _clf
+
+    emb = _emb(spark, sf_dir)
+    # label is multiclass 0-9: binarize to "is class 1" — logistic loss
+    # needs y in {0,1} (same one-vs-rest framing a quality probe uses)
+    bin_df = emb.withColumn(
+        "y", F.when(F.col("label") == 1, F.lit(1)).otherwise(F.lit(0))
+    )
+    w, b, _hist = _clf.logreg_fit(bin_df, label_col="y", n_iters=15, lr=0.5)
+    scored = emb.withColumn("clf_score", _clf.score_expr(F.col("embedding"), w, b))
+    # keep the top decile by score — the realistic classifier-filter cut
+    # (a fixed probability threshold is brittle when the positive rate
+    # shifts); approxQuantile is one bounded-sketch pass
+    q90 = scored.approxQuantile("clf_score", [0.9], 1e-3)[0]
+    return scored.filter(F.col("clf_score") >= q90).select("vec_id", "clf_score")
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ two-stage diverse retrieval: distributed top-50 cosine retrieval
+    narrows the corpus, then MMR (lam=0.7) greedily diversifies the
+    bounded candidate set driver-side. No oracle: the greedy argmax is
+    iterative; ordering/diversity/guard semantics pinned in
+    tests/test_mmr.py."""
+    from penr_oz_agent_memory_rust_spark.operators import mmr as _mmr
+    from penr_oz_agent_memory_rust_spark.operators.topk import top_k
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    scored = emb.withColumn(
+        "score", similarity.cosine_f64(F.col("embedding"), similarity.query_vec_lit(qv, "f64"))
+    ).filter(F.col("score").isNotNull())
+    cands = top_k(scored, "score", 50, tiebreak="vec_id").select("vec_id", "embedding")
+    return _mmr.mmr_select(cands, qv, k=10, lam=0.7)
+
+
+def q_jl_projected_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ JL-projected candidate generation: one Arrow pass projects the
+    corpus 64→16 dims (matrix regenerated executor-side from the seed —
+    nothing broadcast), LSH buckets + scores in the 4×-smaller space to
+    produce candidates, then the final k re-ranks by exact f64 cosine on
+    the ORIGINAL vectors — the dimensionality lever for ANN over
+    high-dim columns at 100 TB. No oracle: approximate by design;
+    projection determinism + distance preservation pinned in
+    tests/test_projection.py."""
+    from penr_oz_agent_memory_rust_spark.operators import projection as _proj
+    from penr_oz_agent_memory_rust_spark.operators.topk import top_k_per_group
+
+    emb = _emb(spark, sf_dir)
+    proj = _proj.project_embeddings(emb.select("vec_id", "embedding"), 16)
+    corpus = proj.select(F.col("vec_id"), F.col("proj").alias("vec"))
+    queries = proj.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("proj").alias("qv")
+    )
+    cand = knn.lsh_knn_join(
+        queries, corpus, k=20, n_planes=4, dim=16,
+        query_id="qid", query_vec="qv", corpus_id="vec_id", corpus_vec="vec",
+    ).select("qid", "vec_id")
+    qorig = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    rerank = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qorig), "qid")
+        .withColumn("score", knn.cosine_pairs_udf()(F.col("embedding"), F.col("q_emb")))
+        .filter(F.col("score").isNotNull())
+        .select("qid", "vec_id", "score")
+    )
+    return top_k_per_group(rerank, ["qid"], "score", 5, tiebreak="vec_id").select(
+        "qid", "vec_id"
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-k (the KNN reduction shape on relational data): top-3
     lineitems by revenue within each supplier."""
@@ -2210,6 +2307,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivfpq_ann": q_ivfpq_ann,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_profile": q_kmeans_profile,
+        "centroid_classifier": q_centroid_classifier,
+        "quality_classifier_train": q_quality_classifier_train,
+        "mmr_rerank": q_mmr_rerank,
+        "jl_projected_ann": q_jl_projected_ann,
         "knn_self_all_pairs": q_knn_self_all_pairs,
         "knn_graph_lsh": q_knn_graph_lsh,
         "sequence_packing": q_sequence_packing,
@@ -2499,6 +2600,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.did = a JOIN sizes sb ON sb.did = b
             WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+        """,
+        "centroid_classifier": """
+            WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+            w0 AS (
+              SELECT d.i,
+                     round(coalesce(avg(CASE WHEN e.label = 1 THEN e.embedding[d.i]::DOUBLE END), 0)
+                         - coalesce(avg(CASE WHEN e.label = 0 THEN e.embedding[d.i]::DOUBLE END), 0), 6) AS w
+              FROM embeddings e CROSS JOIN dims d
+              GROUP BY d.i
+            ),
+            wl AS (SELECT list(w ORDER BY i) AS wv FROM w0)
+            SELECT e.vec_id,
+                   round(1.0 / (1.0 + exp(-round(list_sum(list_transform(generate_series(1, 64),
+                         i -> e.embedding[i]::DOUBLE * wv[i])), 6))), 6) AS score
+            FROM embeddings e CROSS JOIN wl
         """,
         "kmeans_assign": """
             SELECT e.vec_id, c.vec_id::INT AS cell

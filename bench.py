@@ -93,6 +93,10 @@ HEADLINE = [
     "ivfpq_ann",
     "kmeans_assign",
     "kmeans_profile",
+    "centroid_classifier",
+    "quality_classifier_train",
+    "mmr_rerank",
+    "jl_projected_ann",
     "knn_self_all_pairs",
     "knn_graph_lsh",
     "sequence_packing",

@@ -1,0 +1,69 @@
+"""Seeded Gaussian random projection (Johnson–Lindenstrauss): map-only
+dimensionality reduction for embedding columns.
+
+At 100 TB the embedding column dominates every byte count downstream —
+LSH signatures, PQ codebooks, k-means distances all cost O(d). A JL
+projection to d' « d preserves pairwise distances within (1±ε) w.h.p.
+(ε ≈ sqrt(8 ln N / d')), so running the CANDIDATE-GENERATION stages
+(lsh_knn_join, minhash-style bucketing, ivfpq coarse assignment) on
+projected vectors and re-ranking exactly on the originals keeps recall
+while cutting the hot column 8-24×.
+
+Execution: the (d × d') projection matrix is generated PER EXECUTOR from
+the seed (numpy PCG64 — a few MB at most, cheaper to regenerate than to
+broadcast), and one Arrow pass does the matmul per batch. No shuffle, no
+driver participation, deterministic for a given (seed, dims).
+
+No counterpart in the reference; north-star ★ preprocessing for the ANN
+family.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _proj_matrix(in_dim: int, out_dim: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(
+        np.random.PCG64(
+            int.from_bytes(hashlib.md5(f"jl{seed}|{in_dim}|{out_dim}".encode()).digest()[:8], "little")
+        )
+    )
+    # N(0, 1/d') entries: E[|Px|^2] = |x|^2, the distance-preserving scale
+    return rng.normal(0.0, 1.0 / np.sqrt(out_dim), size=(in_dim, out_dim)).astype(np.float32)
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    seed: int = 42,
+) -> DataFrame:
+    """Append `out_col` = the out_dim-dimensional Gaussian projection of
+    vec_col. One mapInPandas pass, matrix regenerated executor-side from
+    the seed (never broadcast, never collected)."""
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, {out_col} array<float>"
+
+    def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float32)
+            if P is None:
+                P = _proj_matrix(X.shape[1], out_dim, seed)
+            Y = X @ P
+            pdf = pdf.copy()
+            pdf[out_col] = list(Y)
+            yield pdf
+
+    return df.mapInPandas(proj, schema=out_schema)

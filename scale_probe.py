@@ -129,6 +129,95 @@ def recall_probe() -> None:
     spark.stop()
 
 
+def pq_probe() -> None:
+    """PQ / IVF-PQ at inflated scale (`python scale_probe.py pq`):
+    encode throughput, on-disk compression, per-query search cost, and
+    recall@10 vs exact — the numbers behind the 'scan 32×-smaller code
+    rows' claim. Corpus = sf embeddings inflated EMB_COPIES× with
+    deterministic jitter (distinct vectors, same distribution)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from penr_oz_agent_memory_rust_spark.operators import ivfpq, pq
+
+    spark = get_spark(app_name="poz-pq-probe")
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    stride = base.count()
+    emb = inflate(
+        base.withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x + (F.crc32(F.col("vec_id").cast("string")) % 1000).cast("float") / 1e6),
+        ),
+        EMB_COPIES,
+        "vec_id",
+        stride,
+    ).cache()
+    n = emb.count()
+    n_queries = 20
+    qvs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < n_queries).collect()
+    }
+    qdf = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .cache()
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    exact = knn.expr_knn_join(
+        qdf, c, k=10, query_id="qid", query_vec="qv", corpus_id="cid", corpus_vec="cvec"
+    )
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r["qid"], set()).add(r["cid"])
+
+    out = {"corpus_rows": n, "queries": n_queries}
+    tmp = tempfile.mkdtemp(prefix="poz_pq_probe_")
+    try:
+        # --- plain PQ: train + encode + disk + search ---
+        t0 = time.time()
+        books = pq.train_pq_codebooks(emb, m=8, ksub=256, n_iters=5)
+        out["pq_train_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        codes_path = os.path.join(tmp, "codes.parquet")
+        pq.encode_pq(emb, books).write.mode("overwrite").parquet(codes_path)
+        enc_s = time.time() - t0
+        out["pq_encode_sec"] = round(enc_s, 2)
+        out["pq_encode_rows_per_sec"] = int(n / enc_s)
+        raw_path = os.path.join(tmp, "raw.parquet")
+        emb.select("vec_id", "embedding").write.mode("overwrite").parquet(raw_path)
+        size = lambda p: sum(os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet"))
+        out["pq_disk_ratio"] = round(size(codes_path) / size(raw_path), 3)
+        codes = spark.read.parquet(codes_path).cache()
+        codes.count()
+        hits, t0 = 0, time.time()
+        for qid, qv in qvs.items():
+            got = pq.pq_search_rerank(codes, emb, books, qv, k=10, kprime=100)
+            hits += sum(1 for r in got.collect() if r["vec_id"] in truth.get(qid, ()))
+        out["pq_search_sec_per_query"] = round((time.time() - t0) / n_queries, 3)
+        out["pq_recall_at_10"] = round(hits / (n_queries * 10), 4)
+
+        # --- IVF-PQ: build + pruned search grid ---
+        idx = os.path.join(tmp, "ivfpq")
+        t0 = time.time()
+        ivfpq.build_ivfpq_index(emb, idx, n_cells=16, m=8, ksub=256, n_iters=5)
+        out["ivfpq_build_sec"] = round(time.time() - t0, 2)
+        for probes in (2, 4, 8):
+            hits, t0 = 0, time.time()
+            for qid, qv in qvs.items():
+                got = ivfpq.search_ivfpq_index(
+                    spark, idx, qv, k=10, n_probes=probes, kprime=100, rerank=emb
+                )
+                hits += sum(1 for r in got.collect() if r["vec_id"] in truth.get(qid, ()))
+            out[f"ivfpq_p{probes}_sec_per_query"] = round((time.time() - t0) / n_queries, 3)
+            out[f"ivfpq_p{probes}_recall_at_10"] = round(hits / (n_queries * 10), 4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def dedup_caps_probe() -> None:
     """Quantify what the stop-bucket / stop-shingle caps buy on a 5M-doc
     synthetic corpus with skewed duplicates (`python scale_probe.py dedup`;
@@ -365,5 +454,7 @@ if __name__ == "__main__":
         recall_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "dedup":
         dedup_caps_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "pq":
+        pq_probe()
     else:
         main()
