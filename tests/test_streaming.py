@@ -449,3 +449,16 @@ def test_stream_runners_are_rerunnable(spark, sf_dir):
     a = ingest.run_interval_join_once(spark, path, name="__t_ssj_rerun").count()
     b = ingest.run_interval_join_once(spark, path, name="__t_ssj_rerun").count()
     assert a == b
+
+
+def test_stream_shuffle_partitions_scoped(spark):
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import _stream_shuffle_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _stream_shuffle_partitions(spark, 8):
+        assert spark.conf.get(key) == "8"
+    assert spark.conf.get(key) == before
+    with _stream_shuffle_partitions(spark, None):
+        assert spark.conf.get(key) == before
+    assert spark.conf.get(key) == before
