@@ -1805,6 +1805,73 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_exact_dedup(docs.filter(F.col("doc_id") >= 250), seen)
 
 
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Bloom-prefiltered cross-snapshot dedup: same split and EXACT same
+    output as dedup_incremental (shared oracle), but batch rows are routed
+    through a broadcast 128 KiB Bloom sketch of the seen-fingerprint
+    history first — bloom-miss rows (definitely new, no false negatives)
+    bypass the anti-join entirely, so at scale the join shuffles only the
+    false-positive + true-dup sliver instead of the whole batch
+    (operators/bloom.py)."""
+    from penr_oz_agent_memory_rust_spark.operators import bloom
+
+    docs = _docs(spark, sf_dir)
+    seen = dedup.exact_dedup(docs.filter(F.col("doc_id") < 250)).select("fp")
+    return bloom.incremental_bloom_dedup(docs.filter(F.col("doc_id") >= 250), seen)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ C4-style segment-level dedup: 8-token segments deduped corpus-wide
+    (first occurrence survives), documents rebuilt from surviving segments
+    (operators/dedup.py:chunk_dedup). Inverted-index shape: one hash-agg on
+    the segment fingerprint + one equi-join, never pairwise."""
+    return dedup.chunk_dedup(_docs(spark, sf_dir), chunk_tokens=8, stride=8)
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ substring-duplication profile: fraction of each doc's tokens
+    covered by 5-grams occurring in >= 2 distinct documents — the
+    suffix-array span-dedup signal (Lee et al. 2021) computed with zero
+    pair expansion (df is a property of the gram, so cost is linear in
+    occurrences; operators/dedup.py:dup_span_coverage)."""
+    return dedup.dup_span_coverage(_docs(spark, sf_dir), k=5, min_docs=2)
+
+
+def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ PageRank over the exact top-5 cosine kNN graph (centrality as a
+    redundancy/diversity signal for sampling). The graph here is the
+    oracle-shaped expr-cosine edge list over a bounded id range (the scale
+    path for edge construction is blocked_knn_self_join / knn_graph_lsh,
+    already benched); the NEW operator is the power iteration itself —
+    3 unrolled iterations, each one join + one map-side-partial hash agg,
+    nothing collected, per-iteration 12 dp rounding for engine-portable
+    values (operators/pagerank.py)."""
+    from penr_oz_agent_memory_rust_spark.operators.pagerank import pagerank
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
+    q = F.broadcast(
+        emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("qv"))
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("ev"))
+        .crossJoin(q)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(similarity.cosine_f64(F.col("ev"), F.col("qv")), 6).alias("score"),
+        )
+        .filter(F.col("score").isNotNull())
+    )
+    edges = knn.top_k_per_group(scored, ["src"], "score", 5, tiebreak="dst").select(
+        "src", "dst"
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85, round_dp=12)
+    return ranks.select(
+        F.col("id").alias("vec_id"), F.round("rank", 6).alias("rank")
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ ordered funnel signup -> view -> purchase with a 6-hour horizon
     from the user's first signup: co-partitioned join per step, no
@@ -2260,6 +2327,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_session_window": q_stream_session_window,
         "stream_interval_join": q_stream_interval_join,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_bloom": q_dedup_incremental_bloom,
+        "line_dedup": q_line_dedup,
+        "dup_span_coverage": q_dup_span_coverage,
+        "knn_pagerank": q_knn_pagerank,
         "lm_quality": q_lm_quality,
         "hard_negatives": q_hard_negatives,
         "funnel_conversion": q_funnel_conversion,
@@ -2506,6 +2577,56 @@ def _semantic_dedup_sql(threshold: float = 0.4, n_planes: int = 4, seed: int = 1
         )
         SELECT b AS vec_id, min(a) AS rep_id, arg_min(score, a) AS score
         FROM p WHERE score >= {threshold} GROUP BY b"""
+
+
+def _pagerank_sql(iters: int = 3, k: int = 5, damping: float = 0.85) -> str:
+    """DuckDB mirror of q_knn_pagerank: same 6dp-rounded cosine edges
+    (top-k per src, dst-asc tiebreak), then the SAME power iterations
+    unrolled as CTEs — identical float literals via repr(), per-iteration
+    round to 12 dp, final 6 dp."""
+    teleport_num = repr(1.0 - damping)
+    ctes = [
+        f"""scored AS (
+          SELECT q.vec_id AS src, e.vec_id AS dst,
+                 {_dk_cos('e.embedding', 'q.embedding')} AS score
+          FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+          WHERE q.vec_id < 500 AND e.vec_id < 500
+            AND {_dk_norm_pos('q.embedding')} AND {_dk_norm_pos('e.embedding')}
+        )""",
+        f"""edges AS (
+          SELECT src, dst FROM scored
+          QUALIFY row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) <= {k}
+        )""",
+        """nodes AS (
+          SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)
+        )""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+              SELECT e.dst AS id, sum(r.rank / d.deg) AS c
+              FROM edges e JOIN deg d ON e.src = d.src JOIN {prev} r ON r.id = e.src
+              GROUP BY e.dst
+            )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+              SELECT nodes.id,
+                     round({teleport_num} / n + {damping!r} * coalesce(c, 0.0), 12) AS rank
+              FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.id = c{i}.id
+            )"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS vec_id, round(rank, 6) AS rank FROM {prev}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3443,6 +3564,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, fp FROM batch b
         WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
     """
+    # exact semantics by construction: the Bloom sketch only routes rows
+    # (miss -> definitely new, hit -> anti-join confirm), so the oracle is
+    # the SAME anti-join SQL as the unsketched incremental dedup
+    d["dedup_incremental_bloom"] = d["dedup_incremental"]
+    d["line_dedup"] = """
+        WITH c AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(1, len(string_split(text, ' '))), 8),
+                   s -> array_to_string(string_split(text, ' ')[s:s+7], ' ')
+                 ) AS chunks
+          FROM documents
+        ), ch AS (
+          SELECT doc_id,
+                 CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_idx,
+                 unnest(chunks) AS chunk_text
+          FROM c
+        ), fp AS (
+          SELECT doc_id, chunk_idx, chunk_text,
+                 ('0x' || substring(md5(chunk_text), 1, 15))::BIGINT AS fp,
+                 doc_id * 1000000 + chunk_idx AS occ
+          FROM ch
+        ), keep AS (
+          SELECT fp, min(occ) AS keep_occ FROM fp GROUP BY fp
+        ), kept AS (
+          SELECT f.doc_id, count(*) AS n_kept,
+                 array_to_string(list(chunk_text ORDER BY chunk_idx), ' ') AS text_dedup
+          FROM fp f JOIN keep k ON f.fp = k.fp AND f.occ = k.keep_occ
+          GROUP BY f.doc_id
+        ), tot AS (
+          SELECT doc_id, count(*) AS n_chunks FROM fp GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_chunks,
+               coalesce(n_kept, 0) AS n_kept,
+               coalesce(text_dedup, '') AS text_dedup
+        FROM tot t LEFT JOIN kept USING (doc_id)
+    """
+    d["dup_span_coverage"] = """
+        WITH g0 AS (
+          SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+                 list_transform(
+                   generate_series(1, greatest(1, len(string_split(lower(text), ' ')) - 4)),
+                   i -> array_to_string(string_split(lower(text), ' ')[i:i+4], ' ')
+                 ) AS grams
+          FROM documents
+        ), g AS (
+          SELECT doc_id, n_tokens,
+                 CAST(generate_subscripts(grams, 1) AS BIGINT) AS s,
+                 ('0x' || substring(md5(unnest(grams)), 1, 15))::BIGINT AS gh
+          FROM g0
+        ), dup AS (
+          SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+        ), cov AS (
+          SELECT DISTINCT doc_id, n_tokens, p FROM (
+            SELECT g.doc_id, g.n_tokens,
+                   unnest(generate_series(g.s, least(g.s + 4, g.n_tokens))) AS p
+            FROM g WHERE g.gh IN (SELECT gh FROM dup)
+          )
+        ), agg AS (
+          SELECT doc_id, n_tokens, count(*) AS dup_tokens
+          FROM cov GROUP BY doc_id, n_tokens
+        )
+        SELECT t.doc_id, t.n_tokens,
+               coalesce(a.dup_tokens, 0) AS dup_tokens,
+               round(coalesce(a.dup_tokens, 0) / t.n_tokens, 6) AS dup_frac
+        FROM (SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+              FROM documents) t
+        LEFT JOIN agg a ON t.doc_id = a.doc_id AND t.n_tokens = a.n_tokens
+    """
+    d["knn_pagerank"] = _pagerank_sql(iters=3, k=5, damping=0.85)
     d["hard_negatives"] = f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 12),
         scored AS (

@@ -115,6 +115,10 @@ HEADLINE = [
     "dsir_select",
     "stream_session_window",
     "stream_interval_join",
+    "line_dedup",
+    "dup_span_coverage",
+    "dedup_incremental_bloom",
+    "knn_pagerank",
 ]
 
 

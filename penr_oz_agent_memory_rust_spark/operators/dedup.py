@@ -603,6 +603,143 @@ def incremental_exact_dedup(
     ).select(id_col, fp_col)
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+    stride: int = 8,
+) -> DataFrame:
+    """★ C4-style segment-level dedup: split each document into token
+    windows (the corpus analogue of "lines"/paragraphs — this synthetic
+    corpus has no newlines, so the segmenter is the same token-window
+    chunker used by doc_chunking), drop every repeated occurrence of a
+    segment corpus-wide, keeping only its FIRST occurrence (smallest
+    (doc_id, chunk_idx)), and rebuild each document from its surviving
+    segments. Output: (doc_id, n_chunks, n_kept, text_dedup) — one row per
+    input document; a fully-duplicated document comes back with n_kept=0
+    and empty text, which is exactly how C4's line-dedup produces empty
+    docs for downstream length filters to remove.
+
+    Scale shape: one hash-aggregate on the 60-bit segment fingerprint
+    (map-side partial) finds each segment's first occurrence; one equi-join
+    on the fingerprint marks survivors — the inverted-index pattern, never
+    a pairwise comparison. Rebuilding sorts only WITHIN each doc's
+    collect_list (bounded by chunks-per-doc), so no global sort exists
+    anywhere in the plan. The keeper key packs (doc_id, chunk_idx) into one
+    BIGINT so the argmin stays a plain `min` in HashAggregate.
+    """
+    from penr_oz_agent_memory_rust_spark.operators.text_ops import chunk_documents
+
+    chunks = chunk_documents(
+        docs, id_col=id_col, text_col=text_col, chunk_tokens=chunk_tokens, stride=stride
+    ).select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        hashing.md5_long(F.col("chunk_text")).alias("__fp"),
+    )
+    # packed (doc_id, chunk_idx) — chunk_idx is bounded by tokens/stride,
+    # far under 1e6, so the packing is collision-free and order-preserving
+    occ = F.col(id_col).cast("bigint") * 1_000_000 + F.col("chunk_idx")
+    chunks = chunks.withColumn("__occ", occ)
+    keepers = chunks.groupBy("__fp").agg(F.min("__occ").alias("__keep"))
+    kept = (
+        chunks.join(keepers, "__fp")
+        .filter(F.col("__occ") == F.col("__keep"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias("text_dedup"),
+        )
+    )
+    totals = chunks.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """★ substring-duplication profile (the scalable stand-in for
+    suffix-array span dedup, Lee et al. 2021 "Deduplicating Training Data
+    Makes Language Models Better"): a token position is "duplicated" when
+    any k-token gram covering it also occurs in >= `min_docs` distinct
+    documents. Output: (doc_id, n_tokens, dup_tokens, dup_frac) for EVERY
+    document — the per-doc fraction of tokens inside cross-document
+    duplicated spans, which is the filter signal RefinedWeb/Gopher-style
+    pipelines threshold on.
+
+    Scale shape: this needs NO pair expansion at all — a gram's duplicated
+    status is a property of its document frequency, so the plan is
+    explode(k-grams with positions) -> hash-agg df on the 60-bit gram hash
+    (map-side partial) -> semi-join occurrences against duplicated grams
+    (1:1 per occurrence, linear) -> explode the k covered positions ->
+    distinct -> per-doc count. Hot grams cost their occurrence count,
+    never occurrence², so no stop-gram cap is required (contrast
+    ngram_jaccard_pairs, where posting-list² forces one).
+    """
+    toks = hashing.word_tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(k - 1)))
+    grams = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, k)))
+    base = docs.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.posexplode(grams).alias("__i", "__g"),
+    ).select(
+        id_col,
+        "n_tokens",
+        # starts step 1 => gram i (0-based) begins at 1-based token i+1
+        (F.col("__i") + 1).alias("__s"),
+        hashing.md5_long(F.col("__g")).alias("__gh"),
+    )
+    dup_grams = (
+        base.groupBy("__gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__gh")
+    )
+    covered = (
+        base.join(dup_grams, "__gh", "left_semi")
+        .select(
+            id_col,
+            "n_tokens",
+            F.explode(
+                F.sequence(
+                    F.col("__s"), F.least(F.col("__s") + F.lit(k - 1), F.col("n_tokens"))
+                )
+            ).alias("__p"),
+        )
+        .distinct()
+        .groupBy(id_col, "n_tokens")
+        .agg(F.count("*").alias("dup_tokens"))
+    )
+    all_docs = docs.select(F.col(id_col), n.cast("bigint").alias("n_tokens"))
+    return all_docs.join(covered, [id_col, "n_tokens"], "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_frac"),
+    )
+
+
 def exact_dedup_keep_best(
     docs: DataFrame,
     score_expr: Column,

@@ -284,3 +284,85 @@ def test_semantic_dedup_max_cell_cap_silences_degenerate_cells(spark):
     out = dedup.semantic_dedup(df, threshold=0.5, cells="hyperplane",
                                n_planes=2, seed=11, max_cell=1).collect()
     assert out == []  # every populated cell exceeds the cap => no pairs
+
+
+# --------------------------------------------------------- chunk_dedup
+
+
+def test_chunk_dedup_removes_repeated_segments(spark):
+    # docs 1 and 2 share their first 4-token segment; doc 2's copy drops
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d x y z w"),
+            (3, "q r s t u v w x"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.chunk_dedup(df, chunk_tokens=4, stride=4).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == "a b c d e f g h"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "x y z w"  # shared head removed
+    assert out[3]["n_kept"] == 2
+
+
+def test_chunk_dedup_fully_duplicated_doc_empties(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.chunk_dedup(df, chunk_tokens=4, stride=4).collect()}
+    assert out[1]["n_kept"] == 1 and out[1]["text_dedup"] == "a b c d"
+    assert out[2]["n_kept"] == 0 and out[2]["text_dedup"] == ""
+
+
+def test_chunk_dedup_within_doc_repeat_keeps_first(spark):
+    df = spark.createDataFrame([(7, "a b a b")], "doc_id bigint, text string")
+    out = dedup.chunk_dedup(df, chunk_tokens=2, stride=2).collect()[0]
+    assert out["n_chunks"] == 2 and out["n_kept"] == 1
+    assert out["text_dedup"] == "a b"
+
+
+# --------------------------------------------------- dup_span_coverage
+
+
+def test_dup_span_coverage_marks_shared_spans(spark):
+    # docs 1/2 share tokens 1-6 => 3-gram coverage of positions 1..6 in each
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f p q r"),
+            (2, "a b c d e f x y z"),
+            (3, "m n o t u v w s j"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dup_span_coverage(df, k=3, min_docs=2).collect()
+    }
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["dup_tokens"] == 6 and out[2]["dup_tokens"] == 6
+    assert out[1]["dup_frac"] == round(6 / 9, 6)
+    assert out[3]["dup_tokens"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_dup_span_coverage_within_doc_repeats_dont_count(spark):
+    # the repeated gram sits inside ONE doc: df(distinct docs) == 1 < 2
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y z w v u")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r["dup_tokens"] for r in dedup.dup_span_coverage(df, k=3).collect()}
+    assert out == {1: 0, 2: 0}
+
+
+def test_dup_span_coverage_short_doc_clamped(spark):
+    # doc shorter than k: single whole-text gram, coverage clamped to n
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c d")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.dup_span_coverage(df, k=5).collect()}
+    assert out[1]["dup_tokens"] == 2 and out[1]["dup_frac"] == 1.0
+    assert out[3]["dup_tokens"] == 0
