@@ -1853,7 +1853,12 @@ def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("qv"))
     )
     scored = (
-        emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("ev"))
+        # rebalance: the small-file scan is ONE partition, which would run
+        # the 500×499 expr-cosine broadcast-NL join on a single core
+        # (measured 15 s cold; ~1.5 s spread across the session's cores)
+        hashing.cpu_rebalance(
+            emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("ev"))
+        )
         .crossJoin(q)
         .filter(F.col("src") != F.col("dst"))
         .select(

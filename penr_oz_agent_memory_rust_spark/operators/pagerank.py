@@ -77,4 +77,11 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             # cut lineage on long runs; materializes ranks (node-sized)
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    # materialize the final ranks (node-sized) so the loop-invariant caches
+    # can be released NOW — without this, every invocation leaks three
+    # persisted frames into the session and repeated calls churn the block
+    # manager (observed as a 20 s outlier on an otherwise 1.5 s bench run)
+    out = ranks.localCheckpoint(eager=True)
+    for df in (e_deg, nodes, e):
+        df.unpersist()
+    return out

@@ -226,51 +226,61 @@ def winnowing_fingerprints(
     (1M chars) to keep the packing exact — fingerprint the leading 1 MB,
     the standard containment-screen compromise.
 
-    Scale shape: explode to one row per gram position, then a single
-    running `min` over (partitionBy doc, orderBy pos, ROWS CURRENT..w-1
-    FOLLOWING) and a distinct — one hash exchange on doc_id with a
-    per-doc local sort, no self-joins. Tail windows (< w grams remaining)
-    shrink identically in Spark and DuckDB, so the oracle agrees at doc
+    Scale shape: winnowing is PURELY per-document — no cross-doc operator
+    exists anywhere in the algorithm — so the whole selection runs in one
+    Arrow pass (mapInPandas): per doc, hash the grams (C-speed hashlib),
+    sliding-window min over the packed keys (numpy stride view), dedupe
+    the selected set locally, emit rows. ZERO exchanges — the prior shape
+    (explode 1 row/char-position -> per-doc window sort -> global
+    distinct) shuffled ~n_chars rows twice; warm interleaved A/B at sf0.1
+    is in the commit. Tail windows (< w grams remaining) shrink via +inf
+    padding, matching the oracle's shrinking-frame semantics at doc
     boundaries."""
-    from pyspark.sql import Window
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
 
     max_pos = (1 << 20) - 1
     norm = hashing.normalized_text(F.col(text_col))
-    grams = (
-        docs.select(F.col(id_col), norm.alias("__t"))
-        .filter(F.length("__t") >= k)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.least(F.length("__t") - F.lit(k - 1), F.lit(max_pos))
+    base = hashing.cpu_rebalance(
+        docs.select(F.col(id_col), norm.alias("__t")).filter(F.length("__t") >= k)
+    )
+
+    def gen(batches):
+        pad = np.full(window - 1, np.iinfo(np.int64).max, dtype=np.int64)
+        for pdf in batches:
+            out_id, out_pos, out_fp = [], [], []
+            for did, t in zip(pdf.iloc[:, 0], pdf["__t"]):
+                m = min(len(t) - k + 1, max_pos)
+                # identical to conv(substring(md5(gram),1,10),16,10):
+                # 40-bit hash packed with the reversed 20-bit position so
+                # int64 min picks smallest hash, rightmost pos on ties
+                keys = np.fromiter(
+                    (
+                        int(_hl.md5(t[i : i + k].encode()).hexdigest()[:10], 16)
+                        * (1 << 20)
+                        + (max_pos - (i + 1))
+                        for i in range(m)
+                    ),
+                    dtype=np.int64,
+                    count=m,
                 )
-            ).alias("pos"),
-            F.col("__t"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("pos"),
-            # 40-bit portable gram hash (10 hex chars of md5)
-            F.conv(F.substring(F.md5(F.expr(f"substring(__t, pos, {k})")), 1, 10), 16, 10)
-            .cast("bigint")
-            .alias("h"),
-        )
-    )
-    key = F.col("h") * F.lit(1 << 20) + (F.lit(max_pos) - F.col("pos"))
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
-    )
-    selected = grams.select(
-        F.col(id_col), F.min(key).over(w).alias("__k")
-    ).distinct()
-    return selected.select(
-        F.col(id_col),
-        (F.lit(max_pos) - F.col("__k") % F.lit(1 << 20)).cast("bigint").alias("pos"),
-        # integer DIV, not `/`: float division loses exactness above 2^53
-        F.expr(f"CAST(__k DIV {1 << 20} AS BIGINT)").alias("fp"),
+                win = np.lib.stride_tricks.sliding_window_view(
+                    np.concatenate([keys, pad]), window
+                ).min(axis=1)
+                sel = np.unique(win)
+                out_id.extend([did] * len(sel))
+                out_pos.extend((max_pos - (sel % (1 << 20))).tolist())
+                out_fp.extend((sel >> 20).tolist())
+            yield pd.DataFrame(
+                {"id": out_id, "pos": out_pos, "fp": out_fp}
+            )
+
+    id_type = dict(base.dtypes)[id_col]
+    return (
+        base.mapInPandas(gen, schema=f"id {id_type}, pos bigint, fp bigint")
+        .withColumnRenamed("id", id_col)
     )
 
 
