@@ -1632,6 +1632,27 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ stream-stream LEFT OUTER interval join: same attribution shape,
+    but an unmatched purchase emits (p_id, NULL) once the global watermark
+    — min over both sides of (max event time − delay), advanced by the
+    trailing no-data micro-batch — proves no view can still arrive for it.
+    Purchases younger than the final watermark stay withheld (they could
+    still match in a live stream), and the batch oracle reproduces exactly
+    that cutoff, so the gate pins the WATERMARK semantics, not just the
+    join."""
+    from penr_oz_agent_memory_rust_spark.sources.tables import testdata_path
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import run_interval_join_once
+
+    return run_interval_join_once(
+        spark,
+        testdata_path(sf_dir, "events"),
+        shuffle_partitions=8,
+        how="leftOuter",
+        name="__stream_ssj_outer",
+    )
+
+
 def q_asof_tolerance_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ as-of join with a staleness tolerance (pandas merge_asof
     semantics): the carried most-recent order only counts if it is at most
@@ -1835,6 +1856,14 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair expansion (df is a property of the gram, so cost is linear in
     occurrences; operators/dedup.py:dup_span_coverage)."""
     return dedup.dup_span_coverage(_docs(spark, sf_dir), k=5, min_docs=2)
+
+
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ substring-level dedup with text rewrite (Lee et al. 2021, greedy
+    first-occurrence-survives): tokens covered by a 5-gram that also occurs
+    in an earlier document are cut; text rebuilt from survivors
+    (operators/dedup.py:remove_dup_spans)."""
+    return dedup.remove_dup_spans(_docs(spark, sf_dir), k=5, min_docs=2)
 
 
 def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2331,10 +2360,12 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dsir_select": q_dsir_select,
         "stream_session_window": q_stream_session_window,
         "stream_interval_join": q_stream_interval_join,
+        "stream_interval_join_outer": q_stream_interval_join_outer,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "line_dedup": q_line_dedup,
         "dup_span_coverage": q_dup_span_coverage,
+        "remove_dup_spans": q_remove_dup_spans,
         "knn_pagerank": q_knn_pagerank,
         "lm_quality": q_lm_quality,
         "hard_negatives": q_hard_negatives,
@@ -3639,6 +3670,49 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN agg a ON t.doc_id = a.doc_id AND t.n_tokens = a.n_tokens
     """
     d["knn_pagerank"] = _pagerank_sql(iters=3, k=5, damping=0.85)
+    d["remove_dup_spans"] = """
+        WITH g0 AS (
+          SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+                 list_transform(
+                   generate_series(1, greatest(1, len(string_split(lower(text), ' ')) - 4)),
+                   i -> array_to_string(string_split(lower(text), ' ')[i:i+4], ' ')
+                 ) AS grams
+          FROM documents
+        ), g AS (
+          SELECT doc_id, n_tokens,
+                 CAST(generate_subscripts(grams, 1) - 1 AS BIGINT) AS i,
+                 ('0x' || substring(md5(unnest(grams)), 1, 15))::BIGINT AS gh
+          FROM g0
+        ), stats AS (
+          SELECT gh, count(DISTINCT doc_id) AS df, min(doc_id) AS keeper
+          FROM g GROUP BY gh
+        ), cut AS (
+          SELECT DISTINCT doc_id, p FROM (
+            SELECT g.doc_id,
+                   unnest(generate_series(g.i + 1, least(g.i + 5, g.n_tokens))) AS p
+            FROM g JOIN stats ON g.gh = stats.gh
+            WHERE stats.df >= 2 AND g.doc_id <> stats.keeper
+          )
+        ), tok AS (
+          SELECT doc_id,
+                 unnest(string_split(lower(text), ' ')) AS tok,
+                 CAST(generate_subscripts(string_split(lower(text), ' '), 1) AS BIGINT) AS p
+          FROM documents
+        ), kept AS (
+          SELECT t.doc_id, t.tok, t.p
+          FROM tok t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.p = c.p
+          WHERE c.p IS NULL
+        ), agg AS (
+          SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS text_clean,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               len(string_split(lower(d.text), ' '))::BIGINT AS n_tokens,
+               len(string_split(lower(d.text), ' '))::BIGINT - coalesce(a.n_kept, 0) AS n_removed,
+               coalesce(a.text_clean, '') AS text_clean
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
     d["hard_negatives"] = f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 12),
         scored AS (
@@ -3837,5 +3911,20 @@ def oracle_sql() -> dict[str, str]:
           ON p.user_id = v.user_id
          AND p.event_type = 'purchase' AND v.event_type = 'view'
          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    """
+    d["stream_interval_join_outer"] = f"""
+        WITH m AS ({d["stream_interval_join"]}),
+        wm AS (
+          SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase') - INTERVAL 1 HOUR,
+            (SELECT max(ts) FROM events WHERE event_type = 'view') - INTERVAL 2 HOUR
+          ) AS w
+        )
+        SELECT p_id, v_id FROM m
+        UNION ALL
+        SELECT p.event_id AS p_id, NULL AS v_id
+        FROM events p CROSS JOIN wm
+        WHERE p.event_type = 'purchase' AND p.ts <= wm.w
+          AND NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.event_id)
     """
     return d

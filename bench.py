@@ -115,8 +115,10 @@ HEADLINE = [
     "dsir_select",
     "stream_session_window",
     "stream_interval_join",
+    "stream_interval_join_outer",
     "line_dedup",
     "dup_span_coverage",
+    "remove_dup_spans",
     "dedup_incremental_bloom",
     "knn_pagerank",
 ]

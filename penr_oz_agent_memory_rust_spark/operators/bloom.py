@@ -101,6 +101,7 @@ def incremental_bloom_dedup(
     fp_col: str = "fp",
     m_bits: int = 1 << 20,
     k: int = 4,
+    sketch: bytes | None = None,
 ) -> DataFrame:
     """★ Bloom-prefiltered cross-snapshot dedup. EXACT semantics — output
     is identical to `dedup.incremental_exact_dedup` (rows to ingest:
@@ -113,11 +114,21 @@ def incremental_bloom_dedup(
     `seen_fps` holds md5-hex fingerprints (the snapshot format of
     incremental_exact_dedup); the sketch hashes their 60-bit prefix via the
     same portable conv() used across the dedup suite.
+
+    Pass `sketch` (from `build_bloom` over the history's 60-bit prefixes)
+    to skip the build pass — the intended shape for a streaming ingest or
+    a multi-batch backfill, where ONE history scan amortizes across every
+    batch and only the bit-OR of each batch's new fps updates it. The
+    scale_probe `span` section measures the split: the build is the
+    expensive pass; the per-batch probe+confirm is cheap.
     """
-    seen_long = seen_fps.select(
-        F.conv(F.substring(F.col(fp_col), 1, 15), 16, 10).cast("bigint").alias("__fpl")
-    )
-    sketch = build_bloom(seen_long, "__fpl", m_bits=m_bits, k=k)
+    if sketch is None:
+        seen_long = seen_fps.select(
+            F.conv(F.substring(F.col(fp_col), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("__fpl")
+        )
+        sketch = build_bloom(seen_long, "__fpl", m_bits=m_bits, k=k)
     batch = (
         new_docs.withColumn(fp_col, hashing.fingerprint(F.col(text_col)))
         .groupBy(fp_col)
@@ -127,7 +138,11 @@ def incremental_bloom_dedup(
         )
     )
     probe = bloom_probe_udf(batch, sketch, m_bits, k)
-    batch = batch.withColumn("__maybe", probe(F.col("__fpl")))
+    # persist the fingerprinted+probed batch (one row per DISTINCT batch
+    # fp — already reduced) so the union's two branches don't each rescan
+    # the batch and rerun the probe; without this the miss/hit split
+    # computes its parent twice and the bypass saves nothing
+    batch = batch.withColumn("__maybe", probe(F.col("__fpl"))).persist()
     definite_new = batch.filter(~F.col("__maybe"))
     confirmed_new = batch.filter(F.col("__maybe")).join(
         seen_fps.select(fp_col).distinct(), on=fp_col, how="left_anti"

@@ -668,6 +668,42 @@ def chunk_dedup(
     )
 
 
+def _gram_hash_rows(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, n_tokens, __i, __gh): one row per k-token-gram position.
+    __i is the 0-based gram index (gram i covers 1-based tokens
+    [i+1, min(i+k, n_tokens)]); __gh is the portable 60-bit md5 hash —
+    identical to md5_long(concat_ws(' ', slice(tokens, i+1, k))) — computed
+    in one Arrow pass so only longs ever hit the wire."""
+    import hashlib as _hl
+
+    from pyspark.sql import types as T
+
+    docs = hashing.cpu_rebalance(docs)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _gram_hashes(texts: pd.Series) -> pd.Series:
+        def gh(t):
+            if t is None:
+                return None
+            toks = t.lower().split(" ")
+            m = max(1, len(toks) - k + 1)
+            return [
+                int(_hl.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:15], 16)
+                for i in range(m)
+            ]
+
+        return texts.map(gh)
+
+    toks = hashing.word_tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.posexplode(_gram_hashes(F.col(text_col))).alias("__i", "__gh"),
+    )
+
+
 def dup_span_coverage(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -697,35 +733,7 @@ def dup_span_coverage(
     no stop-gram cap is required (contrast ngram_jaccard_pairs, where
     posting-list² forces one).
     """
-    import hashlib as _hl
-
-    from pyspark.sql import types as T
-
-    docs = hashing.cpu_rebalance(docs)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _gram_hashes(texts: pd.Series) -> pd.Series:
-        def gh(t):
-            if t is None:
-                return None
-            toks = t.lower().split(" ")
-            m = max(1, len(toks) - k + 1)
-            # identical to md5_long(concat_ws(' ', slice(toks, i, k))):
-            # first 15 hex chars of md5 == the portable 60-bit value
-            return [
-                int(_hl.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:15], 16)
-                for i in range(m)
-            ]
-
-        return texts.map(gh)
-
-    toks = hashing.word_tokens(F.col(text_col))
-    n = F.size(toks)
-    base = docs.select(
-        F.col(id_col),
-        n.cast("bigint").alias("n_tokens"),
-        F.posexplode(_gram_hashes(F.col(text_col))).alias("__i", "__gh"),
-    )
+    base = _gram_hash_rows(docs, id_col, text_col, k)
     dup_grams = (
         base.groupBy("__gh")
         .agg(F.count_distinct(F.col(id_col)).alias("__df"))
@@ -758,7 +766,10 @@ def dup_span_coverage(
         .groupBy(id_col, "n_tokens")
         .agg(union_len.alias("dup_tokens"))
     )
-    all_docs = docs.select(F.col(id_col), n.cast("bigint").alias("n_tokens"))
+    all_docs = docs.select(
+        F.col(id_col),
+        F.size(hashing.word_tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
     return all_docs.join(covered, [id_col, "n_tokens"], "left").select(
         id_col,
         "n_tokens",
@@ -766,6 +777,75 @@ def dup_span_coverage(
         F.round(
             F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
         ).alias("dup_frac"),
+    )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """★ substring-level dedup with text REWRITE (Lee et al. 2021 exact
+    substring dedup, greedy first-occurrence-survives form): drop every
+    token covered by a k-token gram that also occurs in an EARLIER
+    (smaller-id) document, then rebuild the text from the surviving
+    tokens. The earliest document containing a gram keeps its copy; later
+    documents lose theirs — the same canonicalization rule as chunk_dedup,
+    applied at token granularity with overlapping spans. Output:
+    (doc_id, n_tokens, n_removed, text_clean) for every document.
+
+    Scale shape: gram df/keeper is ONE hash-agg over the 60-bit gram hash
+    (count_distinct + min — both map-side partial); cut occurrences come
+    from a 1:1 join per gram occurrence (linear, no pair expansion); the
+    per-doc cut-start list aggregates into a single array row (bounded by
+    the doc's own token count) and the rewrite is one Arrow pass over
+    (text, cut_starts) — the corpus text shuffles ONCE, joined against
+    node-small per-doc start arrays.
+    """
+    from pyspark.sql import types as T
+
+    base = _gram_hash_rows(docs, id_col, text_col, k)
+    stats = base.groupBy("__gh").agg(
+        F.count_distinct(F.col(id_col)).alias("__df"),
+        F.min(id_col).alias("__keeper"),
+    )
+    cut_starts = (
+        base.join(stats.filter(F.col("__df") >= min_docs), "__gh")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set(F.col("__i"))).alias("__cuts"))
+    )
+
+    @F.pandas_udf("struct<n_removed: bigint, text_clean: string>")
+    def _rewrite(texts: pd.Series, cuts: pd.Series) -> pd.DataFrame:
+        out_n, out_t = [], []
+        for t, cs in zip(texts, cuts):
+            toks = t.lower().split(" ")
+            if cs is None or len(cs) == 0:
+                out_n.append(0)
+                out_t.append(" ".join(toks))
+                continue
+            drop = np.zeros(len(toks), dtype=bool)
+            for s in cs:  # 0-based gram start covers tokens [s, s+k-1]
+                drop[s : s + k] = True
+            out_n.append(int(drop.sum()))
+            out_t.append(" ".join(tok for tok, d in zip(toks, drop) if not d))
+        return pd.DataFrame({"n_removed": out_n, "text_clean": out_t})
+
+    joined = docs.select(F.col(id_col), F.col(text_col)).join(
+        cut_starts, id_col, "left"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(hashing.word_tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        _rewrite(F.col(text_col), F.col("__cuts")).alias("__r"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("__r.n_removed").alias("n_removed"),
+        F.col("__r.text_clean").alias("text_clean"),
     )
 
 

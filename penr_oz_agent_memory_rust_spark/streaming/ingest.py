@@ -455,17 +455,21 @@ def interval_join_streams(
     right_ts: str,
     on: str,
     lookback: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time range condition:
-    right rows within [left_ts - lookback, left_ts] of a matching key.
-    Both sides carry watermarks (callers set them), so the state store
-    evicts rows once they can no longer match — state is bounded by
-    watermark + lookback, the canonical attribution-join shape."""
+    """Stream-stream join with an event-time range condition: right rows
+    within [left_ts - lookback, left_ts] of a matching key. Both sides
+    carry watermarks (callers set them), so the state store evicts rows
+    once they can no longer match — state is bounded by watermark +
+    lookback, the canonical attribution-join shape. how="leftOuter"
+    additionally emits a null-padded row for an unmatched left row once
+    the global watermark passes it (no future right row could match)."""
     return left.join(
         right,
         (F.col(on) == F.col(f"__r_{on}"))
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"interval {lookback}"))
         & (F.col(right_ts) <= F.col(left_ts)),
+        how,
     )
 
 
@@ -479,6 +483,7 @@ def run_interval_join_once(
     right_watermark: str = "2 hours",
     name: str = "__stream_ssj",
     shuffle_partitions: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Attribution as a REAL stream-stream join: purchases joined to the
     views that preceded them within `lookback` for the same user, both
@@ -488,7 +493,15 @@ def run_interval_join_once(
     the bounded run produces exactly the batch interval join — the SQL
     oracle. Output: (p_id, v_id). shuffle_partitions sizes the TWO state
     stores' partitioning for this stream (see
-    _stream_shuffle_partitions)."""
+    _stream_shuffle_partitions).
+
+    how="leftOuter": unmatched purchases additionally emit (p_id, NULL),
+    but ONLY once the global watermark — min over both sides of
+    (max event time seen − that side's delay), advanced by the trailing
+    no-data micro-batch — has passed the purchase; the tail of unmatched
+    purchases younger than the final watermark is withheld by design
+    (they could still match in a live stream). The batch oracle
+    reproduces exactly that cutoff."""
     with _nanos_as_long(spark), _stream_shuffle_partitions(spark, shuffle_partitions):
 
         def side(alias: str, et: str, wm: str, key_alias: str) -> DataFrame:
@@ -506,7 +519,8 @@ def run_interval_join_once(
         p = side("p", left_type, left_watermark, "user_id")
         v = side("v", right_type, right_watermark, "__r_user_id")
         joined = interval_join_streams(
-            p, v, left_ts="p_ts", right_ts="v_ts", on="user_id", lookback=lookback
+            p, v, left_ts="p_ts", right_ts="v_ts", on="user_id", lookback=lookback,
+            how=how,
         )
         out = joined.select("p_id", "v_id")
         q = (

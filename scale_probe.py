@@ -17,8 +17,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+import __spark_entry__ as _entry  # noqa: F401  (for _ship_package)
 from penr_oz_agent_memory_rust_spark.operators import dedup, knn
-from penr_oz_agent_memory_rust_spark.session import get_spark
+from penr_oz_agent_memory_rust_spark.session import get_spark as _get_spark
+
+
+def get_spark(*a, **kw):
+    """Session + package zip shipped to workers, so Arrow-UDF closures that
+    reference package modules unpickle when the probe runs from any cwd."""
+    spark = _get_spark(*a, **kw)
+    _entry._ship_package(spark)
+    return spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 EMB_COPIES = int(os.environ.get("SCALE_EMB_COPIES", "25"))  # 2k -> 50k vectors
@@ -218,6 +227,126 @@ def pq_probe() -> None:
     spark.stop()
 
 
+def _synth_skewed_corpus(spark, n_docs: int, words: int = 24):
+    """The shared 5M-doc synthetic corpus with skewed duplicates (all
+    synthesized in-plan, nothing collected): 0.5% boilerplate in 5
+    identical-text templates (~5k copies each at 5M), 20% near-dup
+    adjacent-id pairs differing by one word, 79.5% unique."""
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    sel = F.pmod(F.col("doc_id"), F.lit(1000))
+    fam = (
+        F.when(sel < 5, F.pmod(F.col("doc_id"), F.lit(5)))  # 0.5% boilerplate
+        .when(sel < 205, F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(2)))
+        .otherwise(F.col("doc_id"))
+    )
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(words)),
+            lambda j: F.substring(F.md5(F.concat(fam.cast("string"), F.lit(":"), j.cast("string"))), 1, 8),
+        ),
+        " ",
+    )
+    # near-dups get one extra doc-unique word so they are near, not exact
+    tail = F.when(
+        (sel >= 5) & (sel < 205),
+        F.concat(F.lit(" "), F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":t"))), 1, 8)),
+    ).otherwise(F.lit(""))
+    return base.select("doc_id", F.concat(body, tail).alias("text"))
+
+
+def span_bloom_probe() -> None:
+    """Scale probe for the round-4 dedup additions (`python scale_probe.py
+    span`; SCALE_SPAN_DOCS overrides N, default 2M): the span/segment
+    operators' cost is linear in gram occurrences (no pair expansion to
+    cap), so the question here is raw throughput at corpus scale and —
+    for the Bloom incremental path — what fraction of the batch the
+    sketch routes AROUND the anti-join, which is the entire point of
+    shipping it. Results recorded in PLANS.md."""
+    n_docs = int(os.environ.get("SCALE_SPAN_DOCS", "2000000"))
+    spark = get_spark(app_name="poz-span-probe")
+    docs = _synth_skewed_corpus(spark, n_docs)
+    report: dict = {"n_docs": n_docs}
+
+    t0 = time.time()
+    cov = dedup.dup_span_coverage(docs, k=5, min_docs=2)
+    dup_docs = cov.filter(F.col("dup_frac") > 0).count()
+    report["dup_span_coverage"] = {
+        "docs_with_dup_spans": dup_docs,
+        "exec_sec": round(time.time() - t0, 2),
+    }
+
+    t0 = time.time()
+    seg = dedup.chunk_dedup(docs, chunk_tokens=8, stride=8)
+    trimmed = seg.filter(F.col("n_kept") < F.col("n_chunks")).count()
+    report["line_dedup"] = {
+        "docs_trimmed": trimmed,
+        "exec_sec": round(time.time() - t0, 2),
+    }
+
+    # Bloom-prefiltered incremental dedup with the ASYMMETRY that motivates
+    # the sketch: 95% of the corpus is already-ingested history, 5% is the
+    # incoming batch. The exact path's anti-join shuffles the whole history
+    # fp table per batch; the bloom path probes only the batch against a
+    # constant-size broadcast sketch and joins the hit sliver — so the
+    # crossover arrives as history/batch grows. Report the routing split
+    # and the build-vs-per-batch cost separately (the build amortizes
+    # across every batch of a backfill or stream).
+    from penr_oz_agent_memory_rust_spark.operators import bloom as bloom_mod
+    from penr_oz_agent_memory_rust_spark.functions import hashing as _h
+
+    half = (n_docs * 19) // 20
+    seen = (
+        docs.filter(F.col("doc_id") < half)
+        .select(_h.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .persist()
+    )
+    batch = docs.filter(F.col("doc_id") >= half)
+    n_seen = seen.count()
+    m_bits = bloom_mod.optimal_bits(n_seen, fpp=0.01)
+    t0 = time.time()
+    sketch = bloom_mod.build_bloom(
+        seen.select(
+            F.conv(F.substring(F.col("fp"), 1, 15), 16, 10).cast("bigint").alias("fpl")
+        ),
+        "fpl",
+        m_bits=m_bits,
+    )
+    t_build = round(time.time() - t0, 2)
+    t0 = time.time()
+    out_bloom = bloom_mod.incremental_bloom_dedup(
+        batch, seen, m_bits=m_bits, sketch=sketch
+    ).count()
+    t_batch = round(time.time() - t0, 2)
+    t0 = time.time()
+    out_exact = dedup.incremental_exact_dedup(batch, seen).count()
+    t_exact = round(time.time() - t0, 2)
+    probe = bloom_mod.bloom_probe_udf(batch, sketch, m_bits, 4)
+    batch_fps = batch.select(
+        F.conv(F.substring(_h.fingerprint(F.col("text")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("fpl")
+    )
+    hits = batch_fps.filter(probe(F.col("fpl"))).count()
+    total = batch_fps.count()
+    seen.unpersist()
+    report["bloom_incremental"] = {
+        "history_fps": n_seen,
+        "sketch_kib": m_bits // 8192,
+        "batch_rows": total,
+        "bloom_hits_join_rows": hits,
+        "join_bypass_frac": round(1 - hits / max(total, 1), 4),
+        "rows_out_bloom": out_bloom,
+        "rows_out_exact": out_exact,
+        "agree": out_bloom == out_exact,
+        "sketch_build_sec": t_build,
+        "per_batch_sec_bloom": t_batch,
+        "per_batch_sec_exact": t_exact,
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
 def dedup_caps_probe() -> None:
     """Quantify what the stop-bucket / stop-shingle caps buy on a 5M-doc
     synthetic corpus with skewed duplicates (`python scale_probe.py dedup`;
@@ -240,27 +369,7 @@ def dedup_caps_probe() -> None:
     n_docs = int(os.environ.get("SCALE_DEDUP_DOCS", "5000000"))
     words = 24
     spark = get_spark(app_name="poz-dedup-probe")
-
-    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
-    sel = F.pmod(F.col("doc_id"), F.lit(1000))
-    fam = (
-        F.when(sel < 5, F.pmod(F.col("doc_id"), F.lit(5)))  # 0.5% boilerplate
-        .when(sel < 205, F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(2)))
-        .otherwise(F.col("doc_id"))
-    )
-    body = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(words)),
-            lambda j: F.substring(F.md5(F.concat(fam.cast("string"), F.lit(":"), j.cast("string"))), 1, 8),
-        ),
-        " ",
-    )
-    # near-dups get one extra doc-unique word so they are near, not exact
-    tail = F.when(
-        (sel >= 5) & (sel < 205),
-        F.concat(F.lit(" "), F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":t"))), 1, 8)),
-    ).otherwise(F.lit(""))
-    docs = base.select("doc_id", F.concat(body, tail).alias("text"))
+    docs = _synth_skewed_corpus(spark, n_docs, words)
 
     report: dict = {"n_docs": n_docs, "words_per_doc": words}
     pair_cost = (F.col("sz") * (F.col("sz") - 1) / 2).cast("double")
@@ -456,5 +565,7 @@ if __name__ == "__main__":
         dedup_caps_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "pq":
         pq_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "span":
+        span_bloom_probe()
     else:
         main()

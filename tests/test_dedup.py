@@ -366,3 +366,43 @@ def test_dup_span_coverage_short_doc_clamped(spark):
     out = {r["doc_id"]: r for r in dedup.dup_span_coverage(df, k=5).collect()}
     assert out[1]["dup_tokens"] == 2 and out[1]["dup_frac"] == 1.0
     assert out[3]["dup_tokens"] == 0
+
+
+# ---------------------------------------------------- remove_dup_spans
+
+
+def test_remove_dup_spans_cuts_later_copy_only(spark):
+    # docs 1/2 share tokens "a b c d e f"; doc 1 (smaller id) keeps them
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f p q r"),
+            (2, "a b c d e f x y z"),
+            (3, "m n o t u v w s j"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.remove_dup_spans(df, k=3, min_docs=2).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text_clean"] == "a b c d e f p q r"
+    assert out[2]["n_removed"] == 6
+    assert out[2]["text_clean"] == "x y z"
+    assert out[3]["n_removed"] == 0
+
+
+def test_remove_dup_spans_fully_duplicated_doc_empties(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.remove_dup_spans(df, k=4, min_docs=2).collect()}
+    assert out[1]["text_clean"] == "a b c d" and out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "" and out[2]["n_removed"] == 4
+
+
+def test_remove_dup_spans_overlapping_spans_merge(spark):
+    # shared region spans overlapping grams; covered union counted once
+    df = spark.createDataFrame(
+        [(1, "x a b c d y"), (2, "z a b c d w")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.remove_dup_spans(df, k=2, min_docs=2).collect()}
+    assert out[2]["n_removed"] == 4
+    assert out[2]["text_clean"] == "z w"

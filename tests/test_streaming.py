@@ -462,3 +462,35 @@ def test_stream_shuffle_partitions_scoped(spark):
     with _stream_shuffle_partitions(spark, None):
         assert spark.conf.get(key) == before
     assert spark.conf.get(key) == before
+
+
+def test_interval_join_outer_null_rows_respect_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: an unmatched purchase emits its NULL
+    row only once the final global watermark (min over both sides of
+    max_ts - delay) has passed it; younger unmatched purchases stay
+    withheld — the exact cutoff the gate's oracle reproduces."""
+    from datetime import datetime
+
+    from penr_oz_agent_memory_rust_spark.streaming import ingest
+
+    src = str(tmp_path / "outer_ev")
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        (100, t(0, 10), 1, "view"),     # matches p1
+        (101, t(0, 30), 1, "purchase"), # matched
+        (102, t(0, 0), 2, "purchase"),  # unmatched, old -> NULL row
+        (103, t(5, 0), 3, "purchase"),  # unmatched, young -> withheld
+        (104, t(6, 0), 9, "view"),      # advances the view-side watermark
+    ]
+    # final watermark = min(maxP(5:00) - 1h, maxV(6:00) - 2h) = 4:00
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).write.parquet(src)
+    out = {
+        (r["p_id"], r["v_id"])
+        for r in ingest.run_interval_join_once(
+            spark, src, shuffle_partitions=4, how="leftOuter",
+            name="__t_ssj_outer"
+        ).collect()
+    }
+    assert out == {(101, 100), (102, None)}
