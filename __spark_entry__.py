@@ -1858,6 +1858,36 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_span_coverage(_docs(spark, sf_dir), k=5, min_docs=2)
 
 
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ count-min-sketch heavy hitters: token frequencies estimated from
+    a 4×64 counter table (deliberately narrow so collisions occur and the
+    oracle pins the over-estimate arithmetic, not just happy-path exact
+    counts), top-20 by estimate. The sketch is bounded memory regardless
+    of vocabulary size — the scale story exact word_freq_topk can't make
+    (operators/sketches.py)."""
+    from penr_oz_agent_memory_rust_spark.operators import sketches
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(hashing.word_tokens(F.col("text"))).alias("w")
+    )
+    return sketches.cms_heavy_hitters(toks, "w", k=20, width=64, depth=4)
+
+
+def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ deterministic HyperLogLog distinct-user estimate (64 registers):
+    unlike approx_count_distinct, the md5 hash family + integer register
+    math make the sketch engine-portable, so the ESTIMATE itself is
+    oracle-checked, not just row shape (operators/sketches.py). The m-row
+    register table merges by elementwise max — the rollup property —
+    pinned in tests/test_sketches.py."""
+    from penr_oz_agent_memory_rust_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    return sketches.hll_distinct(ev, "u", m=64)
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ substring-level dedup with text rewrite (Lee et al. 2021, greedy
     first-occurrence-survives): tokens covered by a 5-gram that also occurs
@@ -2366,6 +2396,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "line_dedup": q_line_dedup,
         "dup_span_coverage": q_dup_span_coverage,
         "remove_dup_spans": q_remove_dup_spans,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "approx_distinct_hll": q_approx_distinct_hll,
         "knn_pagerank": q_knn_pagerank,
         "lm_quality": q_lm_quality,
         "hard_negatives": q_hard_negatives,
@@ -3670,6 +3702,56 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN agg a ON t.doc_id = a.doc_id AND t.n_tokens = a.n_tokens
     """
     d["knn_pagerank"] = _pagerank_sql(iters=3, k=5, damping=0.85)
+    d["heavy_hitters_cms"] = """
+        WITH tok AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+        ), ds AS (
+          SELECT unnest(generate_series(0, 3)) AS d
+        ), counters AS (
+          SELECT d,
+                 ('0x' || substring(md5(d::VARCHAR || '|' || w), 1, 15))::BIGINT % 64 AS bucket,
+                 count(*) AS c
+          FROM tok CROSS JOIN ds GROUP BY 1, 2
+        ), cands AS (
+          SELECT DISTINCT w FROM tok
+        ), probes AS (
+          SELECT w, d,
+                 ('0x' || substring(md5(d::VARCHAR || '|' || w), 1, 15))::BIGINT % 64 AS bucket
+          FROM cands CROSS JOIN ds
+        ), est AS (
+          SELECT p.w, min(coalesce(ct.c, 0)) AS est
+          FROM probes p LEFT JOIN counters ct ON p.d = ct.d AND p.bucket = ct.bucket
+          GROUP BY p.w
+        )
+        SELECT w, est FROM est ORDER BY est DESC, w LIMIT 20
+    """
+    _hll_amm = repr(0.709 * 64 * 64)
+    d["approx_distinct_hll"] = f"""
+        WITH h AS (
+          SELECT ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM events
+        ), br AS (
+          SELECT h % 64 AS bucket,
+                 CASE WHEN (h >> 6) = 0 THEN 55
+                      ELSE 55 - length(bin(h >> 6)) END AS r
+          FROM h
+        ), regs0 AS (
+          SELECT bucket, max(r) AS r FROM br GROUP BY bucket
+        ), spine AS (
+          SELECT unnest(generate_series(0, 63)) AS bucket
+        ), regs AS (
+          SELECT s.bucket, coalesce(regs0.r, 0) AS r
+          FROM spine s LEFT JOIN regs0 ON s.bucket = regs0.bucket
+        ), agg AS (
+          SELECT sum(power(2.0, -r)) AS z,
+                 sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v
+          FROM regs
+        )
+        SELECT round(CASE WHEN {_hll_amm} / z <= 160.0 AND v > 0
+                          THEN 64.0 * ln(64.0 / v)
+                          ELSE {_hll_amm} / z END, 6) AS est
+        FROM agg
+    """
     d["remove_dup_spans"] = """
         WITH g0 AS (
           SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS n_tokens,

@@ -119,6 +119,8 @@ HEADLINE = [
     "line_dedup",
     "dup_span_coverage",
     "remove_dup_spans",
+    "heavy_hitters_cms",
+    "approx_distinct_hll",
     "dedup_incremental_bloom",
     "knn_pagerank",
 ]

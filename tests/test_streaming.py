@@ -494,3 +494,54 @@ def test_interval_join_outer_null_rows_respect_watermark(spark, tmp_path):
         ).collect()
     }
     assert out == {(101, 100), (102, None)}
+
+
+def test_ttl_dedup_reemits_key_after_state_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark is TTL dedup, not global dedup: once
+    the watermark passes a key's state expiry, the state is evicted and a
+    later duplicate of the SAME key is emitted again. Spark evicts at the
+    END of a batch (the in-batch dedup check still sees the stale entry),
+    so the re-emission lands one batch after the watermark passes: batch 2
+    (A @4:00, watermark 2:50 > expiry 0:10) is still absorbed, batch 3
+    (A @5:00) re-emits. Plain dropDuplicates would emit A once; the
+    watermark variant emits it twice with bounded state."""
+    from datetime import datetime
+
+    from penr_oz_agent_memory_rust_spark.streaming import ingest
+
+    schema = "user_id bigint, event_type string, ts timestamp"
+    src = str(tmp_path / "ttl_ev")
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    import time as _time
+
+    for batch in (
+        [(1, "click", t(0))],          # seeds A (state expiry 0:10)
+        [(9, "other", t(3))],          # watermark -> 2:50, past A's expiry
+        [(1, "click", t(4))],          # absorbed: eviction is end-of-batch
+        [(1, "click", t(5))],          # state gone now -> re-emitted
+    ):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)  # distinct mtimes: the file source orders batches
+        # by modification time, and same-second writes would make the
+        # 1-file-per-trigger sequence (and thus watermark advance) racy
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = ingest.dedup_stream(
+        stream, ["user_id", "event_type"], watermark_col="ts", delay="10 minutes"
+    ).select("user_id", "event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("__t_ttl_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    rows = [tuple(r) for r in spark.table("__t_ttl_dedup").collect()]
+    assert sorted(rows) == [(1, "click"), (1, "click"), (9, "other")]
