@@ -3707,16 +3707,15 @@ def oracle_sql() -> dict[str, str]:
           SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
         ), ds AS (
           SELECT unnest(generate_series(0, 3)) AS d
+        ), th AS (
+          SELECT w, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM tok
         ), counters AS (
-          SELECT d,
-                 ('0x' || substring(md5(d::VARCHAR || '|' || w), 1, 15))::BIGINT % 64 AS bucket,
-                 count(*) AS c
-          FROM tok CROSS JOIN ds GROUP BY 1, 2
+          SELECT d, (h + d * ((h >> 17) | 1)) % 64 AS bucket, count(*) AS c
+          FROM th CROSS JOIN ds GROUP BY 1, 2
         ), cands AS (
-          SELECT DISTINCT w FROM tok
+          SELECT DISTINCT w, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM tok
         ), probes AS (
-          SELECT w, d,
-                 ('0x' || substring(md5(d::VARCHAR || '|' || w), 1, 15))::BIGINT % 64 AS bucket
+          SELECT w, d, (h + d * ((h >> 17) | 1)) % 64 AS bucket
           FROM cands CROSS JOIN ds
         ), est AS (
           SELECT p.w, min(coalesce(ct.c, 0)) AS est

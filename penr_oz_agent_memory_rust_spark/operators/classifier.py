@@ -103,6 +103,19 @@ def logreg_fit(
     cached = data.persist()
     sc = df.sparkSession.sparkContext
     n_total = cached.count()
+    # right-size the per-iteration task count: every GD iteration launches
+    # one task per partition, and with tiny per-task matrices the launch
+    # overhead dominates (measured: 15 iters x 32 near-empty tasks cost
+    # more than the matmuls). ~5k rows per task floors the overhead while
+    # leaving real data parallel; at scale rows/5k >= cluster cores and
+    # this is a no-op.
+    cur = cached.rdd.getNumPartitions()
+    target = max(1, min(cur, n_total // 5_000 + 1))
+    if target < cur:
+        resized = cached.coalesce(target).persist()
+        resized.count()
+        cached.unpersist()
+        cached = resized
     first = cached.first()
     d = len(first["__v"])
     w = np.zeros(d, dtype=np.float64)

@@ -29,6 +29,35 @@ from pyspark.sql import DataFrame, functions as F
 from penr_oz_agent_memory_rust_spark.functions import hashing
 
 
+def _cms_bucketed(
+    df: DataFrame, item_col: str, width: int, depth: int, keep: list[str]
+) -> DataFrame:
+    """(keep..., d, bucket) rows via double hashing (Kirsch-Mitzenmacher,
+    same family as the Bloom filter): ONE md5 per input row computed
+    BEFORE the depth explode (projecting it after would re-evaluate the
+    md5 once per depth row — the measured hot spot of the gate), the d
+    variants derived arithmetically. h1 + d*h2 stays inside bigint
+    (h < 2^60, d small) and mirrors exactly in SQL."""
+    h = hashing.md5_long(F.col(item_col))
+    pre = df.select(
+        *keep,
+        h.alias("__h"),
+        (F.shiftright(h, 17).bitwiseOR(F.lit(1))).alias("__h2"),
+    ).select(
+        *keep,
+        "__h",
+        "__h2",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    return pre.select(
+        *keep,
+        "d",
+        F.pmod(
+            F.col("__h") + F.col("d").cast("bigint") * F.col("__h2"), F.lit(width)
+        ).alias("bucket"),
+    )
+
+
 def cms_counter_table(
     items: DataFrame, item_col: str, width: int = 2048, depth: int = 4
 ) -> DataFrame:
@@ -36,18 +65,7 @@ def cms_counter_table(
     (d, bucket, c). One explode of depth rows per occurrence, one
     hash-aggregate with map-side partial combine; output is bounded by
     depth*width rows no matter the input size."""
-    rows = items.select(
-        F.col(item_col).alias("__it"),
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
-    ).select(
-        "d",
-        F.pmod(
-            hashing.md5_long(
-                F.concat(F.col("d").cast("string"), F.lit("|"), F.col("__it"))
-            ),
-            F.lit(width),
-        ).alias("bucket"),
-    )
+    rows = _cms_bucketed(items, item_col, width, depth, keep=[])
     return rows.groupBy("d", "bucket").agg(F.count("*").alias("c"))
 
 
@@ -62,19 +80,7 @@ def cms_estimate(
     item's bucket counter. The counter table (depth*width rows) broadcasts;
     candidates explode into depth probe rows each and aggregate back —
     never the other way around. Output: (item_col, est)."""
-    probes = candidates.select(
-        F.col(item_col),
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
-    ).select(
-        item_col,
-        "d",
-        F.pmod(
-            hashing.md5_long(
-                F.concat(F.col("d").cast("string"), F.lit("|"), F.col(item_col))
-            ),
-            F.lit(width),
-        ).alias("bucket"),
-    )
+    probes = _cms_bucketed(candidates, item_col, width, depth, keep=[item_col])
     joined = probes.join(F.broadcast(counter_table), ["d", "bucket"], "left")
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce("c", F.lit(0))).alias("est")
