@@ -3,7 +3,8 @@ one runnable script, the counterpart of examples/agent_demo.py for the
 batch side:
 
     documents ─ profile ─ quality filter ─ exact+near dedup (keep best)
-              ─ decontaminate vs a held-out set ─ token-budget mixture
+              ─ duplicate-span rewrite ─ decontaminate vs a held-out set
+              ─ CMS/HLL vocabulary sketches ─ token-budget mixture
               ─ fixed-size training shards (written to disk)
     embeddings ─ build IVF index ─ STREAM-append the rest ─ compact
                ─ push to an external ANN store (local mock here)
@@ -62,11 +63,36 @@ def main() -> None:
     canon = canon.join(losers, "doc_id", "left_anti")
     print(f"[4] minhash near-dup prune: {canon.count()} docs")
 
+    # -- substring-level cleanup: cut spans duplicated across surviving
+    # docs (first occurrence keeps its copy), then drop docs that lost
+    # more than half their tokens
+    rewritten = dedup.remove_dup_spans(canon, k=5, min_docs=2)
+    canon = (
+        canon.join(rewritten.select("doc_id", "n_tokens", "n_removed", "text_clean"), "doc_id")
+        .filter(F.col("n_removed") * 2 <= F.col("n_tokens"))
+        .select("doc_id", F.col("text_clean").alias("text"), "lang", "source", "quality")
+    )
+    print(f"[5] duplicate-span rewrite (drop >50%-cut docs): {canon.count()} docs")
+
     # -- decontaminate against a pretend eval set (every 37th doc)
     evalset = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text")
     dirty = corpus.decontaminate(canon, evalset, n=3).filter(F.col("n_overlap") >= 5)
     canon = canon.join(dirty.select("doc_id"), "doc_id", "left_anti")
-    print(f"[5] decontaminated: {canon.count()} docs")
+    print(f"[6] decontaminated: {canon.count()} docs")
+
+    # -- bounded-memory corpus surveillance: CMS heavy hitters + HLL
+    # distinct-token estimate (constant-size sketches however big the
+    # corpus; both oracle-checked operators)
+    from penr_oz_agent_memory_rust_spark.functions import hashing as _hashing
+    from penr_oz_agent_memory_rust_spark.operators import sketches
+
+    toks = canon.select(F.explode(_hashing.word_tokens(F.col("text"))).alias("w"))
+    hot = sketches.cms_heavy_hitters(toks, "w", k=3, width=1024).collect()
+    vocab_est = sketches.hll_distinct(toks, "w", m=64).first()["est"]
+    print(
+        f"[7] sketches: top tokens {[(r['w'], r['est']) for r in hot]}, "
+        f"~{vocab_est:.0f} distinct tokens (HLL)"
+    )
 
     # -- token-budget mixture over languages
     langs = [r[0] for r in canon.select("lang").distinct().collect()]
@@ -74,14 +100,14 @@ def main() -> None:
     mixture = corpus.corpus_token_mixture(
         canon.select("doc_id", "text", "lang"), weights, token_budget=20_000
     )
-    print(f"[6] token mixture ({len(langs)} langs, 20k budget): {mixture.count()} docs")
+    print(f"[8] token mixture ({len(langs)} langs, 20k budget): {mixture.count()} docs")
 
     # -- fixed-size shards on disk
     shards_path = os.path.join(work, "shards")
     n_shards = export.write_training_shards(
         mixture.select("doc_id", "text"), shards_path, "doc_id", rows_per_shard=64
     )
-    print(f"[7] wrote {n_shards} training shards -> {shards_path}")
+    print(f"[9] wrote {n_shards} training shards -> {shards_path}")
 
     # -- ANN index: batch-build half, STREAM-append the rest, compact
     emb = load_table(spark, SF_DIR, "embeddings")
@@ -94,12 +120,12 @@ def main() -> None:
     run_ivf_append_once(spark, inbox, index_path)
     stats = ivf_index.compact_ivf_index(spark, index_path)
     print(
-        f"[8] IVF index: streamed append + compaction "
+        f"[10] IVF index: streamed append + compaction "
         f"({stats['files_before']} -> {stats['files_after']} files, {stats['cells']} cells)"
     )
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     hits = ivf_index.search_ivf_index(spark, index_path, qv, k=3, n_probes=2).collect()
-    print(f"[9] probe-limited search: {[(r['vec_id'], round(r['score'], 4)) for r in hits]}")
+    print(f"[11] probe-limited search: {[(r['vec_id'], round(r['score'], 4)) for r in hits]}")
 
     # -- push the sink layout to an external store (local mock server)
     from tests.test_ann_push import MockStore, _Handler  # reuse the test mock
@@ -126,7 +152,7 @@ def main() -> None:
     )
     push_stats = push_ann_index(spark, sink_path, client, batch_size=64)
     srv.shutdown()
-    print(f"[10] pushed to external store: {json.dumps(push_stats)}")
+    print(f"[12] pushed to external store: {json.dumps(push_stats)}")
     assert len(store.points["agent_memory"]) == push_stats["points"]
 
     print("\npipeline complete:", work)
