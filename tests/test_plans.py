@@ -296,3 +296,58 @@ def test_stream_ivf_search_partition_prune_and_heap(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     assert "ivf_cell" in plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_winnowing_zero_exchanges(spark, sf_dir):
+    """Winnowing is purely per-document: the whole fingerprint selection
+    must run as one mapInPandas pass with NO shuffle exchange anywhere
+    (the r4 rewrite removed a window sort + a global distinct)."""
+    from penr_oz_agent_memory_rust_spark.operators.text_ops import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    df = winnowing_fingerprints(d)
+    assert explain.count_shuffle_exchanges(df) <= 1  # only the cpu_rebalance
+    plan = explain.physical_plan(df)
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_cms_counter_table_single_bounded_agg(spark, sf_dir):
+    """The CMS counter table must be one hash-aggregate (map-side partial
+    + final) over the exploded depth rows — no window, no join, a single
+    exchange whose key space is bounded by depth*width."""
+    from penr_oz_agent_memory_rust_spark.functions import hashing
+    from penr_oz_agent_memory_rust_spark.operators import sketches
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(hashing.word_tokens(F.col("text"))).alias("w")
+    )
+    df = sketches.cms_counter_table(toks, "w", width=64, depth=4)
+    plan = explain.physical_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "windowspecdefinition" not in plan
+    assert explain.count_shuffle_exchanges(df) == 1, plan
+
+
+def test_dup_span_coverage_no_pair_expansion(spark, sf_dir):
+    """The span profile must never self-join occurrence lists — its only
+    joins are the df semi-join (1:1 per occurrence) and the final per-doc
+    left join; no cartesian/BNLJ anywhere."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dup_span_coverage"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_line_dedup_no_global_sort(spark, sf_dir):
+    """Segment dedup rebuilds documents from per-doc sorted collect_lists;
+    a global Sort node (outside the per-partition agg sort) would break at
+    corpus scale."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["line_dedup"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan

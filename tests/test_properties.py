@@ -295,3 +295,87 @@ def test_token_mixture_budget_boundary_property(spark):
             exp.append(i)
         acc += len(text.split())
     assert got == sorted(exp)
+
+
+def test_span_and_segment_dedup_properties_random_corpora(spark):
+    """Randomized invariants for the span/segment family on one batched
+    corpus (single Spark job per operator):
+
+    remove_dup_spans: cleaned tokens are a subsequence of the original;
+    n_removed + len(clean) == n_tokens; and the whole output matches an
+    exact pure-Python mirror of the semantics (cut tokens covered by any
+    k-gram whose smallest containing doc_id is earlier and whose distinct
+    doc-frequency is >= 2) — note first-occurrence is a per-GRAM
+    guarantee, so even the first doc of an exact-duplicate family can
+    lose tokens to grams it shares with still-earlier docs.
+
+    chunk_dedup: n_kept <= n_chunks; kept text tokens are a concatenation
+    of original chunk substrings in order; total kept segments across the
+    corpus equals the number of DISTINCT segment texts."""
+    import random
+
+    from penr_oz_agent_memory_rust_spark.operators import dedup as _dedup
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    docs, texts = [], {}
+    for i in range(60):
+        if i % 5 == 4:
+            # exact duplicate of an earlier doc
+            texts[i] = texts[i - 1]
+        else:
+            texts[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 18)))
+        docs.append((i, texts[i]))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    k = 3
+    out = {r["doc_id"]: r for r in _dedup.remove_dup_spans(df, k=k, min_docs=2).collect()}
+    assert set(out) == set(texts)
+    for i, t in texts.items():
+        toks = t.lower().split(" ")
+        r = out[i]
+        clean = r["text_clean"].split(" ") if r["text_clean"] else []
+        assert r["n_tokens"] == len(toks)
+        assert r["n_removed"] + len(clean) == len(toks)
+        # subsequence check
+        it = iter(toks)
+        assert all(any(c == x for x in it) for c in clean), (i, toks, clean)
+    # exact pure-Python mirror of the cut semantics
+    def grams_of(toks):
+        m = max(1, len(toks) - k + 1)
+        return [(" ".join(toks[s : s + k]), s) for s in range(m)]
+
+    keeper, docfreq = {}, {}
+    for i in sorted(texts):
+        toks = texts[i].lower().split(" ")
+        seen_here = set()
+        for g, _ in grams_of(toks):
+            keeper.setdefault(g, i)
+            if g not in seen_here:
+                docfreq[g] = docfreq.get(g, 0) + 1
+                seen_here.add(g)
+    for i, t in texts.items():
+        toks = t.lower().split(" ")
+        drop = [False] * len(toks)
+        for g, s in grams_of(toks):
+            if docfreq[g] >= 2 and keeper[g] != i:
+                for p in range(s, min(s + k, len(toks))):
+                    drop[p] = True
+        expect_clean = " ".join(x for x, d in zip(toks, drop) if not d)
+        assert out[i]["text_clean"] == expect_clean, (i, t)
+        assert out[i]["n_removed"] == sum(drop)
+
+    seg = {r["doc_id"]: r for r in _dedup.chunk_dedup(df, chunk_tokens=4, stride=4).collect()}
+    n_distinct_segments = len(
+        {
+            " ".join(texts[i].split(" ")[s : s + 4])
+            for i in texts
+            for s in range(0, max(1, len(texts[i].split(" "))), 4)
+        }
+    )
+    assert sum(r["n_kept"] for r in seg.values()) == n_distinct_segments
+    for i, t in texts.items():
+        r = seg[i]
+        assert 0 <= r["n_kept"] <= r["n_chunks"]
+        if r["n_kept"] == r["n_chunks"]:
+            assert r["text_dedup"] == t
