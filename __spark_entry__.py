@@ -1873,6 +1873,22 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_heavy_hitters(toks, "w", k=20, width=64, depth=4)
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ DPO-style preference pairs: per (lang, source) group, the
+    best-quality doc vs the worst, margin-filtered. One hash aggregate —
+    argmax/argmin as min_by tiebreak structs, no window, text never
+    shuffles (operators/preference.py)."""
+    from penr_oz_agent_memory_rust_spark.operators.preference import preference_pairs
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        F.concat_ws("|", F.col("lang"), F.col("source")).alias("grp"),
+        "doc_id",
+        F.round(text_ops.quality_score_expr(F.col("text")), 6).alias("q"),
+    )
+    return preference_pairs(scored, "grp", "doc_id", "q", min_margin=0.05)
+
+
 def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ deterministic HyperLogLog distinct-user estimate (64 registers):
     unlike approx_count_distinct, the md5 hash family + integer register
@@ -2398,6 +2414,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "remove_dup_spans": q_remove_dup_spans,
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "approx_distinct_hll": q_approx_distinct_hll,
+        "preference_pairs": q_preference_pairs,
         "knn_pagerank": q_knn_pagerank,
         "lm_quality": q_lm_quality,
         "hard_negatives": q_hard_negatives,
@@ -3723,6 +3740,23 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY p.w
         )
         SELECT w, est FROM est ORDER BY est DESC, w LIMIT 20
+    """
+    d["preference_pairs"] = f"""
+        WITH s AS (
+          SELECT lang || '|' || source AS grp, doc_id, {_DK_QUALITY} AS q
+          FROM documents
+        ), c AS (
+          SELECT grp, doc_id AS chosen_id, q AS chosen_score FROM s
+          QUALIFY row_number() OVER (PARTITION BY grp ORDER BY q DESC, doc_id) = 1
+        ), r AS (
+          SELECT grp, doc_id AS rejected_id, q AS rejected_score FROM s
+          QUALIFY row_number() OVER (PARTITION BY grp ORDER BY q ASC, doc_id) = 1
+        )
+        SELECT c.grp, chosen_id, rejected_id, chosen_score, rejected_score,
+               round(chosen_score - rejected_score, 6) AS gap
+        FROM c JOIN r ON c.grp = r.grp
+        WHERE chosen_id <> rejected_id
+          AND chosen_score - rejected_score >= 0.05
     """
     _hll_amm = repr(0.709 * 64 * 64)
     d["approx_distinct_hll"] = f"""

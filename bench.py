@@ -121,6 +121,7 @@ HEADLINE = [
     "remove_dup_spans",
     "heavy_hitters_cms",
     "approx_distinct_hll",
+    "preference_pairs",
     "dedup_incremental_bloom",
     "knn_pagerank",
 ]
