@@ -47,3 +47,32 @@ def validate_expectations(
     return one.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.rule", "r.n_rows", "r.n_violations", "r.violation_pct"
     )
+
+
+def observe_expectations(
+    df: DataFrame, rules: dict[str, str]
+):
+    """The in-flight twin of validate_expectations: attach the same
+    conditional aggregates to the frame via df.observe(), so the metrics
+    materialize as a SIDE PRODUCT of whatever action the caller already
+    runs (the shard write, the ingest count) — zero extra scans, where
+    validate_expectations costs one. Returns (df, Observation); read
+    `observation.get` after an action on the returned frame. Metric keys:
+    `n_rows` and `violations__<rule>`.
+
+    This is how a 100 TB export job checks itself: the write IS the scan,
+    and the expectations ride along on it.
+    """
+    from pyspark.sql import Observation
+
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, pred in sorted(rules.items()):
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(F.expr(pred), F.lit(False)), 0).otherwise(1)
+            ).alias(f"violations__{name}")
+        )
+    return df.observe(obs, *aggs), obs

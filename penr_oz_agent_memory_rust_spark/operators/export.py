@@ -152,9 +152,12 @@ def write_training_shards(
     id_col: str,
     rows_per_shard: int,
     salt: str = "",
+    fmt: str = "parquet",
 ) -> int:
-    """Write the corpus as `path/shard=N/*.parquet`, one fixed-size shard
+    """Write the corpus as `path/shard=N/*.<fmt>`, one fixed-size shard
     per directory, rows within a shard carrying their loader position.
+    fmt="json" emits JSONL shards (the tokenizer-ready interchange format
+    most training loaders read); any Spark batch format name works.
 
     The pre-write `repartition(n, shard)` clusters each shard into one
     task so each directory holds one file of exactly rows_per_shard rows
@@ -165,7 +168,13 @@ def write_training_shards(
     try:
         max_shard = sharded.agg(F.max("shard")).first()[0]
         if max_shard is None:  # empty input: write an empty dir, 0 shards
-            sharded.limit(0).write.mode("overwrite").partitionBy("shard").parquet(path)
+            (
+                sharded.limit(0)
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .format(fmt)
+                .save(path)
+            )
             return 0
         n_shards = int(max_shard) + 1
         (
@@ -173,7 +182,8 @@ def write_training_shards(
             .sortWithinPartitions("shard", "pos_in_shard")
             .write.mode("overwrite")
             .partitionBy("shard")
-            .parquet(path)
+            .format(fmt)
+            .save(path)
         )
         return n_shards
     finally:

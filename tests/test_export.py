@@ -114,3 +114,30 @@ def test_write_empty_input_zero_shards(spark, tmp_path):
     d = spark.createDataFrame([], "doc_id bigint, text string")
     out = str(tmp_path / "empty_shards")
     assert export.write_training_shards(d, out, "doc_id", rows_per_shard=10) == 0
+
+
+def test_jsonl_shards_roundtrip(spark, tmp_path):
+    """fmt='json' writes loader-ready JSONL shards with the same exact
+    sharding contract as parquet: shard directories of rows_per_shard
+    rows, loader order via pos_in_shard, identical id assignment."""
+    import os
+
+    from penr_oz_agent_memory_rust_spark.operators import export
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"),
+                                 F.concat(F.lit("t"), F.col("id")).alias("text"))
+    pq_path, js_path = str(tmp_path / "pq"), str(tmp_path / "js")
+    n_pq = export.write_training_shards(df, pq_path, "doc_id", 16)
+    n_js = export.write_training_shards(df, js_path, "doc_id", 16, fmt="json")
+    assert n_js == n_pq == 7
+    back = spark.read.json(os.path.join(js_path, "shard=0"))
+    assert back.count() == 16
+    pq_rows = {
+        (r["shard"], r["pos_in_shard"], r["doc_id"])
+        for r in spark.read.parquet(pq_path).collect()
+    }
+    js_rows = {
+        (r["shard"], r["pos_in_shard"], r["doc_id"])
+        for r in spark.read.format("json").option("basePath", js_path).load(js_path).collect()
+    }
+    assert js_rows == pq_rows
