@@ -1873,6 +1873,18 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_heavy_hitters(toks, "w", k=20, width=64, depth=4)
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ leakage-safe train/heldout split: documents assigned by the md5
+    bucket of their minhash near-dup COMPONENT representative, so a doc
+    and its near-duplicates never straddle the split
+    (operators/components.py:leakage_safe_split)."""
+    from penr_oz_agent_memory_rust_spark.operators import components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=12, bands=4)
+    return components.leakage_safe_split(docs, pairs, train_pct=80, salt="split")
+
+
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ DPO-style preference pairs: per (lang, source) group, the
     best-quality doc vs the worst, margin-filtered. One hash aggregate —
@@ -2415,6 +2427,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "approx_distinct_hll": q_approx_distinct_hll,
         "preference_pairs": q_preference_pairs,
+        "leakage_safe_split": q_leakage_safe_split,
         "knn_pagerank": q_knn_pagerank,
         "lm_quality": q_lm_quality,
         "hard_negatives": q_hard_negatives,
@@ -2662,6 +2675,43 @@ def _semantic_dedup_sql(threshold: float = 0.4, n_planes: int = 4, seed: int = 1
         )
         SELECT b AS vec_id, min(a) AS rep_id, arg_min(score, a) AS score
         FROM p WHERE score >= {threshold} GROUP BY b"""
+
+
+def _minhash_reach_cte() -> str:
+    """Shared WITH-RECURSIVE prefix: minhash band candidate pairs over
+    documents and their transitive closure `reach(u, v)` — the oracle twin
+    of minhash_lsh_pairs + connected_components, composed by
+    dedup_clusters and leakage_safe_split."""
+    sig_cols = ", ".join(
+        f"min(substring(md5('{j // 6}|' || s), {1 + 5 * (j % 6)}, 5)) AS h{j}"
+        for j in range(12)
+    )
+    band_cols = ", ".join(
+        "'" + str(b) + ":' || " + " || ".join(f"h{b * 3 + r}" for r in range(3))
+        for b in range(4)
+    )
+    return f"""
+            WITH RECURSIVE sigsh AS (
+              SELECT doc_id, unnest(list_distinct({_DK_SHINGLES3})) AS s FROM documents
+            ), sig AS (
+              SELECT doc_id, {sig_cols}
+              FROM sigsh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([{band_cols}]) AS bucket
+              FROM sig
+            ), pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+            ), edges AS (
+              SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT u, u FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+    """
 
 
 def _pagerank_sql(iters: int = 3, k: int = 5, damping: float = 0.85) -> str:
@@ -3092,30 +3142,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_dk_norm_pos('d.deq')} AND {_dk_norm_pos('q.qv')}
             ORDER BY score DESC, d.vec_id LIMIT 10
         """,
-        "dedup_clusters": f"""
-            WITH RECURSIVE sigsh AS (
-              SELECT doc_id, unnest(list_distinct({_DK_SHINGLES3})) AS s FROM documents
-            ), sig AS (
-              SELECT doc_id, {", ".join(f"min(substring(md5('{j // 6}|' || s), {1 + 5 * (j % 6)}, 5)) AS h{j}" for j in range(12))}
-              FROM sigsh GROUP BY doc_id
-            ), bands AS (
-              SELECT doc_id, unnest([{", ".join("'" + str(b) + ":' || " + " || ".join(f"h{b * 3 + r}" for r in range(3)) for b in range(4))}]) AS bucket
-              FROM sig
-            ), pairs AS (
-              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-              FROM bands l JOIN bands r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
-            ), edges AS (
-              SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
-            ), reach(u, v) AS (
-              SELECT u, v FROM edges
-              UNION
-              SELECT u, u FROM edges
-              UNION
-              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-            )
+        "dedup_clusters": _minhash_reach_cte() + """
             SELECT min_v AS component, count(*) AS cluster_size FROM (
               SELECT u, min(v) AS min_v FROM reach GROUP BY u
             ) GROUP BY min_v
+        """,
+        "leakage_safe_split": _minhash_reach_cte() + """,
+            comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS rep,
+                   CASE WHEN ('0x' || substring(md5('split|' ||
+                          coalesce(c.component, d.doc_id)::VARCHAR), 1, 15))::BIGINT
+                          % 100 < 80
+                        THEN 'train' ELSE 'heldout' END AS split
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         """,
         "asof_latest_order": """
             WITH cand AS (

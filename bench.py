@@ -122,6 +122,7 @@ HEADLINE = [
     "heavy_hitters_cms",
     "approx_distinct_hll",
     "preference_pairs",
+    "leakage_safe_split",
     "dedup_incremental_bloom",
     "knn_pagerank",
 ]

@@ -203,3 +203,48 @@ def dedup_clusters(
 
         return local_df(pairs.sparkSession, sorted(sizes.items()), out_schema).coalesce(1)
     return comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    salt: str = "split",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """★ leakage-safe train/heldout split: assign each document by the
+    portable hash of its near-dup COMPONENT representative, so a document
+    and all its near-duplicates land on the SAME side — the eval-hygiene
+    property a row-level hash split cannot give (a train doc whose
+    near-twin sits in the eval set leaks the answer). Docs in no pair are
+    their own singleton component. Output: (id, rep, split).
+
+    Scale shape: connected components over the candidate pairs (size-probed
+    driver union-find or distributed min-label propagation), one left join
+    of the corpus ids against the node->component map (components only
+    exist for docs IN pairs — the map is far smaller than the corpus), and
+    a pure-expression md5 bucket. Deterministic and engine-portable, hence
+    oracle-checkable."""
+    from penr_oz_agent_memory_rust_spark.functions import hashing
+
+    comp = connected_components(pairs, a_col, b_col, max_iterations).withColumnRenamed(
+        "node", id_col
+    )
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    bucket = (
+        hashing.md5_long(F.concat(F.lit(f"{salt}|"), rep.cast("string"))) % 100
+    )
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            rep.alias("rep"),
+            F.when(bucket < train_pct, F.lit("train"))
+            .otherwise(F.lit("heldout"))
+            .alias("split"),
+        )
+    )

@@ -406,3 +406,39 @@ def test_remove_dup_spans_overlapping_spans_merge(spark):
     out = {r["doc_id"]: r for r in dedup.remove_dup_spans(df, k=2, min_docs=2).collect()}
     assert out[2]["n_removed"] == 4
     assert out[2]["text_clean"] == "z w"
+
+
+# ------------------------------------------------- leakage_safe_split
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
+    """The split-hygiene property: every candidate-pair member lands on
+    the same side, and the rep is the component minimum."""
+    from penr_oz_agent_memory_rust_spark.operators import components
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=12, bands=4)
+    out = components.leakage_safe_split(docs, pairs)
+    side = {r["doc_id"]: (r["split"], r["rep"]) for r in out.collect()}
+    assert len(side) == docs.count()
+    got_pairs = pairs.collect()
+    assert got_pairs, "fixture must contain near-dups"
+    for r in got_pairs:
+        assert side[r["a"]][0] == side[r["b"]][0], (r, side[r["a"]], side[r["b"]])
+        assert side[r["a"]][1] == side[r["b"]][1]
+        assert side[r["a"]][1] <= min(r["a"], r["b"])
+    # both sides populated at 80/20 over ~500 docs
+    splits = {s for s, _ in side.values()}
+    assert splits == {"train", "heldout"}
+
+
+def test_leakage_safe_split_singletons_are_their_own_rep(spark):
+    from penr_oz_agent_memory_rust_spark.operators import components
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+    pairs = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    out = {r["doc_id"]: r for r in components.leakage_safe_split(docs, pairs).collect()}
+    assert out[1]["rep"] == 1 and out[2]["rep"] == 1
+    assert out[3]["rep"] == 3
+    assert out[1]["split"] == out[2]["split"]
