@@ -163,16 +163,26 @@ def main() -> None:
         .save()
     )
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # wall-clock budget: the headline list has grown past 90 queries, and
+    # the driver's capture window is finite — finish the CURRENT round and
+    # stop if the budget is spent (every query always has >= 1 sample
+    # because the budget is only checked between rounds)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "400"))
+    bench_start = time.time()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     # interleaved rounds (q1..qN, q1..qN, ...) rather than back-to-back
     # repeats: VM noise is bursty, so spreading a query's runs across the
     # whole wall-clock window decorrelates them from any one burst
+    runs_done = 0
     for _ in range(runs):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.time() - t0, 3))
+        runs_done += 1
+        if time.time() - bench_start > budget:
+            break
     timings = {name: min(ts) for name, ts in samples.items()}
     # per-query run variance: max-min over the interleaved runs, so a
     # cross-round regression can be told apart from VM noise (a delta
@@ -185,7 +195,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "runs": runs,
+        "runs": runs_done,
     }
     # full record (spread + raw samples) goes to a sidecar file, NOT stdout:
     # the driver's tail capture clips long lines, and the compact line must

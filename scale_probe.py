@@ -481,10 +481,24 @@ def main() -> None:
     )
     distinct_vecs.count()  # twice (signatures + bucket groups)
     t0 = time.time()
-    out_rows["knn_graph_lsh"] = knn.lsh_knn_self_join(
+    graph = knn.lsh_knn_self_join(
         distinct_vecs, k=3, n_planes=9, n_tables=8, id_col="vec_id", vec_col="vec"
-    ).count()
+    ).persist()
+    out_rows["knn_graph_lsh"] = graph.count()
     t["knn_graph_lsh"] = round(time.time() - t0, 2)
+
+    # PageRank over that graph: the iterative-algorithm shape at 100k
+    # nodes — per-iteration cost must stay join+agg-bound (node-sized
+    # frames), nothing collected
+    from penr_oz_agent_memory_rust_spark.operators.pagerank import pagerank
+
+    t0 = time.time()
+    out_rows["pagerank_10it"] = pagerank(
+        graph.select(F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst")),
+        iters=10,
+    ).count()
+    t["pagerank_10it"] = round(time.time() - t0, 2)
+    graph.unpersist()
     distinct_vecs.unpersist()
     big_emb.unpersist()
 
