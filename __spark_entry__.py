@@ -2343,6 +2343,54 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "score")
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ retrieval evaluation: per-query precision/recall/RR/nDCG@10 of the
+    cosine top-10 run against graded label-match qrels (rel=2 exact label,
+    rel=1 same label mod 5). The run reuses the expr KNN strategy (top-11,
+    self excluded, re-ranked); qrels are a broadcast 8-row query side
+    crossed with the corpus; metrics come from operators.ranking_metrics
+    (histogram-based IDCG — no corpus-sized window anywhere)."""
+    from pyspark.sql import Window
+    from penr_oz_agent_memory_rust_spark.operators import ranking_metrics
+
+    emb = _emb(spark, sf_dir)
+    qside = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    run11 = knn.expr_knn_join(
+        qside.select("qid", "qv"),
+        emb.select("vec_id", F.col("embedding").alias("vec")),
+        k=11,
+        precision="f64",
+        query_id="qid",
+        query_vec="qv",
+        corpus_id="vec_id",
+        corpus_vec="vec",
+        round_to=6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    run = (
+        run11.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    rel = (
+        F.when(F.col("label") == F.col("ql"), F.lit(2))
+        .when(F.col("label") % 5 == F.col("ql") % 5, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    qrels = (
+        emb.select(F.col("vec_id").alias("doc_id"), "label")
+        .crossJoin(F.broadcast(qside.select("qid", "ql")))
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select("qid", "doc_id", rel.alias("rel"))
+    )
+    return ranking_metrics.retrieval_metrics(run, qrels, k=10)
+
+
 # prefix (~50) of this dict, so slots 1-50 hold one oracle-checked gate
 # per §2 operator and per flagship ★ pipeline (merged q_* gates bundle
 # sibling variants). Slots beyond the window hold the standalone variants
@@ -2481,6 +2529,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "users_purchase_and_error": q_users_purchase_and_error,
         "embedding_stats": q_embedding_stats,
         "docs_with_embeddings": q_docs_with_embeddings,
+        "retrieval_eval": q_retrieval_eval,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
@@ -4081,5 +4130,65 @@ def oracle_sql() -> dict[str, str]:
         FROM events p CROSS JOIN wm
         WHERE p.event_type = 'purchase' AND p.ts <= wm.w
           AND NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.event_id)
+    """
+    # mirrors q_retrieval_eval: scored set excludes self BEFORE ranking
+    # (equivalent to Spark's top-11-then-filter since self is always rank 1);
+    # rel>0 ⇔ label mod 5 matches, grade 2 on exact label match. IDCG uses
+    # the same grade-histogram closed form as operators.ranking_metrics.
+    d["retrieval_eval"] = f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+                   FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.qid, e.vec_id, {_dk_cos('e.embedding', 'q.qv')} AS score
+          FROM embeddings e, q
+          WHERE e.vec_id != q.qid
+            AND {_dk_norm_pos('e.embedding')} AND {_dk_norm_pos('q.qv')}
+        ),
+        run AS (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+          FROM scored
+          QUALIFY rnk <= 10
+        ),
+        rel_pos AS (
+          SELECT q.qid, e.vec_id AS doc,
+                 CASE WHEN e.label = q.ql THEN 2 ELSE 1 END AS rel
+          FROM embeddings e, q
+          WHERE e.vec_id != q.qid AND e.label % 5 = q.ql % 5
+        ),
+        gh AS (SELECT qid, rel, count(*) AS cnt FROM rel_pos GROUP BY 1, 2),
+        gh2 AS (
+          SELECT qid, rel, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY qid ORDER BY rel DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt AS BIGINT) AS off
+          FROM gh
+        ),
+        ideal AS (
+          SELECT qid, CAST(sum(cnt) AS BIGINT) AS n_rel,
+                 sum(CASE WHEN off < 10 THEN
+                       (power(2, rel) - 1)
+                       * list_sum(list_transform(
+                           generate_series(off + 1, least(off + cnt, 10)),
+                           p -> 1.0 / log2(p + 1)))
+                     ELSE 0 END) AS idcg
+          FROM gh2 GROUP BY qid
+        ),
+        hits AS (
+          SELECT r.qid, CAST(count(*) AS BIGINT) AS n_hits,
+                 sum((power(2, rp.rel) - 1) / log2(r.rnk + 1)) AS dcg,
+                 max(1.0 / r.rnk) AS rr
+          FROM run r JOIN rel_pos rp ON rp.qid = r.qid AND rp.doc = r.vec_id
+          GROUP BY r.qid
+        )
+        SELECT i.qid, i.n_rel,
+               coalesce(h.n_hits, 0) AS n_hits,
+               round(coalesce(h.n_hits, 0) / 10.0, 6) AS precision_at_k,
+               round(coalesce(h.n_hits, 0) * 1.0 / i.n_rel, 6) AS recall_at_k,
+               round(coalesce(h.rr, 0.0), 6) AS rr,
+               round(coalesce(h.dcg, 0.0), 6) AS dcg_at_k,
+               round(CASE WHEN i.idcg > 0 THEN coalesce(h.dcg, 0.0) / i.idcg
+                     ELSE 0.0 END, 6) AS ndcg_at_k
+        FROM ideal i LEFT JOIN hits h ON h.qid = i.qid
     """
     return d

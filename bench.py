@@ -125,6 +125,7 @@ HEADLINE = [
     "leakage_safe_split",
     "dedup_incremental_bloom",
     "knn_pagerank",
+    "retrieval_eval",
 ]
 
 
