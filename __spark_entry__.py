@@ -2343,6 +2343,62 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "score")
 
 
+def q_pca_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ PCA stats pass: the 64×64 gramian X^T X as (i, j, g) rows — one
+    Arrow scan accumulating d×d f64 partials per partition, one
+    d²-bounded hash aggregation (operators/pca.py). Oracle: the same
+    sums via dims×dims cross join in SQL."""
+    from penr_oz_agent_memory_rust_spark.operators import pca as _pca
+
+    return _pca.gramian_rows(_emb(spark, sf_dir), round_to=6)
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ embedding-space outlier scan: diagonal-covariance Mahalanobis
+    (pure built-in expressions — per-dim moments rounded 6dp, folded with
+    F.aggregate/zip_with), top-20 most anomalous vectors."""
+    from penr_oz_agent_memory_rust_spark.operators import pca as _pca
+
+    scored = _pca.diag_mahalanobis(_emb(spark, sf_dir))
+    return topk.top_k(scored, "maha", 20, tiebreak="vec_id").select("vec_id", "maha")
+
+
+def q_pca_projected_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ PCA-projected candidate generation (the learned counterpart of
+    q_jl_projected_ann): fit 64→16 PCA from one distributed stats pass,
+    project the corpus in a map-only Arrow pass, LSH-bucket + score in the
+    4×-smaller space, re-rank the final k by exact f64 cosine on the
+    ORIGINAL vectors. No oracle: approximate by design; fit/projection
+    exactness pinned vs numpy in tests/test_pca.py."""
+    from penr_oz_agent_memory_rust_spark.operators import pca as _pca
+    from penr_oz_agent_memory_rust_spark.operators.topk import top_k_per_group
+
+    emb = _emb(spark, sf_dir)
+    model = _pca.fit_pca(emb, n_components=16)
+    proj = _pca.pca_project(emb.select("vec_id", "embedding"), model)
+    corpus = proj.select(F.col("vec_id"), F.col("pvec").alias("vec"))
+    queries = proj.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("pvec").alias("qv")
+    )
+    cand = knn.lsh_knn_join(
+        queries, corpus, k=20, n_planes=4, dim=16,
+        query_id="qid", query_vec="qv", corpus_id="vec_id", corpus_vec="vec",
+    ).select("qid", "vec_id")
+    qorig = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    rerank = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qorig), "qid")
+        .withColumn("score", knn.cosine_pairs_udf()(F.col("embedding"), F.col("q_emb")))
+        .filter(F.col("score").isNotNull())
+        .select("qid", "vec_id", "score")
+    )
+    return top_k_per_group(rerank, ["qid"], "score", 5, tiebreak="vec_id").select(
+        "qid", "vec_id"
+    )
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ retrieval evaluation: per-query precision/recall/RR/nDCG@10 of the
     cosine top-10 run against graded label-match qrels (rel=2 exact label,
@@ -2530,6 +2586,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_stats": q_embedding_stats,
         "docs_with_embeddings": q_docs_with_embeddings,
         "retrieval_eval": q_retrieval_eval,
+        "pca_gramian": q_pca_gramian,
+        "embedding_outliers": q_embedding_outliers,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
@@ -2545,6 +2603,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quality_classifier_train": q_quality_classifier_train,
         "mmr_rerank": q_mmr_rerank,
         "jl_projected_ann": q_jl_projected_ann,
+        "pca_projected_ann": q_pca_projected_ann,
         "knn_self_all_pairs": q_knn_self_all_pairs,
         "knn_graph_lsh": q_knn_graph_lsh,
         "sequence_packing": q_sequence_packing,
@@ -4190,5 +4249,33 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN i.idcg > 0 THEN coalesce(h.dcg, 0.0) / i.idcg
                      ELSE 0.0 END, 6) AS ndcg_at_k
         FROM ideal i LEFT JOIN hits h ON h.qid = i.qid
+    """
+    d["pca_gramian"] = """
+        WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i)
+        SELECT di.i, dj.i AS j,
+               round(sum(e.embedding[di.i]::DOUBLE * e.embedding[dj.i]::DOUBLE), 6) AS g
+        FROM embeddings e CROSS JOIN dims di CROSS JOIN dims dj
+        GROUP BY 1, 2
+    """
+    # mirrors operators/pca.py diag_mahalanobis: per-dim moments rounded to
+    # 6dp BEFORE the score fold; both engines fold dims 1..64 in the same
+    # sequential order
+    d["embedding_outliers"] = """
+        WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        st AS (
+          SELECT d.i,
+                 round(avg(e.embedding[d.i]::DOUBLE), 6) AS mu,
+                 round(avg(e.embedding[d.i]::DOUBLE * e.embedding[d.i]::DOUBLE), 6) AS m2
+          FROM embeddings e CROSS JOIN dims d
+          GROUP BY d.i
+        ),
+        sv AS (SELECT i, mu, m2 - mu * mu AS var FROM st),
+        lists AS (SELECT list(mu ORDER BY i) AS mus, list(var ORDER BY i) AS vars FROM sv)
+        SELECT e.vec_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> (e.embedding[i]::DOUBLE - mus[i]) * (e.embedding[i]::DOUBLE - mus[i])
+                          / (vars[i] + 0.000001))), 6) AS maha
+        FROM embeddings e CROSS JOIN lists
+        ORDER BY maha DESC, vec_id LIMIT 20
     """
     return d

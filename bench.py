@@ -126,6 +126,9 @@ HEADLINE = [
     "dedup_incremental_bloom",
     "knn_pagerank",
     "retrieval_eval",
+    "pca_gramian",
+    "embedding_outliers",
+    "pca_projected_ann",
 ]
 
 
