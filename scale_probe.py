@@ -436,6 +436,97 @@ def dedup_caps_probe() -> None:
     spark.stop()
 
 
+def pca_probe() -> None:
+    """PCA probes (`python scale_probe.py pca`):
+
+    1. Candidate recall: does a LEARNED 64→16 projection generate better
+       ANN candidates than the data-oblivious JL projection at the same
+       dims? Both project corpus+queries, brute-force top-20 in the small
+       space, and score recall@10 of that candidate set against exact
+       top-10 in the original space (the re-rank stage then recovers exact
+       order for whatever the candidates contain).
+    2. Scale shape: gramian + fit on 100k synthetic 256-dim vectors —
+       wall time and the driver-side state (d^2 + d + 1 rows), which must
+       stay metadata-sized regardless of corpus rows.
+    """
+    from penr_oz_agent_memory_rust_spark.operators import pca, projection
+
+    spark = get_spark(app_name="poz-pca-probe")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    n = emb.count()
+    k, n_queries, cand_k = 10, 200, 20
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .cache()
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    exact = knn.expr_knn_join(
+        q, c, k=k, query_id="qid", query_vec="qv", corpus_id="cid", corpus_vec="cvec"
+    )
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r["qid"], set()).add(r["cid"])
+
+    def cand_recall(proj_df, out_col):
+        pq_ = proj_df.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), F.col(out_col).alias("qv")
+        )
+        pc = proj_df.select(F.col("vec_id").alias("cid"), F.col(out_col).alias("cvec"))
+        cand = knn.expr_knn_join(
+            pq_, pc, k=cand_k, precision="f32",
+            query_id="qid", query_vec="qv", corpus_id="cid", corpus_vec="cvec",
+        )
+        hits = 0
+        for r in cand.collect():
+            if r["cid"] in truth.get(r["qid"], ()):  # noqa: SIM401
+                hits += 1
+        return round(hits / (len(truth) * k), 4)
+
+    results = []
+    for out_dim in (8, 16, 24):
+        t0 = time.time()
+        model = pca.fit_pca(emb, n_components=out_dim)
+        pdf = pca.pca_project(emb.select("vec_id", "embedding"), model)
+        rec = cand_recall(pdf, "pvec")
+        results.append(
+            {"proj": "pca", "dim": out_dim, "cand_recall_at_10": rec,
+             "sec": round(time.time() - t0, 2)}
+        )
+        t0 = time.time()
+        jdf = projection.project_embeddings(emb.select("vec_id", "embedding"), out_dim)
+        rec = cand_recall(jdf, "proj")
+        results.append(
+            {"proj": "jl", "dim": out_dim, "cand_recall_at_10": rec,
+             "sec": round(time.time() - t0, 2)}
+        )
+
+    # 100k x 256-dim synthetic vectors, generated JVM-side (hash-based
+    # pseudo-randoms) so the probe measures the stats pass, not data gen
+    big = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(256)),
+            lambda j: (F.pmod(F.hash(F.col("id"), j), F.lit(1000)) / 1000.0 - 0.5).cast("float"),
+        ).alias("embedding"),
+    ).cache()
+    big.count()
+    t0 = time.time()
+    g_rows = pca.gramian_rows(big).count()
+    g_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    model = pca.fit_pca(big, n_components=32)
+    fit_sec = round(time.time() - t0, 2)
+    print(json.dumps({
+        "corpus_rows": n, "queries": len(truth), "cand_k": cand_k, "grid": results,
+        "big_rows": 100_000, "big_dim": 256, "gramian_rows": g_rows,
+        "gramian_sec": g_sec, "fit_sec": fit_sec,
+        "driver_state_rows": 256 * 256 + 256 + 1,
+        "explained_var_top4": [round(float(v), 4) for v in model.explained_variance[:4]],
+    }))
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -581,5 +672,7 @@ if __name__ == "__main__":
         pq_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "span":
         span_bloom_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "pca":
+        pca_probe()
     else:
         main()
