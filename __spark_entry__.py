@@ -2343,6 +2343,50 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "score")
 
 
+def q_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ streaming embedding-drift monitor: the corpus arrives as a REAL
+    availableNow stream of (ts, embedding) rows (ts synthesized as one
+    vector per second from vec_id), per-(5-min window, dimension) stats
+    are maintained as streaming state, and each window's drift — squared
+    L2 shift of its centroid against the batch per-dim baseline — is
+    reduced in batch over the final state. On bounded input this equals
+    the batch aggregation, which the oracle asserts."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from penr_oz_agent_memory_rust_spark.streaming import ingest as _ingest
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"drift|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = f"drift|{sf_dir}"
+    path = os.path.join(
+        _tf.gettempdir(), f"__emb_drift_{_hl.md5(ident.encode()).hexdigest()[:12]}"
+    )
+    marker = os.path.join(path, "_STAGED_OK")
+    emb = _emb(spark, sf_dir)
+    if not os.path.exists(marker):
+        if os.path.exists(path):
+            _sh.rmtree(path)
+        emb.select(
+            F.timestamp_seconds(F.lit(1767225600) + F.col("vec_id")).alias("ts"),
+            "embedding",
+        ).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    baseline = (
+        emb.select(F.posexplode("embedding").alias("dim", "__x"))
+        .groupBy("dim")
+        .agg(F.round(F.avg(F.col("__x").cast("double")), 6).alias("mu"))
+    )
+    return _ingest.run_embedding_drift_once(
+        spark, path, baseline, window_secs=300, shuffle_partitions=8
+    )
+
+
 def q_pca_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ PCA stats pass: the 64×64 gramian X^T X as (i, j, g) rows — one
     Arrow scan accumulating d×d f64 partials per partition, one
@@ -2588,6 +2632,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "retrieval_eval": q_retrieval_eval,
         "pca_gramian": q_pca_gramian,
         "embedding_outliers": q_embedding_outliers,
+        "stream_embedding_drift": q_stream_embedding_drift,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
@@ -4277,5 +4322,27 @@ def oracle_sql() -> dict[str, str]:
                           / (vars[i] + 0.000001))), 6) AS maha
         FROM embeddings e CROSS JOIN lists
         ORDER BY maha DESC, vec_id LIMIT 20
+    """
+    # mirrors q_stream_embedding_drift's bounded-stream final state: window
+    # id = vec_id // 300 (ts is synthesized one row per second from
+    # 1767225600 = 2026-01-01 UTC, which is 300-aligned); window means are
+    # rounded to 6dp before the fold, matching streaming.drift_scores
+    d["stream_embedding_drift"] = """
+        WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        base AS (
+          SELECT d.i, round(avg(e.embedding[d.i]::DOUBLE), 6) AS mu
+          FROM embeddings e CROSS JOIN dims d GROUP BY d.i
+        ),
+        win AS (
+          SELECT CAST(1767225600 + (e.vec_id // 300) * 300 AS BIGINT) AS ws, d.i,
+                 CAST(count(*) AS BIGINT) AS n, sum(e.embedding[d.i]::DOUBLE) AS sx
+          FROM embeddings e CROSS JOIN dims d
+          GROUP BY 1, 2
+        )
+        SELECT w.ws, max(w.n) AS n_rows,
+               round(sum((round(w.sx / w.n, 6) - b.mu)
+                       * (round(w.sx / w.n, 6) - b.mu)), 6) AS drift
+        FROM win w JOIN base b ON b.i = w.i
+        GROUP BY w.ws
     """
     return d

@@ -129,6 +129,7 @@ HEADLINE = [
     "pca_gramian",
     "embedding_outliers",
     "pca_projected_ann",
+    "stream_embedding_drift",
 ]
 
 

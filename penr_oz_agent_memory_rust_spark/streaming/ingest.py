@@ -608,6 +608,94 @@ def run_ivf_append_once(
     return n_batches["n"]
 
 
+def windowed_embedding_dim_stats(
+    stream: DataFrame,
+    window: str = "5 minutes",
+    ts_col: str = "ts",
+    vec_col: str = "embedding",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-(tumbling window, dimension) count + sum of an embedding stream:
+    the streaming state behind the drift monitor. posexplode is a stateless
+    ×d projection; the single windowed agg then keeps windows×d rows of
+    state with map-side partial combine — the one-aggregation limit of
+    Structured Streaming is respected by deferring the drift *reduction*
+    (a d-row fold per window) to a batch pass over the final state (or a
+    foreachBatch hook on a live stream)."""
+    dims = stream.select(
+        ts_col, F.posexplode(vec_col).alias("dim", "__x")
+    ).select(ts_col, "dim", F.col("__x").cast("double").alias("__x"))
+    return (
+        dims.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "dim")
+        .agg(F.count("*").alias("n"), F.sum("__x").alias("sx"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "dim",
+            "n",
+            "sx",
+        )
+    )
+
+
+def drift_scores(
+    dim_stats: DataFrame,
+    baseline: DataFrame,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reduce per-(window, dim) stats against a broadcast baseline of
+    per-dim means: drift = Σ_i (round(window_mean_i, 6) - μ_i)² — the
+    squared L2 shift of the window's embedding centroid. Window means are
+    rounded BEFORE the fold so an external oracle agrees bit-for-bit.
+
+    baseline: (dim, mu) — d rows, broadcast. Output: (ws, n_rows, drift)
+    per window, ws = epoch seconds of the window start."""
+    j = dim_stats.join(F.broadcast(baseline), "dim")
+    dev = F.round(F.col("sx") / F.col("n"), round_to) - F.col("mu")
+    return (
+        j.groupBy(F.unix_timestamp("window_start").alias("ws"))
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.round(F.sum(dev * dev), round_to).alias("drift"),
+        )
+    )
+
+
+def run_embedding_drift_once(
+    spark: SparkSession,
+    emb_path: str,
+    baseline: DataFrame,
+    window_secs: int = 300,
+    name: str = "__stream_emb_drift",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """★ streaming embedding-drift monitor end-to-end: readStream over a
+    (ts, embedding) parquet directory, per-(window, dim) stats maintained
+    as REAL streaming state (availableNow / complete-mode memory sink),
+    then the batch drift reduction against the broadcast baseline. On
+    bounded input the final state equals the batch aggregation, which is
+    what the oracle asserts. Production shape: swap the trigger for a
+    processing-time one and read `drift` per micro-batch via foreachBatch;
+    the stream side never sees the baseline (no rebroadcast per batch)."""
+    with _stream_shuffle_partitions(spark, shuffle_partitions):
+        schema = spark.read.parquet(emb_path).schema
+        if os.path.isfile(emb_path):
+            emb_path = _stage_single_file(emb_path)
+        raw = spark.readStream.schema(schema).parquet(emb_path)
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        stats = windowed_embedding_dim_stats(raw, window=f"{window_secs} seconds")
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return drift_scores(spark.table(name), baseline)
+
+
 CORPUS_INBOX_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),

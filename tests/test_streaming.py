@@ -545,3 +545,55 @@ def test_ttl_dedup_reemits_key_after_state_eviction(spark, tmp_path):
     q.stop()
     rows = [tuple(r) for r in spark.table("__t_ttl_dedup").collect()]
     assert sorted(rows) == [(1, "click"), (1, "click"), (9, "other")]
+
+
+def test_embedding_drift_stream_matches_batch(spark, tmp_path):
+    """Drift over a 2-window stream: window 0 drawn near the baseline,
+    window 1 shifted by +delta in every dim — streamed final state must
+    equal the hand-computed batch drift, and the shifted window must score
+    ~64 * delta^2 higher."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        run_embedding_drift_once,
+    )
+
+    d, per_win, delta = 8, 30, 0.5
+    rng = np.random.default_rng(7)
+    base_vecs = rng.normal(0.0, 0.1, size=(per_win, d))
+    shift_vecs = rng.normal(0.0, 0.1, size=(per_win, d)) + delta
+    rows = []
+    t0 = 1767225600
+    for i, v in enumerate(base_vecs):
+        rows.append((i, t0 + i, [float(x) for x in v]))
+    for i, v in enumerate(shift_vecs):
+        rows.append((per_win + i, t0 + 300 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, epoch long, embedding array<float>")
+    src = str(tmp_path / "emb_stream")
+    df.select(
+        F.timestamp_seconds("epoch").alias("ts"), "embedding"
+    ).write.parquet(src)
+
+    # baseline fit on the FIRST window only (the "historical reference"
+    # shape): the un-shifted window then scores ~0 and the shifted one
+    # ~d * delta^2
+    mus = np.round(base_vecs.astype(np.float32).astype(np.float64).mean(axis=0), 6)
+    baseline = spark.createDataFrame(
+        [(i, float(m)) for i, m in enumerate(mus)], "dim int, mu double"
+    )
+    got = {
+        r["ws"]: r
+        for r in run_embedding_drift_once(
+            spark, src, baseline, window_secs=300, name="__t_drift"
+        ).collect()
+    }
+    assert set(got) == {t0, t0 + 300}
+    for ws, vecs in [(t0, base_vecs), (t0 + 300, shift_vecs)]:
+        wmean = np.round(vecs.astype(np.float32).astype(np.float64).mean(axis=0), 6)
+        want = round(float(((wmean - mus) ** 2).sum()), 6)
+        assert got[ws]["n_rows"] == per_win
+        assert got[ws]["drift"] == pytest.approx(want, abs=2e-6)
+    assert got[t0]["drift"] < 0.1
+    assert got[t0 + 300]["drift"] > 0.5 * d * delta**2
