@@ -351,3 +351,63 @@ def test_line_dedup_no_global_sort(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pca_gramian_single_shuffle_bounded_output(spark, sf_dir):
+    """The stats pass must be one Arrow scan + ONE hash aggregation of the
+    d²-bounded partial rows — a second exchange would mean the per-
+    partition accumulation isn't happening inside the mapInPandas."""
+    from penr_oz_agent_memory_rust_spark.operators import pca
+
+    import re as _re
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = pca.gramian_rows(emb)
+    plan = explain.physical_plan(df)
+    assert len(_re.findall(r"^\(\d+\) MapInPandas", plan, flags=_re.M)) == 1, plan
+    assert explain.count_shuffle_exchanges(df) == 1, plan
+
+
+def test_diag_mahalanobis_broadcasts_stats_only(spark, sf_dir):
+    """The d-row moment table must broadcast back to the corpus; the
+    corpus itself must never shuffle for the scoring pass (its only
+    exchange is the d-bounded stats aggregation chain)."""
+    from penr_oz_agent_memory_rust_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = pca.diag_mahalanobis(emb)
+    plan = explain.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_retrieval_metrics_no_global_window(spark):
+    """IDCG comes from the per-query grade histogram: the only window
+    partitions by query — an empty partition spec (global sort of the
+    qrels) must never appear."""
+    from penr_oz_agent_memory_rust_spark.operators import ranking_metrics
+
+    run = spark.createDataFrame([(1, 10, 1)], "qid int, doc_id int, rank int")
+    qrels = spark.createDataFrame([(1, 10, 1)], "qid int, doc_id int, rel int")
+    df = ranking_metrics.retrieval_metrics(run, qrels, k=5)
+    plan = explain.physical_plan(df)
+    import re as _re
+
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), f"global window in plan:\n{plan}"
+
+
+def test_drift_scores_broadcasts_baseline(spark):
+    """The per-dim baseline joins broadcast; the windowed state never
+    re-shuffles on dim."""
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import drift_scores
+
+    import datetime as _dt
+
+    stats = spark.createDataFrame(
+        [(_dt.datetime(2026, 1, 1), 0, 10, 1.0)],
+        "window_start timestamp, dim int, n long, sx double",
+    )
+    baseline = spark.createDataFrame([(0, 0.1)], "dim int, mu double")
+    df = drift_scores(stats, baseline)
+    explain.assert_in_plan(df, "BroadcastHashJoin")
