@@ -2343,6 +2343,14 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "score")
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ corpus-slice drift monitor: per-source Jensen–Shannon divergence
+    (bits) of the char-bigram distribution vs the whole corpus — one
+    corpus scan, everything downstream bounded by sources × alphabet²
+    (operators/corpus.source_divergence)."""
+    return corpus.source_divergence(_docs(spark, sf_dir))
+
+
 def q_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ streaming embedding-drift monitor: the corpus arrives as a REAL
     availableNow stream of (ts, embedding) rows (ts synthesized as one
@@ -2633,6 +2641,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pca_gramian": q_pca_gramian,
         "embedding_outliers": q_embedding_outliers,
         "stream_embedding_drift": q_stream_embedding_drift,
+        "source_divergence": q_source_divergence,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
@@ -4344,5 +4353,35 @@ def oracle_sql() -> dict[str, str]:
                        * (round(w.sx / w.n, 6) - b.mu)), 6) AS drift
         FROM win w JOIN base b ON b.i = w.i
         GROUP BY w.ws
+    """
+    d["source_divergence"] = f"""
+        WITH t AS (SELECT source, {_DK_NORM} AS norm FROM documents),
+        bg AS (
+          SELECT source, unnest(list_transform(
+                   generate_series(1, length(norm) - 1),
+                   i -> substr(norm, i, 2))) AS bg
+          FROM t WHERE length(norm) >= 2
+        ),
+        bgc AS (SELECT source, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM bgc GROUP BY 1),
+        q AS (SELECT bg, CAST(sum(cnt) AS BIGINT) AS q_cnt FROM bgc GROUP BY 1),
+        qt AS (SELECT CAST(sum(q_cnt) AS BIGINT) AS q_tot FROM q),
+        grid AS (
+          SELECT t.source, coalesce(b.cnt, 0) * 1.0 / t.tot AS p,
+                 q.q_cnt * 1.0 / qt.q_tot AS q
+          FROM tot t CROSS JOIN q CROSS JOIN qt
+          LEFT JOIN bgc b ON b.source = t.source AND b.bg = q.bg
+        ),
+        terms AS (
+          SELECT source,
+                 CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0 END AS kp,
+                 q * log2(q / ((p + q) / 2)) AS kq
+          FROM grid
+        ),
+        nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+        SELECT nd.source, nd.n_docs,
+               round(0.5 * sum(t2.kp) + 0.5 * sum(t2.kq), 6) AS js_bits
+        FROM terms t2 JOIN nd ON nd.source = t2.source
+        GROUP BY nd.source, nd.n_docs
     """
     return d

@@ -130,6 +130,7 @@ HEADLINE = [
     "embedding_outliers",
     "pca_projected_ann",
     "stream_embedding_drift",
+    "source_divergence",
 ]
 
 

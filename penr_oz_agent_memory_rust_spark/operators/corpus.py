@@ -523,3 +523,54 @@ def lm_quality_score_arrow(
     return docs.select(id_col, text_col).mapInPandas(
         score_batches, schema=f"{id_col} {id_type}, n_bigrams bigint, lm_score double"
     )
+
+
+def source_divergence(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_to: int = 6,
+) -> DataFrame:
+    """★ corpus-slice drift: Jensen–Shannon divergence (log2, in bits)
+    between each slice's character-bigram distribution and the WHOLE
+    corpus's — the domain-mix monitor of a training pipeline: a new crawl
+    snapshot whose per-source JS jumps has changed register/language/
+    boilerplate even when volume looks normal. Output: (group, n_docs,
+    js_bits), js in [0, 1].
+
+    Scale shape: ONE pass explodes bigrams and hash-aggregates to
+    (group, bg, cnt) — bounded by groups × alphabet², not corpus size.
+    Everything downstream (per-group totals, the pooled distribution, the
+    groups × alphabet² comparison grid, the JS fold) derives from that
+    persisted bounded table; the corpus is never re-scanned and nothing
+    unbounded shuffles or broadcasts. P(bg)=0 terms contribute 0 to
+    KL(P||M) by the usual convention; Q(bg) > 0 everywhere on the grid by
+    construction."""
+    bgc = (
+        _exploded_bigrams(docs, text_col, group_col)
+        .groupBy(group_col, "bg")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    tot = bgc.groupBy(group_col).agg(F.sum("cnt").alias("tot"))
+    pooled = bgc.groupBy("bg").agg(F.sum("cnt").alias("q_cnt"))
+    q_tot = pooled.agg(F.sum("q_cnt").alias("q_tot"))
+    grid = (
+        tot.crossJoin(F.broadcast(pooled))
+        .crossJoin(F.broadcast(q_tot))
+        .join(bgc, [group_col, "bg"], "left")
+        .select(
+            group_col,
+            (F.coalesce(F.col("cnt"), F.lit(0)) / F.col("tot")).alias("p"),
+            (F.col("q_cnt") / F.col("q_tot")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    kp = F.when(F.col("p") > 0, F.col("p") * F.log2(F.col("p") / m)).otherwise(F.lit(0.0))
+    kq = F.col("q") * F.log2(F.col("q") / m)
+    js = grid.groupBy(group_col).agg(
+        F.round(0.5 * F.sum(kp) + 0.5 * F.sum(kq), round_to).alias("js_bits")
+    )
+    n_docs = docs.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    out = n_docs.join(js, group_col).select(group_col, "n_docs", "js_bits")
+    return out

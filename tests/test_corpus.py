@@ -8,6 +8,7 @@ sampling determinism, and quantile filtering.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from penr_oz_agent_memory_rust_spark.operators import corpus
@@ -241,3 +242,41 @@ def test_lm_quality_arrow_matches_expr(spark, sf_dir):
     assert set(a) == set(b)
     bad = {k: (a[k], b[k]) for k in a if a[k][0] != b[k][0] or abs(a[k][1] - b[k][1]) > 1e-6}
     assert not bad, list(bad.items())[:3]
+
+
+def test_source_divergence_identical_vs_disjoint(spark):
+    from penr_oz_agent_memory_rust_spark.operators.corpus import source_divergence
+
+    same = [(i, "aa bb cc dd", "s1" if i % 2 else "s2") for i in range(40)]
+    df = spark.createDataFrame(same, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in source_divergence(df).collect()}
+    # two slices with IDENTICAL text distribution: each slice still diverges
+    # slightly from the pooled corpus only via itself — here pooled == slice,
+    # so js must be exactly 0
+    assert out["s1"]["js_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert out["s2"]["js_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert out["s1"]["n_docs"] == 20
+
+    # disjoint alphabets: each slice is half the pooled mass, JS(P, Q) with
+    # Q = (P + P')/2 and P ⟂ P' gives 0.5*KL(P||M) + 0.5*KL(Q||M) where the
+    # slice-vs-pool divergence lands at ~0.5 bits (not 1: Q contains P)
+    mixed = [(i, "aa aa aa", "s1") for i in range(20)] + [
+        (100 + i, "zz zz zz", "s2") for i in range(20)
+    ]
+    df2 = spark.createDataFrame(mixed, "doc_id long, text string, source string")
+    out2 = {r["source"]: r["js_bits"] for r in source_divergence(df2).collect()}
+    import math
+
+    # exact: P = {bg in slice}, Q = 0.5P + 0.5P'; bigrams of "aa aa aa" are
+    # {aa, 'a ', ' a'} x counts {3,2,2}/7... both slices symmetric, so equal
+    assert out2["s1"] == pytest.approx(out2["s2"], abs=1e-6)
+    # slice vs pooled with disjoint other half: KL(P||M)=log2(4/3)... just
+    # pin the symmetric closed form numerically: p*log2(p/((p+q)/2)) with
+    # q = p/2 summed = log2(4/3); kq has matching + disjoint halves
+    p_terms = [3 / 7, 2 / 7, 2 / 7]
+    kp = sum(p * math.log2(p / ((p + p / 2) / 2)) for p in p_terms)
+    kq = sum(
+        (p / 2) * math.log2((p / 2) / ((p + p / 2) / 2)) for p in p_terms
+    ) + sum((p / 2) * math.log2((p / 2) / ((0 + p / 2) / 2)) for p in p_terms)
+    want = round(0.5 * kp + 0.5 * kq, 6)
+    assert out2["s1"] == pytest.approx(want, abs=1e-6)
