@@ -1935,6 +1935,15 @@ def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     values (operators/pagerank.py)."""
     from penr_oz_agent_memory_rust_spark.operators.pagerank import pagerank
 
+    ranks = pagerank(_knn_edges_500(spark, sf_dir), iters=3, damping=0.85, round_dp=12)
+    return ranks.select(
+        F.col("id").alias("vec_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _knn_edges_500(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-shaped exact top-5 cosine kNN edge list over vec_id < 500 —
+    shared by the graph-algorithm gates (knn_pagerank, label_propagation)."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
     q = F.broadcast(
         emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("qv"))
@@ -1955,13 +1964,26 @@ def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score").isNotNull())
     )
-    edges = knn.top_k_per_group(scored, ["src"], "score", 5, tiebreak="dst").select(
+    return knn.top_k_per_group(scored, ["src"], "score", 5, tiebreak="dst").select(
         "src", "dst"
     )
-    ranks = pagerank(edges, iters=3, damping=0.85, round_dp=12)
-    return ranks.select(
-        F.col("id").alias("vec_id"), F.round("rank", 6).alias("rank")
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ semi-supervised label propagation over the same exact top-5
+    cosine kNN graph: every 10th vector seeds its true label, 3
+    synchronous iterations spread labels to the rest (deterministic
+    majority vote, min-label tie-break, seeds clamped —
+    operators/label_prop.py). Oracle: the identical iterations unrolled
+    as SQL CTEs."""
+    from penr_oz_agent_memory_rust_spark.operators.label_prop import label_propagation
+
+    emb = _emb(spark, sf_dir)
+    seeds = emb.filter((F.col("vec_id") < 500) & (F.col("vec_id") % 10 == 0)).select(
+        F.col("vec_id").alias("id"), F.col("label").cast("bigint").alias("label")
     )
+    out = label_propagation(_knn_edges_500(spark, sf_dir), seeds, iters=3)
+    return out.select(F.col("id").alias("vec_id"), "label")
 
 
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2642,6 +2664,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_outliers": q_embedding_outliers,
         "stream_embedding_drift": q_stream_embedding_drift,
         "source_divergence": q_source_divergence,
+        "label_propagation": q_label_propagation,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
@@ -2874,6 +2897,68 @@ def _minhash_reach_cte() -> str:
               SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
             )
     """
+
+
+def _label_prop_sql(iters: int = 3, k: int = 5) -> str:
+    """DuckDB mirror of q_label_propagation: same 6dp-rounded cosine top-k
+    edges as _pagerank_sql, mirrored to an undirected vote list, then the
+    SAME synchronous iterations unrolled as CTEs — majority vote with
+    (cnt DESC, label ASC) determinism, seeds clamped, no-labeled-neighbor
+    keeps the previous label."""
+    ctes = [
+        f"""scored AS (
+          SELECT q.vec_id AS src, e.vec_id AS dst,
+                 {_dk_cos('e.embedding', 'q.embedding')} AS score
+          FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+          WHERE q.vec_id < 500 AND e.vec_id < 500
+            AND {_dk_norm_pos('q.embedding')} AND {_dk_norm_pos('e.embedding')}
+        )""",
+        f"""edges AS (
+          SELECT src, dst FROM scored
+          QUALIFY row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) <= {k}
+        )""",
+        """bidir AS (
+          SELECT src, dst FROM edges
+          UNION ALL SELECT dst AS src, src AS dst FROM edges
+        )""",
+        "nodes AS (SELECT DISTINCT src AS id FROM bidir)",
+        """seeds AS (
+          SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+          FROM embeddings WHERE vec_id < 500 AND vec_id % 10 = 0
+        )""",
+        "l0 AS (SELECT n.id, s.label FROM nodes n LEFT JOIN seeds s ON s.id = n.id)",
+    ]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""v{i} AS (
+              SELECT b.dst AS id, l.label, count(*) AS cnt
+              FROM bidir b JOIN {prev} l ON l.id = b.src
+              WHERE l.label IS NOT NULL
+              GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+              SELECT id, label FROM v{i}
+              QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label) = 1
+            )"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+              SELECT n.id, coalesce(s.label, c.label, p.label) AS label
+              FROM nodes n
+              LEFT JOIN seeds s ON s.id = n.id
+              LEFT JOIN c{i} c ON c.id = n.id
+              LEFT JOIN {prev} p ON p.id = n.id
+            )"""
+        )
+        prev = f"l{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS vec_id, label FROM {prev}"
+    )
 
 
 def _pagerank_sql(iters: int = 3, k: int = 5, damping: float = 0.85) -> str:
@@ -3921,6 +4006,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN agg a ON t.doc_id = a.doc_id AND t.n_tokens = a.n_tokens
     """
     d["knn_pagerank"] = _pagerank_sql(iters=3, k=5, damping=0.85)
+    d["label_propagation"] = _label_prop_sql(iters=3, k=5)
     d["heavy_hitters_cms"] = """
         WITH tok AS (
           SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents

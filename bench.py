@@ -131,6 +131,7 @@ HEADLINE = [
     "pca_projected_ann",
     "stream_embedding_drift",
     "source_divergence",
+    "label_propagation",
 ]
 
 
