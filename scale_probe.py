@@ -589,6 +589,24 @@ def main() -> None:
         iters=10,
     ).count()
     t["pagerank_10it"] = round(time.time() - t0, 2)
+
+    # label propagation over the same graph: every 100th node seeds a
+    # 10-class label; same join+agg-per-iteration shape as pagerank
+    from penr_oz_agent_memory_rust_spark.operators.label_prop import label_propagation
+
+    seeds = (
+        graph.select(F.col("vec_id_a").alias("id"))
+        .distinct()
+        .filter(F.col("id") % 100 == 0)
+        .withColumn("label", F.col("id") % 10)
+    )
+    t0 = time.time()
+    out_rows["label_prop_5it"] = label_propagation(
+        graph.select(F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst")),
+        seeds,
+        iters=5,
+    ).filter(F.col("label").isNotNull()).count()
+    t["label_prop_5it"] = round(time.time() - t0, 2)
     graph.unpersist()
     distinct_vecs.unpersist()
     big_emb.unpersist()
