@@ -2365,6 +2365,13 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "score")
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ collocation mining: top-50 adjacent-word pairs by PMI (min pair
+    count 5) — vocab-bounded aggs, broadcast scalar totals, heap top-k
+    (operators/corpus.pmi_collocations)."""
+    return corpus.pmi_collocations(_docs(spark, sf_dir), min_count=5, top_k=50)
+
+
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ corpus-slice drift monitor: per-source Jensen–Shannon divergence
     (bits) of the char-bigram distribution vs the whole corpus — one
@@ -2665,6 +2672,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_embedding_drift": q_stream_embedding_drift,
         "source_divergence": q_source_divergence,
         "label_propagation": q_label_propagation,
+        "pmi_collocations": q_pmi_collocations,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
@@ -4469,5 +4477,35 @@ def oracle_sql() -> dict[str, str]:
                round(0.5 * sum(t2.kp) + 0.5 * sum(t2.kq), 6) AS js_bits
         FROM terms t2 JOIN nd ON nd.source = t2.source
         GROUP BY nd.source, nd.n_docs
+    """
+    # mirrors corpus.pmi_collocations: PMI evaluated term-by-term in f64
+    # from exact integer counts; 1-word docs excluded from BOTH unigram and
+    # pair counts (the operator filters before counting)
+    d["pmi_collocations"] = f"""
+        WITH t AS (SELECT string_split({_DK_NORM}, ' ') AS ws FROM documents),
+        t2 AS (SELECT ws FROM t WHERE len(ws) >= 2),
+        uni AS (SELECT unnest(ws) AS w FROM t2),
+        ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+        nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ucnt),
+        bi AS (
+          SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1])) AS bg
+          FROM t2
+        ),
+        bic AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1),
+        mm AS (SELECT CAST(sum(c12) AS BIGINT) AS m FROM bic),
+        scored AS (
+          SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+                 c12 AS pair_count,
+                 round(log2(c12 * 1.0 / mm.m)
+                     - log2(u1.c * 1.0 / nn.n)
+                     - log2(u2.c * 1.0 / nn.n), 6) AS pmi
+          FROM bic CROSS JOIN mm CROSS JOIN nn
+          JOIN ucnt u1 ON u1.w = split_part(bg, ' ', 1)
+          JOIN ucnt u2 ON u2.w = split_part(bg, ' ', 2)
+          WHERE c12 >= 5
+        )
+        SELECT w1, w2, pair_count, pmi FROM scored
+        ORDER BY pmi DESC, w1, w2 LIMIT 50
     """
     return d

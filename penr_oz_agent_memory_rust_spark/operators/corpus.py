@@ -574,3 +574,77 @@ def source_divergence(
     n_docs = docs.groupBy(group_col).agg(F.count("*").alias("n_docs"))
     out = n_docs.join(js, group_col).select(group_col, "n_docs", "js_bits")
     return out
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """★ collocation mining: pointwise mutual information of adjacent word
+    pairs over the normalized corpus — the phrase-extraction primitive
+    (AutoPhrase-style) used to find multiword terms worth treating as
+    tokenizer/vocab units. Output: top-k (w1, w2, pair_count, pmi) by PMI
+    desc, (w1, w2) tiebreak; pairs below `min_count` are noise and
+    dropped.
+
+    PMI = log2(c12/M) - log2(c1/N) - log2(c2/N) with N total tokens and M
+    total adjacent pairs — evaluated term-by-term in f64 from exact
+    integer counts (< 2^53), so any engine computing the same counts gets
+    bit-identical scores before the 6dp rounding.
+
+    Scale shape: adjacency comes from one explode over in-doc positions
+    (no self-join); pair and unigram counts are vocab-bounded hash aggs
+    with map-side combine; the two count joins key on single words (hash
+    join, broadcastable when the vocab is); N and M ride in as broadcast
+    1-row frames; the final top-k is a bounded heap
+    (TakeOrderedAndProject), never a global sort."""
+    toks = docs.select(
+        F.split(hashing.normalized_text(F.col(text_col)), " ").alias("__ws")
+    ).filter(F.size("__ws") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ws") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("__ws"), i),
+                    F.element_at(F.col("__ws"), i + 1),
+                ),
+            )
+        ).alias("bg")
+    )
+    uni = toks.select(F.explode("__ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_tok = uni.agg(F.sum("c").alias("n"))
+    bic = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    m_pairs = bic.agg(F.sum("c12").alias("m"))
+    scored = (
+        bic.filter(F.col("c12") >= min_count)
+        .withColumn("w1", F.split("bg", " ")[0])
+        .withColumn("w2", F.split("bg", " ")[1])
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(m_pairs))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").alias("pair_count"),
+            F.round(
+                F.log2(F.col("c12") / F.col("m"))
+                - F.log2(F.col("c1") / F.col("n"))
+                - F.log2(F.col("c2") / F.col("n")),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    from penr_oz_agent_memory_rust_spark.operators.topk import top_k as _top_k
+
+    return _top_k(
+        scored, "pmi", top_k,
+        tiebreak=F.struct(F.col("w1"), F.col("w2")).asc(),
+    )

@@ -18,8 +18,11 @@ Scale shape per iteration: node-sized label frame hash-joins the
 persisted bidirectional edge list, one (node, label) vote count with
 map-side partial combine, one argmax agg (max of a (cnt, -label) struct —
 no window), one reassembly join. Edges shuffle ONCE at persist; lineage
-is cut by localCheckpoint-ing the node-sized label frame every few
-iterations, exactly the pagerank.py discipline.
+is cut by an EAGER localCheckpoint of the node-sized label frame every
+iteration — stricter than pagerank.py's every-few-iterations discipline
+because the label frame is consumed twice per iteration, which doubles
+the analyzed plan per iteration unless a barrier flattens it (see the
+comment in label_propagation).
 """
 
 from __future__ import annotations
@@ -35,7 +38,6 @@ def label_propagation(
     dst_col: str = "dst",
     id_col: str = "id",
     label_col: str = "label",
-    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Propagate integer labels from `seeds` (id, label) over the
     undirected graph given by `edges`. Returns (id, label) for every node
@@ -66,8 +68,19 @@ def label_propagation(
             F.col(label_col).cast("bigint").alias("__seed"),
         )
     )
-    labels = nodes.join(sd, "id", "left").select(
-        "id", F.col("__seed").alias("label")
+    # each iteration consumes the previous labels TWICE (the vote join and
+    # the keep-previous fallback), so WITHOUT a materialization barrier the
+    # logical plan doubles per iteration — 2^iters plan nodes, minutes of
+    # analysis overhead and eventually a StackOverflow in plan printing
+    # (observed at 5 iterations on a 50k-node graph). persist() does not
+    # help: it dedupes execution, not the analyzed plan. An EAGER
+    # localCheckpoint per iteration keeps the plan flat; the frame is
+    # node-sized, so the per-iteration materialization is the cheap part
+    # (measured 39 s -> 6 s for 5 iterations at 50k nodes).
+    labels = (
+        nodes.join(sd, "id", "left")
+        .select("id", F.col("__seed").alias("label"))
+        .localCheckpoint(eager=True)
     )
     for i in range(iters):
         votes = (
@@ -92,9 +105,8 @@ def label_propagation(
                 F.coalesce("__seed", "__cand", "__prev").alias("label"),
             )
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            labels = labels.localCheckpoint(eager=True)
-    out = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
+    out = labels
     for df in (nodes, bidir):
         df.unpersist()
     return out
