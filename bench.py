@@ -132,6 +132,7 @@ HEADLINE = [
     "stream_embedding_drift",
     "source_divergence",
     "label_propagation",
+    "pmi_collocations",
 ]
 
 

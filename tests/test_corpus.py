@@ -280,3 +280,32 @@ def test_source_divergence_identical_vs_disjoint(spark):
     ) + sum((p / 2) * math.log2((p / 2) / ((0 + p / 2) / 2)) for p in p_terms)
     want = round(0.5 * kp + 0.5 * kq, 6)
     assert out2["s1"] == pytest.approx(want, abs=1e-6)
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    # corpus: "x y" always adjacent (perfect collocation), "a b" random-ish
+    rows = [(i, "x y a b a x y b a b x y", "s") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in corpus.pmi_collocations(df, min_count=3, top_k=10).collect()
+    }
+    # counts per doc: tokens = 12 -> N = 36; pairs per doc = 11 -> M = 33
+    # "x y" occurs 3x/doc = 9; c(x) = 9, c(y) = 9
+    got = out[("x", "y")]
+    assert got["pair_count"] == 9
+    want = round(math.log2(9 / 33) - math.log2(9 / 36) - math.log2(9 / 36), 6)
+    assert got["pmi"] == pytest.approx(want, abs=1e-6)
+    # ranking: the perfect collocation must outrank the mixed pair
+    assert ("x", "y") in out
+    if ("a", "b") in out:
+        assert got["pmi"] > out[("a", "b")]["pmi"]
+
+
+def test_pmi_min_count_filters(spark):
+    rows = [(0, "p q", "s"), (1, "p q", "s"), (2, "r s", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = {(r["w1"], r["w2"]) for r in corpus.pmi_collocations(df, min_count=2, top_k=10).collect()}
+    assert ("p", "q") in pairs and ("r", "s") not in pairs
