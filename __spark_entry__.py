@@ -2365,6 +2365,22 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "score")
 
 
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ scalar-feature drift: population stability index of the event
+    `value` distribution, purchases (current) vs views (baseline) —
+    equal-width bins over the baseline range, eps-floored shares, per-bin
+    PSI terms (operators/drift.py). Sum of `term` is the headline PSI."""
+    from penr_oz_agent_memory_rust_spark.operators import drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift.psi_bins(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        value_col="value",
+        n_bins=10,
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ collocation mining: top-50 adjacent-word pairs by PMI (min pair
     count 5) — vocab-bounded aggs, broadcast scalar totals, heap top-k
@@ -2673,6 +2689,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "source_divergence": q_source_divergence,
         "label_propagation": q_label_propagation,
         "pmi_collocations": q_pmi_collocations,
+        "psi_value_drift": q_psi_value_drift,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
@@ -4507,5 +4524,41 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT w1, w2, pair_count, pmi FROM scored
         ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """
+    # mirrors operators/drift.psi_bins: equal-width bins over the BASELINE
+    # range (exact scalars, engine-identical f64 arithmetic), shares
+    # eps-floored on both sides of the log, terms from UNROUNDED shares
+    d["psi_value_drift"] = """
+        WITH b AS (SELECT value FROM events WHERE event_type = 'view'),
+        c AS (SELECT value FROM events WHERE event_type = 'purchase'),
+        mm AS (SELECT min(value) AS lo, max(value) AS hi,
+                      CAST(count(value) AS BIGINT) AS nb FROM b),
+        nc_ AS (SELECT CAST(count(value) AS BIGINT) AS nc FROM c),
+        bb AS (
+          SELECT least(greatest(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 0), 9) AS bin
+          FROM b CROSS JOIN mm
+        ),
+        cb AS (
+          SELECT least(greatest(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 0), 9) AS bin
+          FROM c CROSS JOIN mm
+        ),
+        bcnt AS (SELECT bin, CAST(count(*) AS BIGINT) AS bc FROM bb GROUP BY 1),
+        ccnt AS (SELECT bin, CAST(count(*) AS BIGINT) AS cc FROM cb GROUP BY 1),
+        grid AS (
+          SELECT unnest(generate_series(0, 9)) AS bin, nb, nc
+          FROM mm CROSS JOIN nc_
+        ),
+        shares AS (
+          SELECT g.bin,
+                 greatest(coalesce(b2.bc, 0) * 1.0 / g.nb, 0.000001) AS e,
+                 greatest(coalesce(c2.cc, 0) * 1.0 / g.nc, 0.000001) AS a
+          FROM grid g
+          LEFT JOIN bcnt b2 ON b2.bin = g.bin
+          LEFT JOIN ccnt c2 ON c2.bin = g.bin
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               round(e, 6) AS e_pct, round(a, 6) AS a_pct,
+               round((a - e) * ln(a / e), 6) AS term
+        FROM shares
     """
     return d

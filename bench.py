@@ -133,6 +133,7 @@ HEADLINE = [
     "source_divergence",
     "label_propagation",
     "pmi_collocations",
+    "psi_value_drift",
 ]
 
 
