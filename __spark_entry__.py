@@ -2365,6 +2365,26 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "score")
 
 
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ user-journey Markov transitions: P(next event type | current) from
+    per-user lead() over (ts, event_id) order — one shuffle on user for the
+    window, two bounded aggs (|event types|² rows), broadcast-join of the
+    per-row totals."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = s.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("cur").agg(F.sum("cnt").alias("tot"))
+    return c.join(F.broadcast(t), "cur").select(
+        "cur", "nxt", "cnt", F.round(F.col("cnt") / F.col("tot"), 6).alias("p")
+    )
+
+
 def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ scalar-feature drift: population stability index of the event
     `value` distribution, purchases (current) vs views (baseline) —
@@ -2690,6 +2710,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "label_propagation": q_label_propagation,
         "pmi_collocations": q_pmi_collocations,
         "psi_value_drift": q_psi_value_drift,
+        "events_transition_matrix": q_events_transition_matrix,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
@@ -4560,5 +4581,17 @@ def oracle_sql() -> dict[str, str]:
                round(e, 6) AS e_pct, round(a, 6) AS a_pct,
                round((a - e) * ln(a / e), 6) AS term
         FROM shares
+    """
+    d["events_transition_matrix"] = """
+        WITH s AS (
+          SELECT event_type AS cur,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events
+        ),
+        c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+              FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+        SELECT c.cur, c.nxt, c.cnt, round(c.cnt * 1.0 / t.tot, 6) AS p
+        FROM c JOIN t USING (cur)
     """
     return d

@@ -134,6 +134,7 @@ HEADLINE = [
     "label_propagation",
     "pmi_collocations",
     "psi_value_drift",
+    "events_transition_matrix",
 ]
 
 
