@@ -2401,6 +2401,34 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ robust outlier monitor: per-event-type modified z-score
+    0.6745·(x−median)/MAD over event values, |z| > 3.5 — two exact-median
+    grouped aggs broadcast back onto the fact scan, 50% breakdown point
+    (operators/drift.mad_outliers)."""
+    from penr_oz_agent_memory_rust_spark.operators import drift
+
+    return drift.mad_outliers(load_table(spark, sf_dir, "events"))
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ per-document keyword extraction: top-5 terms by smooth-idf TF-IDF
+    (tf/dl · (ln((1+N)/(1+df))+1)) — reuses the BM25 inverted index; the
+    top-k window is partitioned per document, never global
+    (operators/bm25.tfidf_keywords)."""
+    from penr_oz_agent_memory_rust_spark.operators import bm25
+
+    return bm25.tfidf_keywords(_docs(spark, sf_dir), k=5)
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ cross-source contamination audit: distinct 3-gram shingle overlap
+    + Jaccard for every source pair — shingle self-equi-join with
+    n_sources²-bounded fan-out, broadcast totals
+    (operators/dedup.source_overlap)."""
+    return dedup.source_overlap(_docs(spark, sf_dir))
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ collocation mining: top-50 adjacent-word pairs by PMI (min pair
     count 5) — vocab-bounded aggs, broadcast scalar totals, heap top-k
@@ -2710,6 +2738,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "label_propagation": q_label_propagation,
         "pmi_collocations": q_pmi_collocations,
         "psi_value_drift": q_psi_value_drift,
+        "mad_outliers": q_mad_outliers,
+        "tfidf_keywords": q_tfidf_keywords,
+        "source_overlap": q_source_overlap,
         "events_transition_matrix": q_events_transition_matrix,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
@@ -4581,6 +4612,72 @@ def oracle_sql() -> dict[str, str]:
                round(e, 6) AS e_pct, round(a, 6) AS a_pct,
                round((a - e) * ln(a / e), 6) AS term
         FROM shares
+    """
+    # mirrors operators/drift.mad_outliers: exact interpolated medians,
+    # MAD=0 groups excluded, threshold compared on the ROUNDED score
+    d["mad_outliers"] = """
+        WITH rows_ AS (
+          SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+          FROM events WHERE value IS NOT NULL
+        ),
+        med AS (SELECT event_type, median(value) AS med FROM rows_ GROUP BY 1),
+        dev AS (
+          SELECT r.event_id, r.event_type, r.value, m.med,
+                 abs(r.value - m.med) AS absdev
+          FROM rows_ r JOIN med m USING (event_type)
+        ),
+        mad AS (SELECT event_type, median(absdev) AS mad FROM dev GROUP BY 1)
+        SELECT d.event_id, d.event_type,
+               round(d.value, 6) AS value, round(d.med, 6) AS med,
+               round(m.mad, 6) AS mad,
+               round(0.6745 * (d.value - d.med) / m.mad, 6) AS robust_z
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE m.mad > 0
+          AND abs(round(0.6745 * (d.value - d.med) / m.mad, 6)) > 3.5
+    """
+    # mirrors operators/bm25.tfidf_keywords: same tokenization as the BM25
+    # oracles (split on single space), smooth idf, rank on the ROUNDED score
+    d["tfidf_keywords"] = """
+        WITH tokens AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round((tf * 1.0 / dl)
+                       * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), n
+        ),
+        ranked AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rnk
+          FROM scored
+        )
+        SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 5
+    """
+    # mirrors operators/dedup.source_overlap: 3-gram word shingles
+    # (same generator as the decontamination oracle), distinct per
+    # (source, shingle), pair join on the shingle with src_a < src_b
+    d["source_overlap"] = f"""
+        WITH fps AS (
+          SELECT DISTINCT source AS src, sh AS fp FROM (
+            SELECT source, unnest(list_distinct({_DK_SHINGLES3})) AS sh
+            FROM documents
+          )
+        ),
+        tot AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM fps GROUP BY 1),
+        ov AS (
+          SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_overlap
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+          GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, n_overlap, ta.n AS n_a, tb.n AS n_b,
+               round(n_overlap * 1.0 / (ta.n + tb.n - n_overlap), 6) AS jaccard
+        FROM ov JOIN tot ta ON ta.src = src_a JOIN tot tb ON tb.src = src_b
     """
     d["events_transition_matrix"] = """
         WITH s AS (

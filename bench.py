@@ -135,6 +135,9 @@ HEADLINE = [
     "pmi_collocations",
     "psi_value_drift",
     "events_transition_matrix",
+    "mad_outliers",
+    "tfidf_keywords",
+    "source_overlap",
 ]
 
 

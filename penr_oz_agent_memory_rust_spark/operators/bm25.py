@@ -109,3 +109,37 @@ def reciprocal_rank_fusion(
     from penr_oz_agent_memory_rust_spark.operators.topk import top_k
 
     return top_k(fused, "rrf", k, tiebreak=id_col)
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """★ Per-document top-k TF-IDF keywords (sklearn smooth-idf form):
+    weight(t, d) = (tf/dl) · (ln((1+N)/(1+df)) + 1). The standard
+    keyword-extraction / document-tagging primitive a training-data
+    pipeline uses for topic routing and diversity-aware sampling.
+
+    Reuses the BM25 inverted index (one explode + three hash-aggs); the
+    top-k is a window PARTITIONED BY document — per-partition cardinality
+    is one document's vocabulary, so there is no global sort and the
+    plan scales with the corpus like any other per-key aggregation.
+    Output: (id_col, term, tfidf, rnk), rnk 1..k per document.
+    Ranking compares the ROUNDED weight (then term asc) so both engines
+    of an oracle comparison break near-ties identically."""
+    from pyspark.sql import Window
+
+    index = build_term_index(docs, id_col, text_col)
+    w = (F.col("tf") / F.col("dl")) * (
+        F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    )
+    scored = index.select(
+        F.col(id_col), F.col("term"), F.round(w, round_to).alias("tfidf")
+    )
+    win = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return scored.withColumn("rnk", F.row_number().over(win)).filter(
+        F.col("rnk") <= k
+    )

@@ -879,3 +879,58 @@ def exact_dedup_keep_best(
         F.count("*").alias("dup_count"),
     )
     return best.select(id_col, "fp", "dup_count", "score")
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """★ Cross-source contamination matrix: for every source pair (a < b),
+    how many DISTINCT word n-gram shingles the two slices share, plus the
+    shingle-set Jaccard. The standard pre-mixing audit — a high-overlap
+    pair means two "independent" corpus slices are substantially the same
+    crawl wearing different labels, and mixing weights computed per source
+    double-count it. (Shingles, not whole-doc fingerprints: partial
+    contamination — shared boilerplate, quoted passages — is the common
+    real-world case and whole-doc hashing misses it entirely.)
+
+    Shape: one shingle pass to distinct (source, sh) — corpus-sized but
+    map-side combinable; the pair expansion is a self-equi-join ON sh
+    whose per-key fan-out is bounded by n_sources², never by corpus size;
+    the per-source totals are an n_sources-row frame broadcast back.
+    Output: (src_a, src_b, n_overlap, n_a, n_b, jaccard)."""
+    fps = (
+        hashing.word_shingle_rows(
+            docs.select(source_col, text_col), source_col, text_col, n
+        )
+        .select(F.col(source_col).alias("src"), F.col("sh").alias("fp"))
+        .distinct()
+    )
+    tot = fps.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    ov = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        ov.join(F.broadcast(tot.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))), "src_a")
+        .join(F.broadcast(tot.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_overlap",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_overlap") / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")),
+                round_to,
+            ).alias("jaccard"),
+        )
+    )

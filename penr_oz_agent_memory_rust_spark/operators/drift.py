@@ -82,3 +82,63 @@ def psi_total(bins: DataFrame, round_to: int = 6) -> DataFrame:
     rounded representations — callers comparing engines should sum the
     same rounded terms."""
     return bins.agg(F.round(F.sum("term"), round_to).alias("psi"))
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    threshold: float = 3.5,
+    round_to: int = 6,
+    exact: bool = True,
+) -> DataFrame:
+    """★ Robust per-group outlier detection via the median absolute
+    deviation: robust_z = 0.6745 · (x - median) / MAD (Iglewicz-Hoaglin
+    modified z-score; 0.6745 = Φ⁻¹(0.75) makes MAD consistent with σ
+    under normality). Unlike the mean/stddev z-score monitor
+    (corpus.zscore_by_group), the breakdown point is 50% — the outliers
+    themselves cannot drag the threshold.
+
+    Two exact interpolated medians (Spark `median` == DuckDB `median` on
+    float64): one grouped agg for the per-group median, one for the MAD of
+    the absolute deviations. Both results are one-row-per-group frames and
+    are BROADCAST back onto the fact table, so the events scan itself
+    never shuffles. Groups with MAD = 0 (constant bulk) are excluded
+    rather than divided by zero. The threshold compares the ROUNDED score
+    so an oracle comparison can't flip on last-ulp differences.
+
+    Scale note: exact `median` is an ObjectHashAggregate that buffers one
+    group's values on one task — fine for bounded-cardinality groups like
+    event types at sf0.1, but at 100 TB with billion-row groups pass
+    `exact=False` to swap both medians for `approx_percentile` (t-digest,
+    mergeable, map-side partial) at the cost of oracle exactness.
+    Output: (id_col, group_col, value_col, med, mad, robust_z) — outlier
+    rows only, |robust_z| > threshold."""
+    def _med(c):
+        return F.median(c) if exact else F.expr(f"approx_percentile({c}, 0.5, 10000)")
+
+    v = F.col(value_col).cast("double")
+    rows = df.filter(v.isNotNull()).select(id_col, group_col, v.alias(value_col))
+    med = rows.groupBy(group_col).agg(_med(value_col).alias("__med"))
+    dev = rows.join(F.broadcast(med), group_col).withColumn(
+        "__absdev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(group_col).agg(_med("__absdev").alias("__mad"))
+    z = F.round(
+        F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad"), round_to
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .filter(F.col("__mad") > 0)
+        .withColumn("robust_z", z)
+        .filter(F.abs(F.col("robust_z")) > threshold)
+        .select(
+            id_col,
+            group_col,
+            F.round(F.col(value_col), round_to).alias(value_col),
+            F.round("__med", round_to).alias("med"),
+            F.round("__mad", round_to).alias("mad"),
+            "robust_z",
+        )
+    )

@@ -148,3 +148,27 @@ def test_connected_components_random_graph_both_paths_agree(spark):
         ).collect()
     }
     assert local == dist and len(local) > 0
+
+
+def test_tfidf_keywords_rank_and_weighting(spark, docs):
+    out = bm25.tfidf_keywords(docs, k=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc gets exactly k ranked keywords, rnk 1..k, scores descending
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == [1, 2]
+        assert rows[0]["tfidf"] >= rows[1]["tfidf"]
+    assert set(per_doc) == {1, 2, 3, 4}
+    # doc 4 is dominated by the repeated rare-ish term "query"? no — "query"
+    # appears in 3/4 docs (low idf); its top keyword must be one of the
+    # unique terms (repeated/term/document), not the common one
+    assert per_doc[4][0]["term"] != "the"
+
+
+def test_tfidf_keywords_idf_downweights_ubiquitous_terms(spark, docs):
+    # "the" appears in 3 docs; a term unique to doc 3 must outrank it there
+    out = bm25.tfidf_keywords(docs, k=10)
+    doc3 = {r["term"]: r["tfidf"] for r in out.filter(F.col("doc_id") == 3).collect()}
+    assert doc3["cats"] > doc3["the"]

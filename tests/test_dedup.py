@@ -442,3 +442,21 @@ def test_leakage_safe_split_singletons_are_their_own_rep(spark):
     assert out[1]["rep"] == 1 and out[2]["rep"] == 1
     assert out[3]["rep"] == 3
     assert out[1]["split"] == out[2]["split"]
+
+
+def test_source_overlap_counts_and_jaccard(spark):
+    from penr_oz_agent_memory_rust_spark.operators import dedup as _dd
+
+    rows = [
+        (1, "a", "the quick brown fox jumps high"),
+        (2, "b", "the quick brown fox sleeps now"),   # shares 2 shingles with a
+        (3, "c", "completely different words entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {(r["src_a"], r["src_b"]): r for r in _dd.source_overlap(docs).collect()}
+    # a: shingles of 6 tokens -> 4; b: 4; shared: 'the quick brown', 'quick brown fox'
+    ab = out[("a", "b")]
+    assert ab["n_overlap"] == 2 and ab["n_a"] == 4 and ab["n_b"] == 4
+    assert ab["jaccard"] == round(2 / (4 + 4 - 2), 6)
+    # c shares nothing with anyone -> its pairs are absent (inner join)
+    assert ("a", "c") not in out and ("b", "c") not in out

@@ -61,3 +61,44 @@ def test_no_python_in_plan(spark):
     df = drift.psi_bins(_vals(spark, [1.0, 2.0]), _vals(spark, [1.5]))
     plan = explain.physical_plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+
+
+def test_mad_outliers_flags_only_the_gross_outlier(spark):
+    # bulk tightly packed around 10; one point far out; one mildly off
+    rows = [(i, "a", 10.0 + (i % 5) * 0.1) for i in range(20)]
+    rows += [(100, "a", 500.0), (101, "a", 10.5)]
+    out = drift.mad_outliers(_events(spark, rows), group_col="event_type").collect()
+    assert [r["event_id"] for r in out] == [100]
+    r = out[0]
+    # median of bulk ~10.2, MAD ~0.1 -> |z| enormous
+    assert abs(r["robust_z"]) > 100
+    assert r["event_type"] == "a" and r["value"] == 500.0
+
+
+def test_mad_outliers_zero_mad_group_excluded(spark):
+    # constant group: MAD = 0 -> no division, no rows emitted even for the
+    # deviant (the robust score is undefined there, not infinite)
+    rows = [(i, "c", 5.0) for i in range(10)] + [(99, "c", 1000.0)]
+    out = drift.mad_outliers(_events(spark, rows)).collect()
+    assert out == []
+
+
+def test_mad_outliers_resists_outlier_contamination(spark):
+    # 40% wild values: mean/std z-score would mask them; MAD still flags all
+    bulk = [(i, "g", 100.0 + (i % 7)) for i in range(60)]
+    wild = [(1000 + i, "g", 1e6 + i) for i in range(40)]
+    out = drift.mad_outliers(_events(spark, bulk + wild)).collect()
+    assert {r["event_id"] for r in out} == {1000 + i for i in range(40)}
+
+
+def test_mad_outliers_approx_path_agrees_on_clear_outliers(spark):
+    # the t-digest scale path must flag the same unambiguous outliers
+    rows = [(i, "a", 10.0 + (i % 5) * 0.1) for i in range(40)] + [(900, "a", 9e4)]
+    exact = drift.mad_outliers(_events(spark, rows)).collect()
+    approx = drift.mad_outliers(_events(spark, rows), exact=False).collect()
+    assert [r["event_id"] for r in exact] == [900]
+    assert [r["event_id"] for r in approx] == [900]

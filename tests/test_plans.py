@@ -411,3 +411,38 @@ def test_drift_scores_broadcasts_baseline(spark):
     baseline = spark.createDataFrame([(0, 0.1)], "dim int, mu double")
     df = drift_scores(stats, baseline)
     explain.assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_mad_outliers_fact_scan_never_shuffles(spark, sf_dir):
+    """The per-group median/MAD frames must come back as broadcasts; the
+    only shuffle exchanges are the two group-bounded median aggregations
+    (event_type cardinality rows) — the events fact scan itself joins
+    broadcast-side, so the plan holds when the facts are 100 TB."""
+    from penr_oz_agent_memory_rust_spark.operators import drift
+
+    ev = load_table(spark, sf_dir, "events")
+    df = drift.mad_outliers(ev)
+    import re as _re
+
+    plan = explain.physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # every shuffle key is the GROUP column (bounded cardinality); the
+    # fact rows themselves are never hash-partitioned
+    for key in _re.findall(r"Exchange hashpartitioning\((\w+)#", plan):
+        assert key == "event_type", plan
+
+
+def test_tfidf_keywords_partial_heap_no_global_sort(spark, sf_dir):
+    """Per-doc top-k must push a WindowGroupLimit (partial bounded heap)
+    below the doc_id exchange, and every index join must broadcast — a
+    global sort or a sort-merge join over (term) would be the 100×
+    scale-killer."""
+    from penr_oz_agent_memory_rust_spark.operators import bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = bm25.tfidf_keywords(docs, k=5)
+    plan = explain.physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Sort [doc_id" in plan or "doc_id" in plan  # partition-local sort only
