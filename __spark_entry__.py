@@ -546,6 +546,16 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_quantile_filter(scored, q=0.25)
 
 
+def q_quality_quantile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ per-language quality gate: keep docs >= their OWN language's p25
+    quality — grouped exact-percentile thresholds broadcast back, corpus
+    scan never shuffles (operators/corpus.grouped_quantile_filter)."""
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "lang", text_ops.quality_score_expr(F.col("text")).alias("quality")
+    )
+    return corpus.grouped_quantile_filter(scored, "lang", q=0.25)
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ tumbling-window aggregation (batch plan of the streaming query)."""
     ev = load_table(spark, sf_dir, "events")
@@ -2741,6 +2751,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mad_outliers": q_mad_outliers,
         "tfidf_keywords": q_tfidf_keywords,
         "source_overlap": q_source_overlap,
+        "quality_quantile_by_lang": q_quality_quantile_by_lang,
         "events_transition_matrix": q_events_transition_matrix,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
@@ -4658,6 +4669,21 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 5
+    """
+    # mirrors operators/corpus.grouped_quantile_filter: per-group exact
+    # interpolated quantile (quantile_cont == Spark percentile), rounded
+    # to 6dp before the comparison
+    d["quality_quantile_by_lang"] = f"""
+        WITH scored AS (
+          SELECT doc_id, lang, {_DK_QUALITY} AS quality FROM documents
+        ),
+        thr AS (
+          SELECT lang, round(quantile_cont(quality, 0.25), 6) AS t
+          FROM scored GROUP BY 1
+        )
+        SELECT s.doc_id, s.lang, s.quality
+        FROM scored s JOIN thr USING (lang)
+        WHERE s.quality >= thr.t
     """
     # mirrors operators/dedup.source_overlap: 3-gram word shingles
     # (same generator as the decontamination oracle), distinct per

@@ -138,6 +138,7 @@ HEADLINE = [
     "mad_outliers",
     "tfidf_keywords",
     "source_overlap",
+    "quality_quantile_by_lang",
 ]
 
 

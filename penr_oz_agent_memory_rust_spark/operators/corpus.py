@@ -159,6 +159,34 @@ def quality_quantile_filter(
     )
 
 
+def grouped_quantile_filter(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str = "quality",
+    q: float = 0.25,
+) -> DataFrame:
+    """Keep docs at/above their OWN group's q-quantile of `score_col` —
+    the per-language form of quality_quantile_filter. A single global
+    threshold lets a high-resource language's score distribution evict
+    most of a low-resource one; per-group thresholds keep the same share
+    of every slice (the standard per-language quality gate).
+
+    One grouped exact-percentile agg (group-cardinality rows) broadcast
+    back onto the scan — the corpus itself never shuffles, exactly the
+    zscore_by_group / mad_outliers monitoring shape. Thresholds rounded
+    to 6dp so both engines of an oracle comparison filter on identical
+    doubles.
+    """
+    thr = scored.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({score_col}, {q})"), 6).alias("__thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), group_col)
+        .filter(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def zscore_by_group(
     df: DataFrame,
     group_col: str,

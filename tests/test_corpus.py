@@ -309,3 +309,16 @@ def test_pmi_min_count_filters(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     pairs = {(r["w1"], r["w2"]) for r in corpus.pmi_collocations(df, min_count=2, top_k=10).collect()}
     assert ("p", "q") in pairs and ("r", "s") not in pairs
+
+
+def test_grouped_quantile_filter_keeps_per_group_share(spark):
+    # group a scores 1..100, group b scores 1001..1100: a global p25 would
+    # drop ALL of a; the grouped gate keeps ~75% of each
+    rows = [(i, "a", float(i)) for i in range(1, 101)]
+    rows += [(1000 + i, "b", 1000.0 + i) for i in range(1, 101)]
+    scored = spark.createDataFrame(rows, "doc_id bigint, lang string, quality double")
+    out = corpus.grouped_quantile_filter(scored, "lang", score_col="quality", q=0.25)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # p25 of 1..100 is 25.75 -> keeps 26..100 = 75 rows, same for b
+    assert per == {"a": 75, "b": 75}
+    assert out.filter((F.col("lang") == "a") & (F.col("quality") < 25.75)).count() == 0

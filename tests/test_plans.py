@@ -446,3 +446,22 @@ def test_tfidf_keywords_partial_heap_no_global_sort(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Sort [doc_id" in plan or "doc_id" in plan  # partition-local sort only
+
+
+def test_grouped_quantile_filter_broadcasts_thresholds(spark, sf_dir):
+    """The per-group threshold frame (group-cardinality rows) must come
+    back as a broadcast; the scored corpus must not be hash-partitioned
+    by doc — its only exchange feeds the bounded grouped percentile."""
+    from penr_oz_agent_memory_rust_spark.operators import corpus, text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", text_ops.quality_score_expr(F.col("text")).alias("quality")
+    )
+    df = corpus.grouped_quantile_filter(scored, "lang", q=0.25)
+    import re as _re
+
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    for key in _re.findall(r"Exchange hashpartitioning\((\w+)#", plan):
+        assert key == "lang", plan
