@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.operators.graph_stats import (
+    triangle_stats,
+    undirected_edges,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_undirected_canonical_distinct(spark):
+    e = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 3), (1, 2)])
+    rows = sorted((r.a, r.b) for r in undirected_edges(e).collect())
+    assert rows == [(1, 2), (2, 3)]
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on {1,2,3,4} plus a pendant 5-1: every K4 node is in 3 triangles
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = _edges(spark, k4 + [(5, 1)])
+    out = {r.id: r for r in triangle_stats(e).collect()}
+    for n in (2, 3, 4):
+        assert out[n].triangles == 3
+        assert out[n].degree == 3
+        assert abs(out[n].clustering - 1.0) < 1e-9
+    assert out[1].degree == 4
+    assert out[1].triangles == 3
+    assert abs(out[1].clustering - 0.5) < 1e-9  # 2*3/(4*3)
+    assert out[5].triangles == 0 and out[5].clustering == 0.0
+
+
+def test_triangle_single_and_directed_duplicates(spark):
+    # duplicated + reversed edges must not inflate counts
+    e = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)])
+    out = {r.id: r.triangles for r in triangle_stats(e).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_free_graph(spark):
+    # star graph: no triangles anywhere
+    e = _edges(spark, [(0, i) for i in range(1, 6)])
+    out = triangle_stats(e)
+    assert out.filter(F.col("triangles") > 0).count() == 0
+    assert out.count() == 6
+
+
+def test_matches_bruteforce_on_random_graph(spark):
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+    nodes = list(range(30))
+    pairs = [(a, b) for a, b in itertools.combinations(nodes, 2) if rnd.random() < 0.2]
+    # brute force
+    adj = {n: set() for n in nodes}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = {}
+    for n in nodes:
+        t = 0
+        for x, y in itertools.combinations(sorted(adj[n]), 2):
+            if y in adj[x]:
+                t += 1
+        if adj[n]:
+            expect[n] = t
+    out = {r.id: r.triangles for r in triangle_stats(_edges(spark, pairs)).collect()}
+    assert out == expect
