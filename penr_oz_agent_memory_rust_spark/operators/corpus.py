@@ -187,6 +187,56 @@ def grouped_quantile_filter(
     )
 
 
+def winsorize_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str = "quality",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group winsorize-then-standardize of a quality signal: clamp to
+    the group's [lo, hi] exact percentiles, then z-score the clamped value
+    against the group's winsorized mean/stddev_pop. The standard guard
+    before mixing heterogeneous sources — outlier scores stop dominating a
+    source's contribution, and cross-source scores land on one scale.
+
+    Two grouped aggregations (group-cardinality rows each) broadcast back
+    onto the scan — the corpus itself NEVER shuffles, unlike the
+    grouped-map form (zscore_by_group) which requires each group to fit
+    one task. Percentile bounds are rounded to `round_dp` first so both
+    engines of an oracle comparison clamp on identical doubles; zero
+    within-group variance yields z = 0.
+    Adds columns: {score_col}_wins, {score_col}_z.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({score_col}, {lo})"), round_dp).alias("__lo"),
+        F.round(F.expr(f"percentile({score_col}, {hi})"), round_dp).alias("__hi"),
+    )
+    wins = F.least(F.greatest(F.col(score_col), F.col("__lo")), F.col("__hi"))
+    clamped = df.join(F.broadcast(bounds), group_col).withColumn(
+        f"{score_col}_wins", wins
+    )
+    stats = clamped.groupBy(group_col).agg(
+        F.avg(f"{score_col}_wins").alias("__mu"),
+        F.stddev_pop(f"{score_col}_wins").alias("__sd"),
+    )
+    return (
+        clamped.join(F.broadcast(stats), group_col)
+        .withColumn(
+            f"{score_col}_z",
+            F.when(
+                F.col("__sd") > 0,
+                F.round(
+                    (F.col(f"{score_col}_wins") - F.col("__mu")) / F.col("__sd"),
+                    round_dp,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__lo", "__hi", "__mu", "__sd")
+    )
+
+
 def zscore_by_group(
     df: DataFrame,
     group_col: str,
@@ -220,6 +270,59 @@ def zscore_by_group(
         return out
 
     return df.groupBy(group_col).applyInPandas(standardize, schema)
+
+
+def temperature_mixture_weights(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    n_total: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """★ temperature-scaled mixture planning: per-group sampling shares
+    w_g ∝ n_tokens_g^alpha — the multilingual up-sampling scheme of
+    mBERT/XLM-R/mT5 (alpha < 1 boosts low-resource groups; alpha = 1 is
+    proportional, alpha = 0 uniform). Output one row per group:
+    (group, n_docs, n_tokens, raw_share, temp_share[, quota]).
+
+    This is the data-driven front half of corpus_mixture_sample: it
+    computes the weights the sampler consumes. One grouped agg
+    (group-cardinality rows) + a broadcast 1-row totals frame — no
+    driver collect, no second corpus scan. `quota` (floor of
+    temp_share * n_total) is emitted when n_total is given.
+    """
+    g = docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(hashing.word_tokens(F.col(text_col))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    totals = g.agg(
+        F.sum("n_tokens").cast("double").alias("__tot"),
+        F.sum(F.pow("n_tokens", F.lit(alpha))).alias("__tot_p"),
+    )
+    out = g.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__tot"), round_dp).alias("raw_share"),
+        F.round(F.pow("n_tokens", F.lit(alpha)) / F.col("__tot_p"), round_dp).alias(
+            "temp_share"
+        ),
+        *(
+            [
+                F.floor(
+                    F.pow("n_tokens", F.lit(alpha)) / F.col("__tot_p") * n_total
+                )
+                .cast("bigint")
+                .alias("quota")
+            ]
+            if n_total is not None
+            else []
+        ),
+    )
+    return out
 
 
 def corpus_mixture_sample(

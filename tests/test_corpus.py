@@ -322,3 +322,49 @@ def test_grouped_quantile_filter_keeps_per_group_share(spark):
     # p25 of 1..100 is 25.75 -> keeps 26..100 = 75 rows, same for b
     assert per == {"a": 75, "b": 75}
     assert out.filter((F.col("lang") == "a") & (F.col("quality") < 25.75)).count() == 0
+
+
+def test_winsorize_by_group_clamps_and_standardizes(spark):
+    # group a: 1..99 plus an outlier 1000 -> p95 clamps it; group b constant
+    rows = [(i, "a", float(i)) for i in range(1, 100)] + [(100, "a", 1000.0)]
+    rows += [(200 + i, "b", 5.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, quality double")
+    out = corpus.winsorize_by_group(df, "source")
+    a = {r["doc_id"]: r for r in out.filter(F.col("source") == "a").collect()}
+    hi = max(r["quality_wins"] for r in a.values())
+    assert hi < 1000.0  # outlier clamped to p95
+    lo = min(r["quality_wins"] for r in a.values())
+    assert lo > 1.0  # low tail clamped to p05
+    # z-scores of the winsorized values have ~zero mean
+    import statistics
+
+    zs = [r["quality_z"] for r in a.values()]
+    assert abs(statistics.fmean(zs)) < 1e-3
+    # constant group: sd = 0 -> z = 0
+    for r in out.filter(F.col("source") == "b").collect():
+        assert r["quality_z"] == 0.0 and r["quality_wins"] == 5.0
+
+
+def test_temperature_mixture_weights_boosts_low_resource(spark):
+    rows = [(i, "w " * 99, "big") for i in range(90)]
+    rows += [(1000 + i, "w " * 99, "small") for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), g) for i, t, g in rows], "doc_id bigint, text string, lang string"
+    )
+    out = {
+        r["lang"]: r
+        for r in corpus.temperature_mixture_weights(
+            df, alpha=0.5, n_total=100
+        ).collect()
+    }
+    assert out["big"]["raw_share"] == 0.9 and out["small"]["raw_share"] == 0.1
+    # sqrt scaling: 3:1 instead of 9:1
+    assert abs(out["big"]["temp_share"] - 0.75) < 1e-6
+    assert abs(out["small"]["temp_share"] - 0.25) < 1e-6
+    assert out["big"]["quota"] == 75 and out["small"]["quota"] == 25
+    # alpha=1 reduces to proportional
+    prop = {
+        r["lang"]: r["temp_share"]
+        for r in corpus.temperature_mixture_weights(df, alpha=1.0).collect()
+    }
+    assert abs(prop["big"] - 0.9) < 1e-6
