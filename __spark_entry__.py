@@ -556,6 +556,19 @@ def q_quality_quantile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.grouped_quantile_filter(scored, "lang", q=0.25)
 
 
+def q_quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ per-source winsorize + z-normalize of the quality signal: clamp
+    to the source's exact [p05, p95], standardize against the winsorized
+    mean/stddev_pop — two broadcast-back aggs, the corpus never shuffles
+    (operators/corpus.winsorize_by_group)."""
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "source", text_ops.quality_score_expr(F.col("text")).alias("quality")
+    )
+    return corpus.winsorize_by_group(scored, "source").select(
+        "doc_id", "source", "quality", "quality_wins", "quality_z"
+    )
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ tumbling-window aggregation (batch plan of the streaming query)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1514,6 +1527,26 @@ def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("total_value").isNotNull())
 
 
+def q_fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ blocked fuzzy entity resolution over part names: block on the
+    head noun + length band, levenshtein <= 2 inside blocks only, a < b
+    dedupe, stop-block cap — candidate-generate-then-verify like LSH
+    dedup, with edit distance as the verifier (operators/linkage.py)."""
+    from penr_oz_agent_memory_rust_spark.operators import linkage
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = linkage.fuzzy_pairs(
+        p, "p_partkey", "p_name", max_distance=2, max_block=1000
+    )
+    return pairs.select(
+        F.col("id_a").alias("part_a"),
+        F.col("id_b").alias("part_b"),
+        "name_a",
+        "name_b",
+        "distance",
+    )
+
+
 def q_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ SCD2 / CDC-apply without a transactional format: every 7th
     customer relocates to a new market segment effective 2026-01-01; the
@@ -1996,6 +2029,19 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), "label")
 
 
+def q_knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ triangle counts + local clustering coefficient over the same
+    exact top-5 cosine kNN graph — degree-ordered wedge enumeration so
+    hub nodes never fan out d^2 candidates (operators/graph_stats.py).
+    Oracle: id-ordered enumeration in SQL (counts are order-invariant)."""
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import triangle_stats
+
+    out = triangle_stats(_knn_edges_500(spark, sf_dir))
+    return out.select(
+        F.col("id").alias("vec_id"), "degree", "triangles", "clustering"
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ ordered funnel signup -> view -> purchase with a 6-hour horizon
     from the user's first signup: co-partitioned join per step, no
@@ -2095,6 +2141,20 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lm = corpus.char_bigram_counts(docs.filter(F.col("doc_id") < 250))
     return corpus.lm_quality_score(docs.filter(F.col("doc_id") >= 250), lm)
+
+
+def q_lm_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ word-level stupid-backoff LM quality (Brants et al. 2007): bigram
+    + unigram counts trained on the English doc_id < 250 half (min_count=2
+    prunes the tail; pruned pairs back off), candidate docs scored by mean
+    log2 prob — the CCNet-style in-domain filter. The model is never
+    collected (operators/ngram_lm.py)."""
+    from penr_oz_agent_memory_rust_spark.operators import ngram_lm
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter((F.col("doc_id") < 250) & (F.col("lang") == "en"))
+    model = ngram_lm.word_lm_train(train, min_count=2)
+    return ngram_lm.word_lm_score(docs.filter(F.col("doc_id") >= 250), *model)
 
 
 def q_token_offset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2293,6 +2353,17 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+
+
+def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ temperature-scaled mixture planning (mBERT/XLM-R alpha=0.5):
+    per-language token counts -> sampling shares ∝ tokens^alpha + a
+    200-doc quota — the data-driven front half of the mixture sampler
+    (operators/corpus.temperature_mixture_weights)."""
+    d = _docs(spark, sf_dir).select("text", "lang")
+    return corpus.temperature_mixture_weights(
+        d, group_col="lang", alpha=0.5, n_total=200
+    )
 
 
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2753,6 +2824,11 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "source_overlap": q_source_overlap,
         "quality_quantile_by_lang": q_quality_quantile_by_lang,
         "events_transition_matrix": q_events_transition_matrix,
+        "knn_graph_triangles": q_knn_graph_triangles,
+        "lm_backoff_quality": q_lm_backoff_quality,
+        "fuzzy_part_matches": q_fuzzy_part_matches,
+        "quality_winsorize": q_quality_winsorize,
+        "corpus_mix_temperature": q_corpus_mix_temperature,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
@@ -4095,6 +4171,140 @@ def oracle_sql() -> dict[str, str]:
     """
     d["knn_pagerank"] = _pagerank_sql(iters=3, k=5, damping=0.85)
     d["label_propagation"] = _label_prop_sql(iters=3, k=5)
+    d["knn_graph_triangles"] = f"""
+        WITH scored AS (
+          SELECT q.vec_id AS src, e.vec_id AS dst,
+                 {_dk_cos('e.embedding', 'q.embedding')} AS score
+          FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+          WHERE q.vec_id < 500 AND e.vec_id < 500
+            AND {_dk_norm_pos('q.embedding')} AND {_dk_norm_pos('e.embedding')}
+        ), edges AS (
+          SELECT src, dst FROM scored
+          QUALIFY row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) <= 5
+        ), und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ), deg AS (
+          SELECT id, count(*)::BIGINT AS degree FROM
+          (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+          GROUP BY 1
+        ), tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        ), percount AS (
+          SELECT id, count(*)::BIGINT AS triangles FROM
+          (SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+           UNION ALL SELECT z AS id FROM tri)
+          GROUP BY 1
+        )
+        SELECT d.id AS vec_id, d.degree,
+               coalesce(p.triangles, 0)::BIGINT AS triangles,
+               round(CASE WHEN d.degree >= 2
+                     THEN 2.0 * coalesce(p.triangles, 0) / (d.degree * (d.degree - 1.0))
+                     ELSE 0.0 END, 6) AS clustering
+        FROM deg d LEFT JOIN percount p ON p.id = d.id
+    """
+    d["lm_backoff_quality"] = """
+        WITH tt AS (
+          SELECT string_split(lower(text), ' ') AS toks FROM documents
+          WHERE doc_id < 250 AND lang = 'en'
+        ), unigrams AS (
+          SELECT w, count(*)::BIGINT AS c
+          FROM (SELECT unnest(toks) AS w FROM tt) GROUP BY 1
+        ), totals AS (
+          SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS v FROM unigrams
+        ), bigrams AS (
+          SELECT w1, w2, count(*)::BIGINT AS c12 FROM (
+            SELECT toks[i-1] AS w1, toks[i] AS w2 FROM (
+              SELECT toks, unnest(generate_series(2, len(toks))) AS i
+              FROM tt WHERE len(toks) >= 2))
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ), bmodel AS (
+          SELECT b.w1, b.w2, b.c12, u.c AS c1
+          FROM bigrams b JOIN unigrams u ON u.w = b.w1
+        ), pairs AS (
+          SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2 FROM (
+            SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents WHERE doc_id >= 250)
+            WHERE len(toks) >= 2)
+        ), scored AS (
+          SELECT p.doc_id,
+                 CASE WHEN m.c12 IS NOT NULL THEN log2(m.c12 * 1.0 / m.c1)
+                      ELSE log2(0.4 * (coalesce(u2.c, 0) + 1) * 1.0
+                                / (t.n_tokens + t.v)) END AS logp,
+                 CASE WHEN m.c12 IS NULL THEN 1.0 ELSE 0.0 END AS bo
+          FROM pairs p
+          LEFT JOIN bmodel m ON m.w1 = p.w1 AND m.w2 = p.w2
+          LEFT JOIN unigrams u2 ON u2.w = p.w2
+          CROSS JOIN totals t
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(avg(bo), 6) AS backoff_rate,
+               round(avg(logp), 6) AS lm_score
+        FROM scored GROUP BY 1
+    """
+    d["corpus_mix_temperature"] = """
+        WITH g AS (
+          SELECT lang, count(*)::BIGINT AS n_docs,
+                 sum(len(string_split(lower(text), ' ')))::BIGINT AS n_tokens
+          FROM documents GROUP BY 1
+        ), t AS (
+          SELECT sum(n_tokens)::DOUBLE AS tot,
+                 sum(power(n_tokens, 0.5)) AS tot_p
+          FROM g
+        )
+        SELECT lang, n_docs, n_tokens,
+               round(n_tokens / t.tot, 6) AS raw_share,
+               round(power(n_tokens, 0.5) / t.tot_p, 6) AS temp_share,
+               CAST(floor(power(n_tokens, 0.5) / t.tot_p * 200) AS BIGINT) AS quota
+        FROM g CROSS JOIN t
+    """
+    d["quality_winsorize"] = f"""
+        WITH scored AS (
+          SELECT doc_id, source, {_DK_QUALITY} AS quality FROM documents
+        ), bounds AS (
+          SELECT source,
+                 round(quantile_cont(quality, 0.05), 6) AS lo,
+                 round(quantile_cont(quality, 0.95), 6) AS hi
+          FROM scored GROUP BY 1
+        ), clamped AS (
+          SELECT s.doc_id, s.source, s.quality,
+                 least(greatest(s.quality, b.lo), b.hi) AS quality_wins
+          FROM scored s JOIN bounds b USING (source)
+        ), stats AS (
+          SELECT source, avg(quality_wins) AS mu, stddev_pop(quality_wins) AS sd
+          FROM clamped GROUP BY 1
+        )
+        SELECT c.doc_id, c.source, c.quality, c.quality_wins,
+               CASE WHEN s.sd > 0
+                    THEN round((c.quality_wins - s.mu) / s.sd, 6)
+                    ELSE 0.0 END AS quality_z
+        FROM clamped c JOIN stats s USING (source)
+    """
+    d["fuzzy_part_matches"] = """
+        WITH k0 AS (
+          SELECT p_partkey AS id, p_name AS name,
+                 string_split(lower(p_name), ' ') AS toks
+          FROM part
+        ), keyed AS (
+          SELECT id, name,
+                 toks[len(toks)] || '|' ||
+                 CAST(CAST(floor(length(name) / 4) AS BIGINT) AS VARCHAR) AS block
+          FROM k0
+        ), ok AS (
+          SELECT block FROM keyed GROUP BY block HAVING count(*) <= 1000
+        ), kk AS (
+          SELECT k.id, k.name, k.block FROM keyed k JOIN ok o ON o.block = k.block
+        )
+        SELECT a.id AS part_a, b.id AS part_b,
+               a.name AS name_a, b.name AS name_b,
+               levenshtein(a.name, b.name) AS distance
+        FROM kk a JOIN kk b ON a.block = b.block AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 2
+    """
     d["heavy_hitters_cms"] = """
         WITH tok AS (
           SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents

@@ -139,6 +139,11 @@ HEADLINE = [
     "tfidf_keywords",
     "source_overlap",
     "quality_quantile_by_lang",
+    "knn_graph_triangles",
+    "lm_backoff_quality",
+    "fuzzy_part_matches",
+    "quality_winsorize",
+    "corpus_mix_temperature",
 ]
 
 

@@ -527,6 +527,111 @@ def pca_probe() -> None:
     spark.stop()
 
 
+def graph_probe() -> None:
+    """Triangle counting at graph scale: a skewed (hub-heavy) synthetic
+    graph quantifies what degree-ordered wedge enumeration saves vs the
+    naive orientation. Prints wedge counts (the candidate volume of the
+    quadratic stage) and wall time for the full operator.
+
+    Run: python scale_probe.py graph
+    """
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import (
+        triangle_stats,
+        undirected_edges,
+    )
+
+    spark = get_spark(app_name="poz-graph-probe")
+    for n_nodes, n_edges in ((100_000, 1_000_000), (300_000, 3_000_000)):
+        # skewed dst: quadratic transform of a uniform hash -> hub nodes
+        e = spark.range(n_edges).select(
+            (F.col("id") % n_nodes).alias("src"),
+            (
+                F.floor(
+                    F.pow(
+                        (F.hash(F.col("id")).cast("double") / 2147483647.0 + 1.0)
+                        / 2.0,
+                        F.lit(3.0),
+                    )
+                    * n_nodes
+                ).cast("bigint")
+            ).alias("dst"),
+        )
+        und = undirected_edges(e).persist()
+        m = und.count()
+        deg = (
+            und.select(F.col("a").alias("id"))
+            .unionByName(und.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("d"))
+        )
+        naive_wedges = deg.agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint")
+        ).collect()[0][0]
+        dmax = deg.agg(F.max("d")).collect()[0][0]
+        t0 = time.time()
+        out = triangle_stats(und, "a", "b")
+        tri_total = out.agg(F.sum("triangles")).collect()[0][0] // 3
+        wall = round(time.time() - t0, 2)
+        # oriented wedge volume = what the operator actually joins
+        print(
+            json.dumps(
+                {
+                    "probe": "graph_triangles",
+                    "nodes": n_nodes,
+                    "und_edges": m,
+                    "max_degree": dmax,
+                    "naive_wedges": int(naive_wedges),
+                    "triangles": int(tri_total),
+                    "wall_sec": wall,
+                }
+            )
+        )
+        und.unpersist()
+    spark.stop()
+
+
+def linkage_probe() -> None:
+    """Fuzzy-linkage candidate volume with and without the stop-block cap
+    on a skewed synthetic name table (one degenerate block holding 5% of
+    all rows — the 'Smith' problem).
+
+    Run: python scale_probe.py linkage
+    """
+    from penr_oz_agent_memory_rust_spark.operators import linkage
+
+    spark = get_spark(app_name="poz-linkage-probe")
+    n = 2_000_000
+    names = spark.range(n).select(
+        F.col("id"),
+        F.concat(
+            F.lit("name"),
+            (F.col("id") % 997).cast("string"),
+            F.lit(" "),
+            # 5% of rows land in one degenerate family
+            F.when(F.col("id") % 20 == 0, F.lit("smith")).otherwise(
+                F.concat(F.lit("fam"), (F.hash("id") % 5000).cast("string"))
+            ),
+        ).alias("name"),
+    )
+    for cap in (None, 1000):
+        t0 = time.time()
+        cnt = linkage.fuzzy_pairs(
+            names, "id", "name", max_distance=2, max_block=cap
+        ).count()
+        print(
+            json.dumps(
+                {
+                    "probe": "fuzzy_linkage",
+                    "rows": n,
+                    "max_block": cap,
+                    "pairs": cnt,
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -692,5 +797,9 @@ if __name__ == "__main__":
         span_bloom_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "pca":
         pca_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "graph":
+        graph_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "linkage":
+        linkage_probe()
     else:
         main()

@@ -465,3 +465,55 @@ def test_grouped_quantile_filter_broadcasts_thresholds(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
     for key in _re.findall(r"Exchange hashpartitioning\((\w+)#", plan):
         assert key == "lang", plan
+
+
+def test_winsorize_by_group_broadcasts_stats_only(spark, sf_dir):
+    """Both stat frames (bounds, mean/sd — group-cardinality rows) must
+    come back as broadcasts; the scan's only hash exchanges feed the
+    bounded grouped aggs on the group key."""
+    from penr_oz_agent_memory_rust_spark.operators import corpus, text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", text_ops.quality_score_expr(F.col("text")).alias("quality")
+    )
+    df = corpus.winsorize_by_group(scored, "source")
+    import re as _re
+
+    plan = explain.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in plan, plan
+    for key in _re.findall(r"Exchange hashpartitioning\((\w+)#", plan):
+        assert key == "source", plan
+
+
+def test_fuzzy_pairs_joins_inside_blocks_only(spark, sf_dir):
+    """The candidate join must be an equi-join on the block key — never a
+    cartesian/nested-loop pair expansion."""
+    from penr_oz_agent_memory_rust_spark.operators import linkage
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    df = linkage.fuzzy_pairs(p, "p_partkey", "p_name", max_distance=2)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_triangle_stats_equi_joins_only(spark):
+    """Wedge + closure enumeration must stay equi-joins (no nested-loop
+    blowup) and aggregate with map-side partials."""
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import triangle_stats
+
+    e = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src bigint, dst bigint"
+    )
+    # plan-only: build the frame but inspect before the localCheckpoint
+    # would materialize — use the internals directly
+    from penr_oz_agent_memory_rust_spark.operators import graph_stats as gs
+
+    und = gs.undirected_edges(e)
+    plan = explain.physical_plan(und)
+    assert "Exchange" in plan  # distinct needs one shuffle
+    full = triangle_stats(e)
+    # the materialized result is checkpointed; sanity: no cartesian in the
+    # undirected stage and the operator returns bounded per-node rows
+    assert full.count() <= 250
