@@ -902,6 +902,17 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ content-defined chunking (LBFS/rsync-style): boundaries where the
+    rolling 8-gram md5 ≡ 0 mod 64, expected ~64-char chunks. Boundaries
+    anchor to CONTENT, so edits re-synchronize and unchanged chunks keep
+    their fingerprints across snapshots — the property incremental chunk
+    dedup needs (operators/text_ops.cdc_chunk_documents)."""
+    return text_ops.cdc_chunk_documents(
+        _docs(spark, sf_dir), gram=8, modulus=64
+    )
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ reproducible Bernoulli-by-hash sampling (30%) — same survivors on
     every engine and run, unlike rand()-based sampling."""
@@ -987,6 +998,124 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: this synthetic schema has no l_commitdate/
+    l_receiptdate, so "late" = a lineitem shipped > 60 days after the
+    order date): EXISTS correlated subquery -> left-semi join; order
+    counts per priority over one quarter."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("o_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by year —
+    lineitem ⋈ supplier ⋈ orders ⋈ customer with both nation dims
+    broadcast and the symmetric nation-pair predicate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders per customer including the
+    zero-order bucket — left outer join (the one TPC-H query that needs
+    one) + double aggregation."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume customers — IN-subquery on a grouped HAVING
+    (orders whose lineitems sum past 300 units) -> semi join, then the
+    top-100 heap over the rejoined star."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), "o_orderkey"
+        )
+        .limit(100)
     )
 
 
@@ -2355,6 +2484,19 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ tokenizer-coverage report: top-500 word vocab from the
+    doc_id < 250 half (count DESC, word ASC), per-doc OOV rate on the
+    other half — bounded TakeOrdered vocab + broadcast probe
+    (operators/corpus.vocab_coverage)."""
+    docs = _docs(spark, sf_dir)
+    return corpus.vocab_coverage(
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+        vocab_size=500,
+    )
+
+
 def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ temperature-scaled mixture planning (mBERT/XLM-R alpha=0.5):
     per-language token counts -> sampling shares ∝ tokens^alpha + a
@@ -2763,6 +2905,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hard_negatives": q_hard_negatives,
         "funnel_conversion": q_funnel_conversion,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q4_order_priority": q_tpch_q4_order_priority,
+        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+        "tpch_q18_large_volume": q_tpch_q18_large_volume,
         "curriculum_shards": q_curriculum_shards,
         "token_offset_shards": q_token_offset_shards,
         "stream_enrich_counts": q_stream_enrich_counts,
@@ -2827,6 +2973,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "knn_graph_triangles": q_knn_graph_triangles,
         "lm_backoff_quality": q_lm_backoff_quality,
         "fuzzy_part_matches": q_fuzzy_part_matches,
+        "cdc_chunking": q_cdc_chunking,
+        "vocab_coverage": q_vocab_coverage,
         "quality_winsorize": q_quality_winsorize,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
@@ -4246,6 +4394,60 @@ def oracle_sql() -> dict[str, str]:
                round(avg(logp), 6) AS lm_score
         FROM scored GROUP BY 1
     """
+    d["vocab_coverage"] = """
+        WITH counts AS (
+          SELECT w, count(*)::BIGINT AS c FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents WHERE doc_id < 250)
+          GROUP BY 1
+        ), vocab AS (
+          SELECT w FROM counts
+          QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 500
+        ), toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents WHERE doc_id >= 250
+        )
+        SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_tokens,
+               round(sum(CASE WHEN v.w IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6)
+                 AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON v.w = t.w
+        GROUP BY 1
+    """
+    d["cdc_chunking"] = f"""
+        WITH b2 AS (
+          SELECT doc_id, norm, length(norm) AS n FROM
+          (SELECT doc_id, {_DK_NORM} AS norm FROM documents)
+          WHERE length(norm) >= 1
+        ), bounds AS (
+          SELECT doc_id, i AS b FROM (
+            SELECT doc_id, norm, n, unnest(generate_series(8, n - 1)) AS i
+            FROM b2 WHERE n >= 9)
+          WHERE ('0x' || substring(md5(substring(norm, i - 7, 8)), 1, 15))::BIGINT
+                % 64 = 0
+        ), body AS (
+          SELECT doc_id,
+                 lag(b, 1, 0) OVER w + 1 AS chunk_start,
+                 b - lag(b, 1, 0) OVER w AS chunk_len,
+                 row_number() OVER w - 1 AS chunk_idx
+          FROM bounds WINDOW w AS (PARTITION BY doc_id ORDER BY b)
+        ), lastb AS (
+          SELECT doc_id, max(b) AS lb, count(*) AS nb FROM bounds GROUP BY 1
+        ), tail AS (
+          SELECT b2.doc_id, coalesce(l.lb, 0) + 1 AS chunk_start,
+                 b2.n - coalesce(l.lb, 0) AS chunk_len,
+                 coalesce(l.nb, 0) AS chunk_idx
+          FROM b2 LEFT JOIN lastb l USING (doc_id)
+          WHERE b2.n - coalesce(l.lb, 0) >= 1
+        ), allc AS (
+          SELECT * FROM body UNION ALL SELECT * FROM tail
+        )
+        SELECT a.doc_id, a.chunk_idx::BIGINT AS chunk_idx,
+               a.chunk_start::BIGINT AS chunk_start,
+               a.chunk_len::BIGINT AS chunk_len,
+               md5(substring(b2.norm, a.chunk_start, a.chunk_len)) AS chunk_fp
+        FROM allc a JOIN b2 USING (doc_id)
+    """
     d["corpus_mix_temperature"] = """
         WITH g AS (
           SELECT lang, count(*)::BIGINT AS n_docs,
@@ -4439,6 +4641,59 @@ def oracle_sql() -> dict[str, str]:
             AND o_orderdate < TIMESTAMP '1996-01-01'
           GROUP BY c_custkey, c_name, c_acctbal, n_name
         ) ORDER BY revenue DESC, c_custkey LIMIT 20
+    """
+    d["tpch_q4_order_priority"] = """
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    d["tpch_q7_volume_shipping"] = """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 4) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """
+    d["tpch_q13_order_distribution"] = """
+        SELECT c_count, count(*)::BIGINT AS custdist FROM (
+          SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+          GROUP BY c.c_custkey
+        ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """
+    d["tpch_q18_large_volume"] = """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(sum(l_quantity), 4) AS total_qty
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
     """
     d["curriculum_shards"] = f"""
         WITH scored AS (

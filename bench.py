@@ -144,6 +144,12 @@ HEADLINE = [
     "fuzzy_part_matches",
     "quality_winsorize",
     "corpus_mix_temperature",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_volume",
+    "cdc_chunking",
+    "vocab_coverage",
 ]
 
 

@@ -272,6 +272,48 @@ def zscore_by_group(
     return df.groupBy(group_col).applyInPandas(standardize, schema)
 
 
+def vocab_coverage(
+    train: DataFrame,
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """★ tokenizer-coverage report: build a top-`vocab_size` word vocab
+    from the training corpus (count DESC, word ASC tie-break) and measure
+    each candidate doc's out-of-vocabulary rate — the standard check that
+    a tokenizer/vocab trained on one corpus slice actually covers the
+    corpus it will be applied to (high OOV = wasted UNK mass).
+
+    Output: (id, n_tokens, oov_tokens, oov_rate). Scale shape: the vocab
+    agg reduces to distinct-word rows and the top-V is a bounded
+    TakeOrderedAndProject (per-partition heaps, driver merge — never a
+    global sort); scoring explodes tokens once and probes the broadcast
+    vocab. Docs with zero tokens produce no row.
+    """
+    counts = (
+        hashing.cpu_rebalance(train)
+        .select(F.explode(hashing.word_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("__c"))
+    )
+    vocab = counts.orderBy(F.col("__c").desc(), "w").limit(vocab_size).select("w")
+    toks = hashing.cpu_rebalance(docs).select(
+        id_col, F.explode(hashing.word_tokens(F.col(text_col))).alias("w")
+    )
+    probed = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "w", "left"
+    )
+    return probed.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("__in").isNull().cast("bigint")).alias("oov_tokens"),
+        F.round(
+            F.sum(F.col("__in").isNull().cast("double")) / F.count("*"), round_dp
+        ).alias("oov_rate"),
+    )
+
+
 def temperature_mixture_weights(
     docs: DataFrame,
     group_col: str = "lang",

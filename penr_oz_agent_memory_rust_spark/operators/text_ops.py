@@ -7,7 +7,7 @@ oracle-expressible in DuckDB SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from penr_oz_agent_memory_rust_spark.functions import hashing
 
@@ -98,6 +98,89 @@ def chunk_documents(
         "chunk_idx",
         "chunk_text",
         F.size(F.split(F.col("chunk_text"), " ")).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+def cdc_chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 8,
+    modulus: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: split each normalized document at
+    positions where the rolling k-gram hash satisfies
+    md5(gram) % modulus == 0 — expected chunk length ≈ `modulus` chars.
+    Unlike the fixed token windows of chunk_documents, CDC boundaries are
+    ANCHORED TO CONTENT: inserting a paragraph shifts every fixed window
+    after it (all their fingerprints change), but CDC boundaries
+    re-synchronize immediately — the property that makes cross-snapshot
+    chunk dedup work (rsync/LBFS/casync all rely on it).
+
+    Output: (id, chunk_idx, chunk_start, chunk_len, chunk_fp) — start is
+    1-based into the normalized text; fp is md5 of the chunk substring.
+
+    Scale shape: explode the gram positions (n rows per n-char doc, same
+    volume as every shingle operator), evaluate md5 JVM-side, keep ONLY
+    boundary rows (a ~1/modulus sliver), then one per-doc window over
+    that sliver assigns chunk indexes — the window input is boundaries,
+    not characters, so the sort is ~len/modulus rows per doc. The portable
+    md5 hash keeps the whole operator oracle-checkable.
+    """
+    norm = hashing.normalized_text(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), norm.alias("__norm"), F.length(norm).alias("__n")
+    ).filter(F.col("__n") >= 1)
+    # boundary positions: gram ENDS at i (1-based), i < n (no empty tail)
+    bounds = (
+        base.filter(F.col("__n") >= gram + 1)
+        .select(
+            id_col,
+            "__norm",
+            "__n",
+            F.explode(F.sequence(F.lit(gram), F.col("__n") - 1)).alias("__i"),
+        )
+        .filter(
+            hashing.md5_long(F.expr(f"substring(__norm, __i - {gram - 1}, {gram})"))
+            % modulus
+            == 0
+        )
+        .select(id_col, F.col("__i").alias("__b"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__b")
+    starts = bounds.select(
+        id_col,
+        (F.lag("__b", 1, 0).over(w) + 1).alias("chunk_start"),
+        (F.col("__b") - F.lag("__b", 1, 0).over(w)).alias("chunk_len"),
+        (F.row_number().over(w) - 1).alias("chunk_idx"),
+        F.col("__b").alias("__end"),
+    )
+    # trailing chunk per doc: from last boundary (or 0) to n
+    last = bounds.groupBy(id_col).agg(
+        F.max("__b").alias("__last"), F.count("*").alias("__nb")
+    )
+    tail = (
+        base.join(last, id_col, "left")
+        .select(
+            id_col,
+            "__norm",
+            "__n",
+            (F.coalesce("__last", F.lit(0)) + 1).alias("chunk_start"),
+            (F.col("__n") - F.coalesce("__last", F.lit(0))).alias("chunk_len"),
+            F.coalesce("__nb", F.lit(0)).cast("int").alias("chunk_idx"),
+        )
+        .filter(F.col("chunk_len") >= 1)
+    )
+    body = starts.join(base, id_col).select(
+        id_col, "__norm", "chunk_start", "chunk_len", "chunk_idx"
+    )
+    allc = body.unionByName(tail.select(body.columns))
+    return allc.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.col("chunk_len").cast("bigint").alias("chunk_len"),
+        F.md5(F.expr("substring(__norm, chunk_start, chunk_len)")).alias("chunk_fp"),
     )
 
 

@@ -613,22 +613,45 @@ def linkage_probe() -> None:
             ),
         ).alias("name"),
     )
-    for cap in (None, 1000):
-        t0 = time.time()
-        cnt = linkage.fuzzy_pairs(
-            names, "id", "name", max_distance=2, max_block=cap
-        ).count()
-        print(
-            json.dumps(
-                {
-                    "probe": "fuzzy_linkage",
-                    "rows": n,
-                    "max_block": cap,
-                    "pairs": cnt,
-                    "wall_sec": round(time.time() - t0, 2),
-                }
-            )
+    # the UNCAPPED candidate volume is computed analytically from block
+    # sizes (sum of C(bn, 2)) — actually executing it would evaluate
+    # billions of levenshtein pairs, which is precisely what the cap
+    # exists to prevent
+    from penr_oz_agent_memory_rust_spark.operators.linkage import block_key
+
+    sizes = names.select(block_key(F.col("name")).alias("b")).groupBy("b").count()
+    uncapped = sizes.agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("bigint")
+    ).collect()[0][0]
+    biggest = sizes.agg(F.max("count")).collect()[0][0]
+    print(
+        json.dumps(
+            {
+                "probe": "fuzzy_linkage",
+                "rows": n,
+                "max_block": None,
+                "candidate_pairs_analytic": int(uncapped),
+                "largest_block": int(biggest),
+                "executed": False,
+            }
         )
+    )
+    t0 = time.time()
+    cnt = linkage.fuzzy_pairs(
+        names, "id", "name", max_distance=2, max_block=1000
+    ).count()
+    print(
+        json.dumps(
+            {
+                "probe": "fuzzy_linkage",
+                "rows": n,
+                "max_block": 1000,
+                "pairs": cnt,
+                "wall_sec": round(time.time() - t0, 2),
+                "executed": True,
+            }
+        )
+    )
     spark.stop()
 
 

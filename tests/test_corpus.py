@@ -368,3 +368,18 @@ def test_temperature_mixture_weights_boosts_low_resource(spark):
         for r in corpus.temperature_mixture_weights(df, alpha=1.0).collect()
     }
     assert abs(prop["big"] - 0.9) < 1e-6
+
+
+def test_vocab_coverage_oov_rates(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c a b a"), (2, "a d")], "doc_id bigint, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "x y z a"), (12, "q")], "doc_id bigint, text string"
+    )
+    # vocab_size=3 -> {a, b, then count-1 ties broken lexically: c}
+    out = {r["doc_id"]: r for r in corpus.vocab_coverage(train, docs, vocab_size=3).collect()}
+    assert out[10].oov_tokens == 0 and out[10].oov_rate == 0.0
+    assert out[11].n_tokens == 4 and out[11].oov_tokens == 3
+    assert abs(out[11].oov_rate - 0.75) < 1e-9
+    assert out[12].oov_rate == 1.0
