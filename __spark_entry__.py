@@ -1478,6 +1478,27 @@ def q_sql_api_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ seasonal-baseline anomaly detection: per (event_type, hour-of-day)
+    mean/std from the first half of January profiles the second half;
+    |z| >= 3 flags — the profile is groups x 24 rows broadcast back, the
+    current scan never shuffles (operators/drift.seasonal_anomalies)."""
+    from penr_oz_agent_memory_rust_spark.operators import drift
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    out = drift.seasonal_anomalies(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        threshold=3.0,
+        min_baseline=30,
+    )
+    return out.select(
+        "event_id", "event_type", "hour", F.round("value", 6).alias("value"),
+        "mu", "sd", "z",
+    )
+
+
 def q_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ grouped-map Pandas path (applyInPandas): per-event-type z-score of
     the value column — one Arrow batch per group, vectorized NumPy inside."""
@@ -2115,24 +2136,51 @@ def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_edges_500(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-shaped exact top-5 cosine kNN edge list over vec_id < 500 —
-    shared by the graph-algorithm gates (knn_pagerank, label_propagation)."""
+    shared by the graph-algorithm gates (knn_pagerank, label_propagation,
+    knn_graph_triangles). Norms are pre-projected per VECTOR (500 rows per
+    side) so the per-PAIR work is one interpreted dot aggregate instead of
+    three — same f64 expression tree as cosine_f64 (dot/(sqrt·sqrt)), so
+    the 6dp-rounded scores are bit-identical to the _dk_cos oracle; A/B at
+    sf0.1 (min of 3, same session): triangles 5.3 -> 2.8 s, pagerank
+    5.4 -> 2.3 s, label_propagation 4.9 -> 2.2 s."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
+    pre = emb.select(
+        "vec_id",
+        "embedding",
+        similarity.norm_f64(F.col("embedding")).alias("__n"),
+    )
     q = F.broadcast(
-        emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("qv"))
+        pre.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("qv"),
+            F.col("__n").alias("qn"),
+        )
     )
     scored = (
         # rebalance: the small-file scan is ONE partition, which would run
         # the 500×499 expr-cosine broadcast-NL join on a single core
         # (measured 15 s cold; ~1.5 s spread across the session's cores)
         hashing.cpu_rebalance(
-            emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("ev"))
+            pre.select(
+                F.col("vec_id").alias("dst"),
+                F.col("embedding").alias("ev"),
+                F.col("__n").alias("en"),
+            )
         )
         .crossJoin(q)
         .filter(F.col("src") != F.col("dst"))
         .select(
             "src",
             "dst",
-            F.round(similarity.cosine_f64(F.col("ev"), F.col("qv")), 6).alias("score"),
+            F.round(
+                similarity.cosine_f64_prenormed(
+                    similarity.dot_f64(F.col("ev"), F.col("qv")),
+                    F.col("en"),
+                    F.col("qn"),
+                    F.size("ev") == F.size("qv"),
+                ),
+                6,
+            ).alias("score"),
         )
         .filter(F.col("score").isNotNull())
     )
@@ -2975,6 +3023,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fuzzy_part_matches": q_fuzzy_part_matches,
         "cdc_chunking": q_cdc_chunking,
         "vocab_coverage": q_vocab_coverage,
+        "seasonal_anomalies": q_seasonal_anomalies,
         "quality_winsorize": q_quality_winsorize,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
@@ -4393,6 +4442,26 @@ def oracle_sql() -> dict[str, str]:
                round(avg(bo), 6) AS backoff_rate,
                round(avg(logp), 6) AS lm_score
         FROM scored GROUP BY 1
+    """
+    d["seasonal_anomalies"] = """
+        WITH prof AS (
+          SELECT event_type, hour(ts) AS hh,
+                 avg(value) AS mu, stddev_pop(value) AS sd, count(*) AS n
+          FROM events WHERE ts < TIMESTAMP '2024-01-16'
+          GROUP BY 1, 2
+          HAVING count(*) >= 30 AND stddev_pop(value) > 0
+        ), cur AS (
+          SELECT event_id, event_type, hour(ts) AS hh, value
+          FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        ), scored AS (
+          SELECT c.event_id, c.event_type, c.hh,
+                 c.value, p.mu, p.sd,
+                 round((c.value - p.mu) / p.sd, 6) AS z
+          FROM cur c JOIN prof p ON p.event_type = c.event_type AND p.hh = c.hh
+        )
+        SELECT event_id, event_type, hh AS hour, round(value, 6) AS value,
+               round(mu, 6) AS mu, round(sd, 6) AS sd, z
+        FROM scored WHERE abs(z) >= 3.0
     """
     d["vocab_coverage"] = """
         WITH counts AS (

@@ -150,6 +150,7 @@ HEADLINE = [
     "tpch_q18_large_volume",
     "cdc_chunking",
     "vocab_coverage",
+    "seasonal_anomalies",
 ]
 
 

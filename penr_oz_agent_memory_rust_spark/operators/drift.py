@@ -142,3 +142,53 @@ def mad_outliers(
             "robust_z",
         )
     )
+
+
+def seasonal_anomalies(
+    baseline: DataFrame,
+    current: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    threshold: float = 3.0,
+    min_baseline: int = 30,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: profile the BASELINE window
+    per (group, hour-of-day) — the dominant seasonality of event streams —
+    then z-score CURRENT-window values against their own (group, hour)
+    cell and keep |z| >= threshold. A global z-score flags every nightly
+    lull and daily peak as anomalous; conditioning on the seasonal cell is
+    the standard fix (same family as psi_bins / mad_outliers, aimed at
+    point anomalies rather than distribution drift).
+
+    Cells with fewer than `min_baseline` observations or zero variance
+    are unscoreable and never flag (avoids div-by-~0 z explosions).
+    Scale shape: the profile aggregates to at most groups x 24 rows and
+    broadcasts back; the current scan never shuffles. Output:
+    (id..., group, hour, value, mu, sd, z) for flagged rows only.
+    """
+    hour = F.hour(F.col(ts_col))
+    prof = (
+        baseline.groupBy(group_col, hour.alias("hh"))
+        .agg(
+            F.avg(value_col).alias("__mu"),
+            F.stddev_pop(value_col).alias("__sd"),
+            F.count("*").alias("__n"),
+        )
+        .filter((F.col("__n") >= min_baseline) & (F.col("__sd") > 0))
+    )
+    cur = current.withColumn("hh", hour)
+    z = F.round((F.col(value_col) - F.col("__mu")) / F.col("__sd"), round_dp)
+    return (
+        cur.join(F.broadcast(prof), [group_col, "hh"])
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= threshold)
+        .select(
+            *[c for c in cur.columns if c not in ("hh",)],
+            F.col("hh").alias("hour"),
+            F.round("__mu", round_dp).alias("mu"),
+            F.round("__sd", round_dp).alias("sd"),
+            "z",
+        )
+    )

@@ -125,7 +125,10 @@ def cdc_chunk_documents(
     boundary rows (a ~1/modulus sliver), then one per-doc window over
     that sliver assigns chunk indexes — the window input is boundaries,
     not characters, so the sort is ~len/modulus rows per doc. The portable
-    md5 hash keeps the whole operator oracle-checkable.
+    md5 hash keeps the whole operator oracle-checkable; a production
+    deployment would swap in a true rolling Rabin fingerprint (O(1) per
+    position instead of O(gram)) — the boundary/window plumbing is
+    unchanged, only the hash column expression differs.
     """
     norm = hashing.normalized_text(F.col(text_col))
     base = docs.select(

@@ -102,3 +102,51 @@ def test_mad_outliers_approx_path_agrees_on_clear_outliers(spark):
     approx = drift.mad_outliers(_events(spark, rows), exact=False).collect()
     assert [r["event_id"] for r in exact] == [900]
     assert [r["event_id"] for r in approx] == [900]
+
+
+def test_seasonal_anomalies_flags_only_seasonal_outliers(spark):
+    import datetime as dt
+
+    from penr_oz_agent_memory_rust_spark.operators.drift import seasonal_anomalies
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # baseline: hour 0 centered at 10 (sd ~1), hour 12 centered at 100
+    for d in range(40):
+        rows.append((1000 + d, base + dt.timedelta(days=d % 10), "t", 10.0 + (d % 3 - 1)))
+        rows.append(
+            (2000 + d, base + dt.timedelta(days=d % 10, hours=12), "t", 100.0 + (d % 3 - 1))
+        )
+    bdf = spark.createDataFrame(rows, "event_id bigint, ts timestamp, event_type string, value double")
+    cur = spark.createDataFrame(
+        [
+            # 100 at hour 12 is normal; 100 at hour 0 is a seasonal anomaly
+            (1, base + dt.timedelta(days=20, hours=12), "t", 100.0),
+            (2, base + dt.timedelta(days=20, hours=0), "t", 100.0),
+            # unprofiled hour never flags
+            (3, base + dt.timedelta(days=20, hours=5), "t", 9999.0),
+        ],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    )
+    out = seasonal_anomalies(bdf, cur, threshold=3.0, min_baseline=10)
+    flagged = {r.event_id for r in out.collect()}
+    assert flagged == {2}
+
+
+def test_seasonal_anomalies_zero_variance_cell_never_flags(spark):
+    import datetime as dt
+
+    from penr_oz_agent_memory_rust_spark.operators.drift import seasonal_anomalies
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    bdf = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=i), "t", 5.0) for i in range(20)],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    )
+    cur = spark.createDataFrame(
+        [(99, base + dt.timedelta(days=30), "t", 50.0)],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    )
+    assert (
+        seasonal_anomalies(bdf, cur, threshold=3.0, min_baseline=5).count() == 0
+    )
