@@ -21,7 +21,12 @@ Register once per session, then it is a normal format:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 MEMORIES_WIRE_SCHEMA = (
     "id string, text string, metadata map<string,string>, session string"
@@ -38,6 +43,9 @@ class MemoriesJsonlDataSource(DataSource):
 
     def reader(self, schema) -> "MemoriesJsonlReader":
         return MemoriesJsonlReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "MemoriesJsonlStreamReader":
+        return MemoriesJsonlStreamReader(self.options)
 
 
 class MemoriesJsonlReader(DataSourceReader):
@@ -74,3 +82,65 @@ class MemoriesJsonlReader(DataSourceReader):
                     meta,
                     rec.get("session"),
                 )
+
+
+def _parse_jsonl_file(path):
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            meta = rec.get("metadata")
+            if meta is not None:
+                meta = {str(k): str(v) for k, v in meta.items()}
+            yield (rec.get("id"), rec.get("text"), meta, rec.get("session"))
+
+
+class MemoriesJsonlStreamReader(SimpleDataSourceStreamReader):
+    """Incremental tail of an append-only JSONL export directory — the
+    STREAMING half of the connector surface (Spark 4
+    SimpleDataSourceStreamReader): each micro-batch consumes the files
+    that appeared since the last committed offset.
+
+    Offset = {"n": count of files consumed} over the SORTED file list,
+    which is exactly-once under the documented append-only contract
+    (exports arrive as new lexically-later files; files are never
+    rewritten — the same contract file-based autoloaders assume).
+    `readBetweenOffsets` replays any [start, end) slice deterministically
+    for recovery, so a crashed micro-batch re-reads the same rows.
+    """
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("memories_jsonl streaming requires option('path', ...)")
+
+    def _files(self):
+        import glob
+        import os
+
+        if os.path.isdir(self.path):
+            return sorted(glob.glob(os.path.join(self.path, "*.jsonl")))
+        return [self.path]
+
+    def initialOffset(self):
+        return {"n": 0}
+
+    def read(self, start):
+        files = self._files()
+        n0 = int(start.get("n", 0))
+        rows = []
+        for f in files[n0:]:
+            rows.extend(_parse_jsonl_file(f))
+        return iter(rows), {"n": len(files)}
+
+    def readBetweenOffsets(self, start, end):
+        files = self._files()
+        n0, n1 = int(start.get("n", 0)), int(end.get("n", 0))
+        rows = []
+        for f in files[n0:n1]:
+            rows.extend(_parse_jsonl_file(f))
+        return iter(rows)

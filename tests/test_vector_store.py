@@ -220,3 +220,48 @@ def test_scd2_apply_closes_and_opens_versions(spark):
     assert rows[(1, "B")] == (t1, t2)          # closed at effective time
     assert rows[(1, "C")] == (t2, None)        # new current version
     assert rows[(2, "X")] == (t0, None)        # untouched current
+
+
+def test_python_datasource_streaming_incremental(spark, tmp_path):
+    """Streaming half of the connector (SimpleDataSourceStreamReader):
+    batch 1 consumes the existing files, a file appended afterwards is
+    picked up by the NEXT availableNow run from the same checkpoint —
+    exactly-once over the append-only directory contract."""
+    import json
+
+    from penr_oz_agent_memory_rust_spark.sources.python_datasource import (
+        MemoriesJsonlDataSource,
+    )
+
+    spark.dataSource.register(MemoriesJsonlDataSource)
+    d = tmp_path / "exports"
+    d.mkdir()
+    out = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+
+    def write_file(name, rows):
+        (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def run_once():
+        (
+            spark.readStream.format("memories_jsonl")
+            .option("path", str(d))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    write_file("a.jsonl", [{"id": "1", "text": "alpha"}, {"id": "2", "text": "beta"}])
+    run_once()
+    got1 = {r.id for r in spark.read.parquet(str(out)).collect()}
+    assert got1 == {"1", "2"}
+
+    write_file("b.jsonl", [{"id": "3", "text": "gamma", "session": "s1"}])
+    run_once()
+    rows = {r.id: r for r in spark.read.parquet(str(out)).collect()}
+    assert set(rows) == {"1", "2", "3"}  # no duplicates from re-reading a.jsonl
+    assert rows["3"].session == "s1"
