@@ -1478,6 +1478,35 @@ def q_sql_api_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ markup extraction (the C4-style crawl front step): each doc is
+    wrapped in a deterministic HTML scaffold (title/style/script/comment/
+    footer, entities encoded), then text_ops.strip_markup recovers the
+    body text — script/style content dropped, tags removed, entities
+    decoded, whitespace collapsed. Output hashes the recovered text so
+    the whole regexp chain is oracle-checked byte-for-byte."""
+    enc = F.replace(
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("<"),
+        F.lit("&lt;"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{color:red}</style>"),
+        F.lit('<script type="text/javascript">var x = 1 < 2;</script></head>'),
+        F.lit("<body><!-- comment --><p>"),
+        enc,
+        F.lit('</p><div class="footer">&copy; 2024</div></body></html>'),
+    )
+    stripped = text_ops.strip_markup(html)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(stripped).alias("stripped_md5"),
+        F.length(stripped).cast("bigint").alias("n_chars"),
+    )
+
+
 def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ seasonal-baseline anomaly detection: per (event_type, hour-of-day)
     mean/std from the first half of January profiles the second half;
@@ -3024,6 +3053,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_chunking": q_cdc_chunking,
         "vocab_coverage": q_vocab_coverage,
         "seasonal_anomalies": q_seasonal_anomalies,
+        "html_strip": q_html_strip,
         "quality_winsorize": q_quality_winsorize,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
@@ -4442,6 +4472,36 @@ def oracle_sql() -> dict[str, str]:
                round(avg(bo), 6) AS backoff_rate,
                round(avg(logp), 6) AS lm_score
         FROM scored GROUP BY 1
+    """
+    d["html_strip"] = """
+        WITH wrapped AS (
+          SELECT doc_id,
+                 '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+                 '</title><style>p{color:red}</style>' ||
+                 '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
+                 '<body><!-- comment --><p>' ||
+                 replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
+                 '</p><div class="footer">&copy; 2024</div></body></html>' AS html
+          FROM documents
+        ), stripped AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(html,
+                             '<script\\b[^>]*>.*?</script>', ' ', 'gis'),
+                           '<style\\b[^>]*>.*?</style>', ' ', 'gis'),
+                         '<!--.*?-->', ' ', 'gs'),
+                       '<[^>]+>', ' ', 'gs'),
+                   '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                   '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                   '\\s+', ' ', 'g')) AS s
+          FROM wrapped
+        )
+        SELECT doc_id, md5(s) AS stripped_md5, length(s)::BIGINT AS n_chars
+        FROM stripped
     """
     d["seasonal_anomalies"] = """
         WITH prof AS (

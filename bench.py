@@ -151,6 +151,7 @@ HEADLINE = [
     "cdc_chunking",
     "vocab_coverage",
     "seasonal_anomalies",
+    "html_strip",
 ]
 
 

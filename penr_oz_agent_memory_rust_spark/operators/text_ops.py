@@ -101,6 +101,36 @@ def chunk_documents(
     )
 
 
+def strip_markup(text: Column) -> Column:
+    """HTML/markup stripping for crawl-style extraction (the C4/CCNet
+    front step): drop <script>/<style> blocks WITH their content, remove
+    every remaining tag, decode the common entities, collapse whitespace.
+    A pure regexp_replace chain — JVM-side, oracle-portable (DuckDB's
+    regexp_replace with the 'gis' flags mirrors each step), and a few
+    orders of magnitude cheaper than a DOM parse, which is the right
+    trade for bulk crawl text where malformed markup is the norm. For
+    layout-aware boilerplate removal (nav/footer density pruning), plug a
+    real extractor in as an Arrow UDF — this is the scalable default.
+    """
+    # (?is): case-insensitive, dot-matches-newline — script/style blocks
+    # span lines and close tags vary in case
+    no_script = F.regexp_replace(text, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    no_style = F.regexp_replace(no_script, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    no_comment = F.regexp_replace(no_style, r"(?s)<!--.*?-->", " ")
+    no_tags = F.regexp_replace(no_comment, r"(?s)<[^>]+>", " ")
+    ent = no_tags
+    for pat, rep in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+    ):
+        ent = F.replace(ent, F.lit(pat), F.lit(rep))
+    return F.trim(F.regexp_replace(ent, r"\s+", " "))
+
+
 def cdc_chunk_documents(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -131,7 +161,11 @@ def cdc_chunk_documents(
     unchanged, only the hash column expression differs.
     """
     norm = hashing.normalized_text(F.col(text_col))
-    base = docs.select(
+    # rebalance first: a single-file scan arrives as ONE partition, which
+    # would run the normalize regexes AND the per-position md5 explode on
+    # one core (profiled 3.0 s + 3.9 s single-task at sf0.1; the shuffle
+    # is a no-op at real scale — same contract as word_shingle_rows)
+    base = hashing.cpu_rebalance(docs).select(
         F.col(id_col), norm.alias("__norm"), F.length(norm).alias("__n")
     ).filter(F.col("__n") >= 1)
     # boundary positions: gram ENDS at i (1-based), i < n (no empty tail)
@@ -149,6 +183,14 @@ def cdc_chunk_documents(
             == 0
         )
         .select(id_col, F.col("__i").alias("__b"))
+        # bounds feeds BOTH the chunk window and the per-doc tail agg;
+        # materialize the ~1/modulus boundary sliver once so the
+        # per-position md5 explode runs once, not once per consumer
+        # (neutral at sf0.1 where the explode is seconds, but the explode
+        # is the dominant cost at corpus scale). The sliver is bounded
+        # (corpus_chars/modulus rows of two ints), unlike the corpus
+        # scan, which stays re-scannable.
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy(id_col).orderBy("__b")
     starts = bounds.select(

@@ -517,3 +517,33 @@ def test_triangle_stats_equi_joins_only(spark):
     # the materialized result is checkpointed; sanity: no cartesian in the
     # undirected stage and the operator returns bounded per-node rows
     assert full.count() <= 250
+
+
+def test_seasonal_anomalies_broadcasts_profile_only(spark, sf_dir):
+    """The (group, hour) profile is groups x 24 rows and must broadcast;
+    the current-window scan must not hash-shuffle on anything but the
+    profile aggregation's own key."""
+    from penr_oz_agent_memory_rust_spark.operators.drift import seasonal_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    df = seasonal_anomalies(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+    )
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_cdc_chunking_no_pair_expansion(spark, sf_dir):
+    """CDC chunking must never self-join positions — its only joins are
+    per-doc equi-joins of the bounded boundary sliver back onto the
+    corpus scan."""
+    from penr_oz_agent_memory_rust_spark.operators.text_ops import (
+        cdc_chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = cdc_chunk_documents(docs, gram=8, modulus=64)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

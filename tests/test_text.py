@@ -215,3 +215,27 @@ def test_winnowing_shared_substring_guarantee(spark):
     for r in text_ops.winnowing_fingerprints(docs, k=8, window=4).collect():
         fps[r["doc_id"]].add(r["fp"])
     assert fps[1] & fps[2]
+
+
+def test_strip_markup_drops_script_style_decodes_entities(spark):
+    from penr_oz_agent_memory_rust_spark.operators.text_ops import strip_markup
+
+    html = (
+        "<html><head><STYLE>body{x}</STYLE>"
+        "<script>var a = '<div>not text</div>';\nmore();</script></head>"
+        "<body><!-- hidden\ncomment --><p>Hello &amp; welcome to "
+        "<b>Q&amp;A</b> &lt;live&gt;</p>   <br/>Bye</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "t string").select(
+        strip_markup(F.col("t")).alias("s")
+    )
+    assert df.collect()[0].s == "Hello & welcome to Q&A <live> Bye"
+
+
+def test_strip_markup_plain_text_passthrough(spark):
+    from penr_oz_agent_memory_rust_spark.operators.text_ops import strip_markup
+
+    df = spark.createDataFrame([("just  plain   text",)], "t string").select(
+        strip_markup(F.col("t")).alias("s")
+    )
+    assert df.collect()[0].s == "just plain text"

@@ -58,6 +58,10 @@ SHOWCASE = {
     "lm_backoff_quality": "word LM: model stays distributed; pair scan -> two equi-joins -> per-doc agg",
     "fuzzy_part_matches": "fuzzy linkage: block-key equi-join only; levenshtein codegen inside blocks",
     "quality_winsorize": "winsorize+z: two group-bounded aggs broadcast back; corpus never shuffles",
+    "cdc_chunking": "CDC: rebalanced scan -> position explode + md5 filter -> checkpointed boundary sliver -> per-doc window",
+    "seasonal_anomalies": "seasonal z: (group,hour) profile broadcast back onto the current scan",
+    "html_strip": "markup extraction: one codegen regexp chain, zero exchanges",
+    "tpch_q13_order_distribution": "outer-join order distribution: broadcast customer side, double agg",
 }
 
 SF = "/root/testdata/sf0.01"
