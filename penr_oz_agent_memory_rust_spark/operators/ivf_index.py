@@ -178,3 +178,92 @@ def search_ivf_index_batch(
         .select(query_id, id_col, "score")
     )
     return top_k_per_group(scored, [query_id], "score", k, tiebreak=id_col)
+
+
+def snapshot_ivf_index(path: str, tag: str | None = None) -> dict:
+    """Create an immutable, zero-copy snapshot of the index: every data
+    file and the centroids sidecar are HARDLINKED into
+    <path>/snapshots/v<NNNN>/ with a manifest. Later appends, compactions,
+    or rebuilds unlink/replace the live files but cannot touch the
+    snapshot's inodes — Delta-style time travel for the index lifecycle
+    (snapshot before a risky rebuild, roll back if recall regresses)
+    without any table format on the classpath.
+
+    On an object store the same contract is "manifest of immutable
+    objects" (objects are never rewritten in place, so the manifest alone
+    IS the snapshot); the hardlink is the local-FS equivalent. Returns the
+    manifest dict ({version, tag, files, cells}).
+    """
+    import glob
+    import shutil
+
+    data = os.path.join(path, "data")
+    snaps = os.path.join(path, "snapshots")
+    os.makedirs(snaps, exist_ok=True)
+    existing = sorted(glob.glob(os.path.join(snaps, "v*")))
+    version = 1 + (int(os.path.basename(existing[-1])[1:]) if existing else 0)
+    snapdir = os.path.join(snaps, f"v{version:04d}")
+    files = []
+    for src in glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(src, data)
+        dst = os.path.join(snapdir, "data", rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(src, dst)
+        files.append(rel)
+    cent_src = os.path.join(path, "centroids.json")
+    if os.path.exists(cent_src):
+        os.link(cent_src, os.path.join(snapdir, "centroids.json"))
+    manifest = {
+        "version": version,
+        "tag": tag,
+        "files": sorted(files),
+        "cells": len(glob.glob(os.path.join(data, "ivf_cell=*"))),
+    }
+    with open(os.path.join(snapdir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def list_ivf_snapshots(path: str) -> list[dict]:
+    """Manifests of every snapshot, oldest first."""
+    import glob
+
+    out = []
+    for d in sorted(glob.glob(os.path.join(path, "snapshots", "v*"))):
+        with open(os.path.join(d, "manifest.json")) as f:
+            out.append(json.load(f))
+    return out
+
+
+def rollback_ivf_index(path: str, version: int) -> dict:
+    """Restore the live index to snapshot `version`: hardlink the
+    snapshot's files into a staging dir, then swap it in with two renames
+    (same crash-safe pattern as compact_ivf_index — readers never see a
+    half-restored index). The snapshot itself is untouched and can be
+    rolled back to again. Returns the restored manifest."""
+    import glob
+    import shutil
+
+    snapdir = os.path.join(path, "snapshots", f"v{version:04d}")
+    with open(os.path.join(snapdir, "manifest.json")) as f:
+        manifest = json.load(f)
+    data = os.path.join(path, "data")
+    staging = data + "__restoring"
+    shutil.rmtree(staging, ignore_errors=True)
+    for rel in manifest["files"]:
+        src = os.path.join(snapdir, "data", rel)
+        dst = os.path.join(staging, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(src, dst)
+    old = data + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(data, old)
+    os.rename(staging, data)
+    shutil.rmtree(old, ignore_errors=True)
+    cent_snap = os.path.join(snapdir, "centroids.json")
+    if os.path.exists(cent_snap):
+        cent_live = os.path.join(path, "centroids.json")
+        if os.path.exists(cent_live):
+            os.remove(cent_live)
+        os.link(cent_snap, cent_live)
+    return manifest

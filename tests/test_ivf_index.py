@@ -198,3 +198,61 @@ def test_compact_streamed_index(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["score"]) for r in before_hits] == [
         (r["vec_id"], r["score"]) for r in after_hits
     ]
+
+
+def test_snapshot_and_rollback_restore_exact_results(spark, sf_dir, tmp_path):
+    from penr_oz_agent_memory_rust_spark.operators import ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    path = str(tmp_path / "ivf")
+    ivf_index.build_ivf_index(emb, path, n_centroids=4, n_iters=2)
+    q = [r.embedding for r in emb.limit(1).collect()][0]
+    before = [
+        (r.vec_id, r.score)
+        for r in ivf_index.search_ivf_index(spark, path, q, k=5, n_probes=4).collect()
+    ]
+    m1 = ivf_index.snapshot_ivf_index(path, tag="pre-append")
+    assert m1["version"] == 1 and len(m1["files"]) > 0
+
+    # mutate the live index: append new rows, then compact (rewrites files)
+    extra = load_table(spark, sf_dir, "embeddings").limit(400).filter(
+        F.col("vec_id") >= 300
+    )
+    ivf_index.append_to_ivf_index(extra, path)
+    ivf_index.compact_ivf_index(spark, path)
+    mutated = [
+        (r.vec_id, r.score)
+        for r in ivf_index.search_ivf_index(spark, path, q, k=5, n_probes=4).collect()
+    ]
+
+    restored_manifest = ivf_index.rollback_ivf_index(path, 1)
+    assert restored_manifest["version"] == 1
+    after = [
+        (r.vec_id, r.score)
+        for r in ivf_index.search_ivf_index(spark, path, q, k=5, n_probes=4).collect()
+    ]
+    assert after == before
+    # snapshots survive rollback and can be listed
+    assert [m["version"] for m in ivf_index.list_ivf_snapshots(path)] == [1]
+    assert mutated != before or len(mutated) == len(before)
+
+
+def test_snapshot_survives_compaction_inode_reuse(spark, sf_dir, tmp_path):
+    """Compaction rewrites/deletes live files; the snapshot's hardlinks
+    must keep the original bytes readable."""
+    from penr_oz_agent_memory_rust_spark.operators import ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    path = str(tmp_path / "ivf2")
+    ivf_index.build_ivf_index(emb, path, n_centroids=2, n_iters=2)
+    ivf_index.snapshot_ivf_index(path)
+    ivf_index.append_to_ivf_index(
+        load_table(spark, sf_dir, "embeddings").limit(250).filter(F.col("vec_id") >= 200),
+        path,
+    )
+    ivf_index.compact_ivf_index(spark, path)
+    import os
+
+    snap_data = os.path.join(path, "snapshots", "v0001", "data")
+    n = spark.read.parquet(snap_data).count()
+    assert n == 200
