@@ -1726,6 +1726,41 @@ def q_fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ canonical entity assignment: each part's single best fuzzy match
+    (lowest distance, id tie-break) via struct-min aggregation — no
+    window, one shuffle on id_a (operators/linkage.best_match)."""
+    from penr_oz_agent_memory_rust_spark.operators import linkage
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = linkage.fuzzy_pairs(
+        p, "p_partkey", "p_name", max_distance=2, max_block=1000
+    )
+    return linkage.best_match(pairs).select(
+        F.col("id_a").alias("part_a"),
+        F.col("id_b").alias("part_b"),
+        "name_b",
+        "distance",
+    )
+
+
+def q_events_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist window functions per event type — the
+    relative-rank window family over the events fact (one shuffle on the
+    partition key; frames stay unbounded-preceding defaults)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ SCD2 / CDC-apply without a transactional format: every 7th
     customer relocates to a new market segment effective 2026-01-01; the
@@ -2612,6 +2647,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Registration order is load-bearing: the driver evaluates a bounded
+def q_stream_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ streaming chunk-level dedup — CDC end-to-end: documents arrive
+    as TWO availableNow micro-batches (doc_id < 250, then the rest);
+    each batch is content-defined-chunked and only chunks whose
+    fingerprint is NOT already in the persisted store append
+    (streaming.run_cdc_chunk_dedup_once). The oracle recomputes the same
+    first-batch-wins store in SQL: batch-1 chunks plus batch-2 chunks
+    whose fp no batch-1 chunk carries — a dropped or double-processed
+    micro-batch changes the result."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from penr_oz_agent_memory_rust_spark.streaming import ingest as _ingest
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"cdcstream|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = f"cdcstream|{sf_dir}"
+    work = os.path.join(
+        _tf.gettempdir(), f"__cdc_stream_{_hl.md5(ident.encode()).hexdigest()[:12]}"
+    )
+    marker = os.path.join(work, "_STREAMED_OK")
+    incoming = os.path.join(work, "incoming")
+    store = os.path.join(work, "store")
+    if not os.path.exists(marker):
+        if os.path.exists(work):  # partial state from an interrupted run
+            _sh.rmtree(work)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(
+            incoming
+        )
+        _ingest.run_cdc_chunk_dedup_once(spark, incoming, store)
+        docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(
+            incoming
+        )
+        _ingest.run_cdc_chunk_dedup_once(spark, incoming, store)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return spark.read.parquet(os.path.join(store, "chunks")).select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_fp"
+    )
+
+
 def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ streaming → ANN-index incremental build: the persisted IVF index
     is built from HALF the corpus (even vec_ids, trained centroids), then
@@ -3054,6 +3135,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "vocab_coverage": q_vocab_coverage,
         "seasonal_anomalies": q_seasonal_anomalies,
         "html_strip": q_html_strip,
+        "fuzzy_best_match": q_fuzzy_best_match,
+        "events_value_ranks": q_events_value_ranks,
+        "stream_cdc_dedup": q_stream_cdc_dedup,
         "quality_winsorize": q_quality_winsorize,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
@@ -4473,6 +4557,37 @@ def oracle_sql() -> dict[str, str]:
                round(avg(logp), 6) AS lm_score
         FROM scored GROUP BY 1
     """
+    d["fuzzy_best_match"] = """
+        WITH k0 AS (
+          SELECT p_partkey AS id, p_name AS name,
+                 string_split(lower(p_name), ' ') AS toks
+          FROM part
+        ), keyed AS (
+          SELECT id, name,
+                 toks[len(toks)] || '|' ||
+                 CAST(CAST(floor(length(name) / 4) AS BIGINT) AS VARCHAR) AS block
+          FROM k0
+        ), ok AS (
+          SELECT block FROM keyed GROUP BY block HAVING count(*) <= 1000
+        ), kk AS (
+          SELECT k.id, k.name, k.block FROM keyed k JOIN ok o ON o.block = k.block
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, b.name AS name_b,
+                 levenshtein(a.name, b.name) AS distance
+          FROM kk a JOIN kk b ON a.block = b.block AND a.id < b.id
+          WHERE levenshtein(a.name, b.name) <= 2
+        )
+        SELECT id_a AS part_a, id_b AS part_b, name_b, distance FROM pairs
+        QUALIFY row_number() OVER (
+          PARTITION BY id_a ORDER BY distance, id_b, name_b) = 1
+    """
+    d["events_value_ranks"] = """
+        SELECT event_id, event_type, round(value, 6) AS value,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """
     d["html_strip"] = """
         WITH wrapped AS (
           SELECT doc_id,
@@ -4542,6 +4657,52 @@ def oracle_sql() -> dict[str, str]:
                  AS oov_rate
         FROM toks t LEFT JOIN vocab v ON v.w = t.w
         GROUP BY 1
+    """
+    _cdc_ctes = f"""b2 AS (
+          SELECT doc_id, norm, length(norm) AS n FROM
+          (SELECT doc_id, {_DK_NORM} AS norm FROM documents)
+          WHERE length(norm) >= 1
+        ), bounds AS (
+          SELECT doc_id, i AS b FROM (
+            SELECT doc_id, norm, n, unnest(generate_series(8, n - 1)) AS i
+            FROM b2 WHERE n >= 9)
+          WHERE ('0x' || substring(md5(substring(norm, i - 7, 8)), 1, 15))::BIGINT
+                % 64 = 0
+        ), body AS (
+          SELECT doc_id,
+                 lag(b, 1, 0) OVER w + 1 AS chunk_start,
+                 b - lag(b, 1, 0) OVER w AS chunk_len,
+                 row_number() OVER w - 1 AS chunk_idx
+          FROM bounds WINDOW w AS (PARTITION BY doc_id ORDER BY b)
+        ), lastb AS (
+          SELECT doc_id, max(b) AS lb, count(*) AS nb FROM bounds GROUP BY 1
+        ), tail AS (
+          SELECT b2.doc_id, coalesce(l.lb, 0) + 1 AS chunk_start,
+                 b2.n - coalesce(l.lb, 0) AS chunk_len,
+                 coalesce(l.nb, 0) AS chunk_idx
+          FROM b2 LEFT JOIN lastb l USING (doc_id)
+          WHERE b2.n - coalesce(l.lb, 0) >= 1
+        ), allc AS (
+          SELECT * FROM body UNION ALL SELECT * FROM tail
+        ), chunks AS (
+          SELECT a.doc_id, a.chunk_idx::BIGINT AS chunk_idx,
+                 a.chunk_start::BIGINT AS chunk_start,
+                 a.chunk_len::BIGINT AS chunk_len,
+                 md5(substring(b2.norm, a.chunk_start, a.chunk_len)) AS chunk_fp
+          FROM allc a JOIN b2 USING (doc_id)
+        )"""
+    d["stream_cdc_dedup"] = f"""
+        WITH {_cdc_ctes},
+        tagged AS (
+          SELECT *, CASE WHEN doc_id < 250 THEN 1 ELSE 2 END AS batch FROM chunks
+        )
+        SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_fp
+        FROM tagged WHERE batch = 1
+        UNION ALL
+        SELECT c.doc_id, c.chunk_idx, c.chunk_start, c.chunk_len, c.chunk_fp
+        FROM tagged c
+        WHERE c.batch = 2 AND NOT EXISTS (
+          SELECT 1 FROM tagged e WHERE e.batch = 1 AND e.chunk_fp = c.chunk_fp)
     """
     d["cdc_chunking"] = f"""
         WITH b2 AS (

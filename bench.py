@@ -152,6 +152,9 @@ HEADLINE = [
     "vocab_coverage",
     "seasonal_anomalies",
     "html_strip",
+    "fuzzy_best_match",
+    "events_value_ranks",
+    "stream_cdc_dedup",
 ]
 
 

@@ -757,3 +757,55 @@ def continuous_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_cdc_chunk_dedup_once(
+    spark: SparkSession,
+    incoming_dir: str,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 8,
+    modulus: int = 64,
+) -> int:
+    """Incremental chunk-level dedup as a REAL streaming job — the
+    end-to-end use of content-defined chunking: each micro-batch of
+    documents arriving in `incoming_dir` is CDC-chunked
+    (operators/text_ops.cdc_chunk_documents), chunks whose fingerprint
+    already exists in the persisted chunk store are dropped (left-anti
+    join), and only the NOVEL chunks append. Because CDC boundaries
+    re-synchronize after edits (90% of fingerprints survive a prefix
+    insertion — PLANS.md CDC probe), a re-crawled document with one
+    edited paragraph stores ~one chunk, not the whole document.
+
+    availableNow + checkpoint beside the store = exactly-once per file
+    across restarts. Duplicates WITHIN one micro-batch are both kept
+    (the store constraint is first-write-wins per fingerprint across
+    batches — same contract as dedup.incremental_dedup). Returns the
+    number of micro-batches executed.
+    """
+    from penr_oz_agent_memory_rust_spark.operators import text_ops
+
+    schema = spark.read.parquet(incoming_dir).schema
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    data = os.path.join(store_path, "chunks")
+    n_batches = {"n": 0}
+
+    def _dedup_append(bdf: DataFrame, _bid: int) -> None:
+        chunks = text_ops.cdc_chunk_documents(
+            bdf, id_col=id_col, text_col=text_col, gram=gram, modulus=modulus
+        )
+        if os.path.exists(data):
+            existing = bdf.sparkSession.read.parquet(data).select("chunk_fp")
+            chunks = chunks.join(existing, "chunk_fp", "left_anti")
+        chunks.write.mode("append").parquet(data)
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_dedup_append)
+        .option("checkpointLocation", os.path.join(store_path, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

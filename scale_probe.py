@@ -655,6 +655,77 @@ def linkage_probe() -> None:
     spark.stop()
 
 
+def cdc_probe() -> None:
+    """Content-defined chunking at corpus scale: 1M synthetic ~600-char
+    docs (600M positions hashed). Reports boundary density vs the 1/64
+    theory, chunk-length stats, and wall time — plus the re-sync property
+    measured in bulk: every doc duplicated with a prefix edit, fraction of
+    chunk fingerprints shared between original and edited copy.
+
+    Run: python scale_probe.py cdc
+    """
+    from penr_oz_agent_memory_rust_spark.operators.text_ops import (
+        cdc_chunk_documents,
+    )
+
+    spark = get_spark(app_name="poz-cdc-probe")
+    n = 1_000_000
+    words = F.expr(
+        "array_join(transform(sequence(1, 100), "
+        "i -> concat('w', cast(abs(hash(id, i)) % 5000 as string))), ' ')"
+    )
+    docs = spark.range(n).select(F.col("id").alias("doc_id"), words.alias("text"))
+    t0 = time.time()
+    chunks = cdc_chunk_documents(docs, gram=8, modulus=64)
+    stats = chunks.agg(
+        F.count("*").alias("chunks"),
+        F.round(F.avg("chunk_len"), 2).alias("avg_len"),
+        F.round(F.expr("percentile(chunk_len, 0.95)"), 1).alias("p95_len"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "probe": "cdc_chunking",
+                "docs": n,
+                "chunks": stats.chunks,
+                "avg_len": stats.avg_len,
+                "p95_len": stats.p95_len,
+                "theory_len": 64,
+                "wall_sec": wall,
+            }
+        )
+    )
+    # re-sync in bulk: 100k docs + their prefix-edited copies
+    m = 100_000
+    base = spark.range(m).select(F.col("id").alias("doc_id"), words.alias("text"))
+    edited = base.select(
+        (F.col("doc_id") + m).alias("doc_id"),
+        F.concat(F.lit("inserted prefix paragraph "), F.col("text")).alias("text"),
+    )
+    both = cdc_chunk_documents(base.unionByName(edited), gram=8, modulus=64)
+    orig = both.filter(F.col("doc_id") < m).select(
+        F.col("doc_id").alias("k"), "chunk_fp"
+    )
+    edit = both.filter(F.col("doc_id") >= m).select(
+        (F.col("doc_id") - m).alias("k"), F.col("chunk_fp").alias("fp2")
+    )
+    shared = orig.join(edit, (orig.k == edit.k) & (orig.chunk_fp == edit.fp2)).count()
+    total = orig.count()
+    print(
+        json.dumps(
+            {
+                "probe": "cdc_resync",
+                "docs": m,
+                "orig_chunks": total,
+                "shared_after_prefix_edit": shared,
+                "shared_frac": round(shared / total, 4),
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -824,5 +895,7 @@ if __name__ == "__main__":
         graph_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "linkage":
         linkage_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "cdc":
+        cdc_probe()
     else:
         main()

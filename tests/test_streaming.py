@@ -597,3 +597,36 @@ def test_embedding_drift_stream_matches_batch(spark, tmp_path):
         assert got[ws]["drift"] == pytest.approx(want, abs=2e-6)
     assert got[t0]["drift"] < 0.1
     assert got[t0 + 300]["drift"] > 0.5 * d * delta**2
+
+
+def test_cdc_chunk_dedup_stream_first_write_wins(spark, tmp_path):
+    """Two micro-batches; batch-2 chunks whose fingerprints batch 1
+    already stored must not append again."""
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        run_cdc_chunk_dedup_once,
+    )
+
+    incoming = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    b1 = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    b1.coalesce(1).write.mode("append").parquet(incoming)
+    assert run_cdc_chunk_dedup_once(spark, incoming, store, gram=4, modulus=8) >= 1
+    n1 = spark.read.parquet(store + "/chunks").count()
+    assert n1 > 0
+
+    # batch 2: one identical doc (all chunks dup) + one new doc
+    b2 = spark.createDataFrame(
+        [(2, text), (3, "completely different words entirely novel content here")],
+        "doc_id bigint, text string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(incoming)
+    run_cdc_chunk_dedup_once(spark, incoming, store, gram=4, modulus=8)
+    stored = spark.read.parquet(store + "/chunks")
+    # doc 2 contributes nothing (identical text -> identical fps)
+    assert stored.filter("doc_id = 2").count() == 0
+    assert stored.filter("doc_id = 3").count() > 0
+    # re-running with nothing new appends nothing (checkpoint)
+    total = stored.count()
+    run_cdc_chunk_dedup_once(spark, incoming, store, gram=4, modulus=8)
+    assert spark.read.parquet(store + "/chunks").count() == total
