@@ -2609,6 +2609,45 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ dataset datasheet: the one-table summary a corpus release ships
+    with — sizes, language share, exact-duplicate rate, quality
+    distribution — computed in a handful of scalar/grouped aggregations
+    unioned into (metric, value) long format; every input is one scan
+    with map-side partials."""
+    docs = _docs(spark, sf_dir)
+    toks = F.size(hashing.word_tokens(F.col("text")))
+    base = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(toks).cast("double").alias("n_tokens"),
+        F.sum(F.length("text")).cast("double").alias("n_chars"),
+        F.avg((F.col("lang") == "en").cast("double")).alias("en_share"),
+    )
+    qual = docs.select(
+        text_ops.quality_score_expr(F.col("text")).alias("q")
+    ).agg(
+        F.round(F.avg("q"), 6).alias("quality_mean"),
+        F.round(F.expr("percentile(q, 0.5)"), 6).alias("quality_p50"),
+    )
+    dup = (
+        docs.select(hashing.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            (
+                1.0 - F.count("*").cast("double") / F.sum("c").cast("double")
+            ).alias("dup_rate")
+        )
+    )
+    def melt(df):
+        cols = df.columns
+        pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+        return df.selectExpr(f"stack({len(cols)}, {pairs}) as (metric, value)")
+
+    out = melt(base).unionByName(melt(qual)).unionByName(melt(dup))
+    return out.select("metric", F.round("value", 6).alias("value"))
+
+
 def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ temperature-scaled mixture planning (mBERT/XLM-R alpha=0.5):
     per-language token counts -> sampling shares ∝ tokens^alpha + a
@@ -3138,6 +3177,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fuzzy_best_match": q_fuzzy_best_match,
         "events_value_ranks": q_events_value_ranks,
         "stream_cdc_dedup": q_stream_cdc_dedup,
+        "corpus_datasheet": q_corpus_datasheet,
         "quality_winsorize": q_quality_winsorize,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
@@ -4691,6 +4731,32 @@ def oracle_sql() -> dict[str, str]:
                  md5(substring(b2.norm, a.chunk_start, a.chunk_len)) AS chunk_fp
           FROM allc a JOIN b2 USING (doc_id)
         )"""
+    d["corpus_datasheet"] = f"""
+        WITH base AS (
+          SELECT count(*)::DOUBLE AS n_docs,
+                 sum(len(string_split(lower(text), ' ')))::DOUBLE AS n_tokens,
+                 sum(length(text))::DOUBLE AS n_chars,
+                 avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS en_share
+          FROM documents
+        ), qual AS (
+          SELECT round(avg(q), 6) AS quality_mean,
+                 round(quantile_cont(q, 0.5), 6) AS quality_p50
+          FROM (SELECT {_DK_QUALITY} AS q FROM documents)
+        ), dup AS (
+          SELECT 1.0 - count(*)::DOUBLE / sum(c)::DOUBLE AS dup_rate
+          FROM (SELECT md5({_DK_NORM}) AS fp, count(*) AS c
+                FROM documents GROUP BY 1)
+        )
+        SELECT metric, round(value, 6) AS value FROM (
+          SELECT 'n_docs' AS metric, n_docs AS value FROM base
+          UNION ALL SELECT 'n_tokens', n_tokens FROM base
+          UNION ALL SELECT 'n_chars', n_chars FROM base
+          UNION ALL SELECT 'en_share', en_share FROM base
+          UNION ALL SELECT 'quality_mean', quality_mean FROM qual
+          UNION ALL SELECT 'quality_p50', quality_p50 FROM qual
+          UNION ALL SELECT 'dup_rate', dup_rate FROM dup
+        )
+    """
     d["stream_cdc_dedup"] = f"""
         WITH {_cdc_ctes},
         tagged AS (

@@ -155,6 +155,7 @@ HEADLINE = [
     "fuzzy_best_match",
     "events_value_ranks",
     "stream_cdc_dedup",
+    "corpus_datasheet",
 ]
 
 
