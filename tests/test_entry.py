@@ -150,3 +150,17 @@ def test_stream_ivf_append_cache_and_partial_state_recovery(spark, sf_dir):
     assert os.path.exists(marker)
     assert os.path.getmtime(os.path.join(path, "centroids.json")) > mtime
     shutil.rmtree(path, ignore_errors=True)  # leave no cross-test state
+
+
+def test_corpus_datasheet_shape_and_invariants(spark, sf_dir):
+    import __spark_entry__ as m
+
+    out = {r.metric: r.value for r in m.queries()["corpus_datasheet"](spark, sf_dir).collect()}
+    assert set(out) == {
+        "n_docs", "n_tokens", "n_chars", "en_share",
+        "quality_mean", "quality_p50", "dup_rate",
+    }
+    assert out["n_docs"] > 0 and out["n_tokens"] > out["n_docs"]
+    assert 0.0 <= out["en_share"] <= 1.0
+    assert 0.0 <= out["dup_rate"] < 1.0
+    assert 0.0 <= out["quality_mean"] <= 1.0

@@ -60,3 +60,26 @@ def test_block_key_custom_token(spark):
         block_key(F.col("name"), token_index=1).alias("k")
     )
     assert df.collect()[0].k.startswith("alpha|")
+
+
+def test_fuzzy_pairs_subset_of_blocks_property(spark):
+    import random
+
+    from penr_oz_agent_memory_rust_spark.operators.linkage import block_key
+
+    rnd = random.Random(3)
+    adjs = ["red", "blue", "tiny", "big", "old"]
+    nouns = ["bolt", "gear", "ring"]
+    rows = [
+        (i, f"{rnd.choice(adjs)} {rnd.choice(nouns)}") for i in range(200)
+    ]
+    df = _names(spark, rows)
+    pairs = fuzzy_pairs(df, "id", "name", max_distance=3).collect()
+    keyed = {
+        r.id: r.k
+        for r in df.select("id", block_key(F.col("name")).alias("k")).collect()
+    }
+    for p in pairs:
+        assert p.id_a < p.id_b
+        assert keyed[p.id_a] == keyed[p.id_b]  # candidates only within a block
+        assert 0 <= p.distance <= 3
