@@ -2283,6 +2283,22 @@ def q_knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ DeepWalk-style walk corpus over the exact top-5 kNN graph —
+    derandomized (neighbor index = md5(salt|walk|step) % degree) so the
+    walk corpus is reproducible and oracle-checkable; each step is one
+    equi-join of the frontier against the indexed adjacency
+    (operators/graph_stats.deterministic_walks)."""
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import (
+        deterministic_walks,
+    )
+
+    out = deterministic_walks(
+        _knn_edges_500(spark, sf_dir), walks_per_node=1, walk_len=3
+    )
+    return out.select("walk_id", F.col("step").cast("int").alias("step"), "node")
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ ordered funnel signup -> view -> purchase with a 6-hour horizon
     from the user's first signup: co-partitioned join per step, no
@@ -3178,6 +3194,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_value_ranks": q_events_value_ranks,
         "stream_cdc_dedup": q_stream_cdc_dedup,
         "corpus_datasheet": q_corpus_datasheet,
+        "knn_graph_walks": q_knn_graph_walks,
         "quality_winsorize": q_quality_winsorize,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
@@ -4522,6 +4539,46 @@ def oracle_sql() -> dict[str, str]:
     """
     d["knn_pagerank"] = _pagerank_sql(iters=3, k=5, damping=0.85)
     d["label_propagation"] = _label_prop_sql(iters=3, k=5)
+    _walk_hash = (
+        "('0x' || substring(md5('walk|' || f.walk_id || '|{i}'), 1, 15))::BIGINT"
+    )
+    _walk_steps = "".join(
+        f""", f{i} AS (
+          SELECT f.walk_id, n.nbr AS node
+          FROM f{i - 1} f JOIN nbrs n ON n.node = f.node
+           AND n.idx = {_walk_hash.format(i=i)} % n.deg
+        )"""
+        for i in (1, 2, 3)
+    )
+    _walk_union = " UNION ALL ".join(
+        f"SELECT walk_id, {i} AS step, node FROM f{i}" for i in (0, 1, 2, 3)
+    )
+    d["knn_graph_walks"] = f"""
+        WITH scored AS (
+          SELECT q.vec_id AS src, e.vec_id AS dst,
+                 {_dk_cos('e.embedding', 'q.embedding')} AS score
+          FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+          WHERE q.vec_id < 500 AND e.vec_id < 500
+            AND {_dk_norm_pos('q.embedding')} AND {_dk_norm_pos('e.embedding')}
+        ), edges AS (
+          SELECT src, dst FROM scored
+          QUALIFY row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) <= 5
+        ), und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ), adj AS (
+          SELECT a AS node, b AS nbr FROM und
+          UNION ALL SELECT b AS node, a AS nbr FROM und
+        ), nbrs AS (
+          SELECT node, nbr,
+                 row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS idx,
+                 count(*) OVER (PARTITION BY node) AS deg
+          FROM adj
+        ), f0 AS (
+          SELECT DISTINCT CAST(node AS VARCHAR) || '#0' AS walk_id, node FROM nbrs
+        ){_walk_steps}
+        SELECT walk_id, step, node FROM ({_walk_union})
+    """
     d["knn_graph_triangles"] = f"""
         WITH scored AS (
           SELECT q.vec_id AS src, e.vec_id AS dst,

@@ -156,6 +156,7 @@ HEADLINE = [
     "events_value_ranks",
     "stream_cdc_dedup",
     "corpus_datasheet",
+    "knn_graph_walks",
 ]
 
 

@@ -24,7 +24,7 @@ degree order — identical per-node results either way.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def undirected_edges(
@@ -109,3 +109,81 @@ def triangle_stats(
     for df in (oriented, deg, und):
         df.unpersist()
     return out
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_len: int = 3,
+    salt: str = "walk",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """DeepWalk-style walk corpus over the undirected graph, made
+    engine-portable: the "random" neighbor at step i of walk w is
+    neighbor index md5(salt|w|i) % degree — the same derandomization
+    trick as the deterministic samplers (text_ops.deterministic_sample),
+    so walk corpora are reproducible across runs/engines and the whole
+    operator is oracle-checkable. Output: (walk_id, step, node), step 0
+    is the start node; walks stop early only at isolated nodes (none on
+    an undirected edge list).
+
+    Scale shape: the neighbor table (adjacency with a per-source dense
+    index from a PER-NODE window — partitioned by node, never global)
+    is built once and reused; each step is ONE equi-join of the frontier
+    (n_walks rows) against it plus a modulo on the precomputed degree.
+    Lineage grows linearly with walk_len, so long walks should
+    localCheckpoint the frontier every few steps (same pattern as
+    pagerank); the unrolled-join shape is exactly how distributed
+    node2vec corpus generation is done at graph scale.
+    """
+    from penr_oz_agent_memory_rust_spark.functions import hashing
+
+    und = undirected_edges(edges, src_col, dst_col)
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+    w = Window.partitionBy("node").orderBy("nbr")
+    nbrs = adj.select(
+        "node",
+        "nbr",
+        (F.row_number().over(w) - 1).alias("__idx"),
+        F.count("*").over(Window.partitionBy("node")).alias("__deg"),
+    ).persist()
+    starts = (
+        nbrs.select("node")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                nbrs.sparkSession.range(walks_per_node).select(
+                    F.col("id").alias("__j")
+                )
+            )
+        )
+        .select(
+            F.concat_ws("#", F.col("node").cast("string"), F.col("__j")).alias(
+                "walk_id"
+            ),
+            F.col("node"),
+        )
+    )
+    out = starts.select("walk_id", F.lit(0).alias("step"), "node")
+    frontier = starts
+    for i in range(1, walk_len + 1):
+        pick = (
+            hashing.md5_long(
+                F.concat_ws("|", F.lit(salt), F.col("walk_id"), F.lit(str(i)))
+            )
+            % F.col("__deg")
+        )
+        frontier = (
+            frontier.join(nbrs, "node")
+            .filter(F.col("__idx") == pick)
+            .select("walk_id", F.col("nbr").alias("node"))
+        )
+        out = out.unionByName(
+            frontier.select("walk_id", F.lit(i).alias("step"), "node")
+        )
+    res = out.localCheckpoint(eager=True)
+    nbrs.unpersist()
+    return res

@@ -70,3 +70,58 @@ def test_matches_bruteforce_on_random_graph(spark):
             expect[n] = t
     out = {r.id: r.triangles for r in triangle_stats(_edges(spark, pairs)).collect()}
     assert out == expect
+
+
+def _py_md5_long(s):
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_deterministic_walks_match_python_reference(spark):
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import (
+        deterministic_walks,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    out = deterministic_walks(
+        _edges(spark, pairs), walks_per_node=2, walk_len=3, salt="t"
+    ).collect()
+    # python reference with identical derandomization
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    adj = {n: sorted(v) for n, v in adj.items()}
+    expect = {}
+    for n in adj:
+        for j in range(2):
+            wid = f"{n}#{j}"
+            cur = n
+            expect[(wid, 0)] = cur
+            for i in range(1, 4):
+                nb = adj[cur]
+                cur = nb[_py_md5_long(f"t|{wid}|{i}") % len(nb)]
+                expect[(wid, i)] = cur
+    got = {(r.walk_id, r.step): r.node for r in out}
+    assert got == expect
+
+
+def test_walks_shape_and_edges_valid(spark):
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import (
+        deterministic_walks,
+    )
+
+    pairs = [(i, (i + 1) % 10) for i in range(10)]  # ring
+    out = deterministic_walks(
+        _edges(spark, pairs), walks_per_node=1, walk_len=4
+    ).collect()
+    by_walk = {}
+    for r in out:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.node
+    assert len(by_walk) == 10
+    ring = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    for wid, steps in by_walk.items():
+        assert sorted(steps) == [0, 1, 2, 3, 4]
+        for i in range(4):
+            assert (steps[i], steps[i + 1]) in ring  # every hop is an edge
