@@ -1761,6 +1761,24 @@ def q_events_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    the data-layout primitive behind OPTIMIZE ZORDER: pure codegen bit
+    interleaving; write_zordered range-partitions + sorts by it so parquet
+    min-max stats prune on BOTH dimensions (operators/layout.py; file-level
+    pruning property pinned in tests/test_layout.py)."""
+    from penr_oz_agent_memory_rust_spark.operators.layout import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zorder_value(F.col("l_partkey"), F.col("l_suppkey")),
+    )
+
+
 def q_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ SCD2 / CDC-apply without a transactional format: every 7th
     customer relocates to a new market segment effective 2026-01-01; the
@@ -3195,6 +3213,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_cdc_dedup": q_stream_cdc_dedup,
         "corpus_datasheet": q_corpus_datasheet,
         "knn_graph_walks": q_knn_graph_walks,
+        "zorder_values": q_zorder_values,
         "quality_winsorize": q_quality_winsorize,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
@@ -4539,6 +4558,16 @@ def oracle_sql() -> dict[str, str]:
     """
     d["knn_pagerank"] = _pagerank_sql(iters=3, k=5, damping=0.85)
     d["label_propagation"] = _label_prop_sql(iters=3, k=5)
+    _z_terms = " + ".join(
+        f"((((l_partkey::BIGINT & 65535) >> {i}) & 1) << {2 * i}) + "
+        f"((((l_suppkey::BIGINT & 65535) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    d["zorder_values"] = f"""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               ({_z_terms})::BIGINT AS zval
+        FROM lineitem WHERE l_orderkey < 2000
+    """
     _walk_hash = (
         "('0x' || substring(md5('walk|' || f.walk_id || '|{i}'), 1, 15))::BIGINT"
     )

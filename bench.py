@@ -157,6 +157,7 @@ HEADLINE = [
     "stream_cdc_dedup",
     "corpus_datasheet",
     "knn_graph_walks",
+    "zorder_values",
 ]
 
 
