@@ -726,6 +726,125 @@ def cdc_probe() -> None:
     spark.stop()
 
 
+def zorder_probe() -> None:
+    """Data-layout probe (`python scale_probe.py zorder`): quantify what
+    Z-order clustering buys for two-dimensional data skipping at a few
+    million rows.
+
+    Writes the same 6M-row synthetic table three ways — unclustered (hash
+    partitions), sorted by dim `a` alone, and Z-ordered on (a, b) via
+    `operators/layout.write_zordered` — then for a box predicate
+    `a IN [0,tile) AND b IN [0,tile)`:
+
+    - counts output files whose parquet footer min-max stats can match the
+      box on BOTH dims (the fraction of the table a stats-pruning reader
+      must fetch — the 100 TB cost model, where every non-pruned file is a
+      network read), and
+    - times the actual filtered Spark scan over each layout.
+
+    Expected shape: single-dim sort prunes on `a` only (~tile/range of
+    files but every one matching on b's full range would also pass a b-only
+    predicate); Z-order confines the box to the few files whose z-range
+    rectangle intersects it, on either predicate alone as well as both.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from penr_oz_agent_memory_rust_spark.operators.layout import write_zordered
+
+    spark = get_spark(app_name="poz-zorder-probe")
+    n = int(os.environ.get("SCALE_Z_ROWS", "6000000"))
+    side = 4096  # key space: (a, b) uniform in [0, side)^2
+    tile = 256  # box predicate edge: 1/16 of each dim -> 1/256 of the area
+    n_files = 64
+
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            # decorrelated pseudo-uniform dims (multiplicative hashing)
+            ((F.col("id") * 2654435761) % side).alias("a"),
+            ((F.col("id") * 40503 + 2531011) % side).alias("b"),
+            (F.rand(7) * 100).alias("payload"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="poz_zorder_")
+    layouts = {}
+    t_write = {}
+    try:
+        t0 = time.time()
+        base.repartition(n_files).write.mode("overwrite").parquet(f"{tmp}/plain")
+        t_write["plain"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        (
+            base.repartitionByRange(n_files, "a")
+            .sortWithinPartitions("a")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/sort_a")
+        )
+        t_write["sort_a"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        write_zordered(base, f"{tmp}/zorder", "a", "b", n_files=n_files, bits=12)
+        t_write["zorder"] = round(time.time() - t0, 2)
+
+        def files_matching(path: str, a_only: bool = False) -> tuple[int, int]:
+            """(files whose footer stats can match the box, total files)."""
+            fs = glob.glob(f"{path}/*.parquet")
+            hit = 0
+            for f in fs:
+                md = pq.read_metadata(f)
+                names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                ai, bi = names["a"], names["b"]
+                ok = False
+                for g in range(md.num_row_groups):
+                    sa = md.row_group(g).column(ai).statistics
+                    sb = md.row_group(g).column(bi).statistics
+                    in_a = sa.min < tile
+                    in_b = sb.min < tile
+                    if in_a and (a_only or in_b):
+                        ok = True
+                        break
+                hit += ok
+            return hit, len(fs)
+
+        stats = {}
+        scan_t = {}
+        scan_rows = {}
+        for name in ("plain", "sort_a", "zorder"):
+            path = f"{tmp}/{name}"
+            stats[name] = {
+                "files_matching_box": files_matching(path)[0],
+                "files_matching_a_only": files_matching(path, a_only=True)[0],
+                "files_total": files_matching(path)[1],
+            }
+            t0 = time.time()
+            scan_rows[name] = (
+                spark.read.parquet(path)
+                .filter((F.col("a") < tile) & (F.col("b") < tile))
+                .count()
+            )
+            scan_t[name] = round(time.time() - t0, 2)
+
+        print(
+            json.dumps(
+                {
+                    "rows": n,
+                    "box": f"a<{tile} AND b<{tile} of [0,{side})^2",
+                    "layout_stats": stats,
+                    "scan_sec": scan_t,
+                    "scan_rows": scan_rows,
+                    "write_sec": t_write,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -897,5 +1016,7 @@ if __name__ == "__main__":
         linkage_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "cdc":
         cdc_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "zorder":
+        zorder_probe()
     else:
         main()
