@@ -1119,6 +1119,406 @@ def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — the widest star in the suite
+    (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ supplier ⋈ nation×2 ⋈ region)
+    with every dimension broadcast and a conditional-sum share per year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp table in this synthetic schema, so
+    supply cost is proxied as 0.5 × p_retailprice per unit): profit by
+    supplier nation and year over PROMO-type parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: value = lineitem revenue instead of partsupp
+    stock value): parts whose revenue from NATION_1 suppliers exceeds
+    0.1% of that nation's total — grouped HAVING against a broadcast
+    scalar aggregate (one extra reduce, no second scan shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nat_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_1"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = (
+        li.join(F.broadcast(nat_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+        )
+    )
+    total = vals.agg(F.sum("val").alias("tot"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.round(F.col("val"), 4) > F.round(F.col("tot") * 0.001, 4))
+        .select("l_partkey", F.round("val", 4).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+def q_tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: l_linestatus stands in for the missing
+    l_shipmode): urgent-vs-other order counts per line status over one
+    shipping year — the conditional-count shape."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
+    revenue view + scalar-max equality join, made float-safe by rounding
+    the view to 4dp before the max/equality (both engines compare the
+    same rounded values)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: supplier participation comes from lineitem
+    instead of partsupp; the NOT-IN exclusion set is suppliers with
+    negative balance): distinct-supplier counts per (brand, type, size)
+    — anti join + count-distinct."""
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue impact of small-quantity orders — correlated
+    per-part average (l_quantity < 0.2 × avg over the part) as a
+    broadcast-back aggregate join, 6dp-rounded threshold on both engines."""
+    part1 = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li1 = li.join(F.broadcast(part1), li.l_partkey == part1.p_partkey)
+    qlim = li1.groupBy(F.col("l_partkey").alias("qp")).agg(
+        F.round(F.avg("l_quantity") * 0.2, 6).alias("qlim")
+    )
+    return (
+        li1.join(F.broadcast(qlim), F.col("l_partkey") == F.col("qp"))
+        .filter(F.col("l_quantity") < F.col("qlim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted to this schema's columns): revenue under three
+    OR'd brand/size/quantity conjunctions — the disjunctive-pushdown
+    shape (Catalyst pushes the whole OR-of-ANDs below the join build)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(15, 40)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: 'has excess stock' becomes 'shipped > 50 units
+    of some PROMO part in 1996'): nested grouped-HAVING inside a semi
+    join, nation filter broadcast."""
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    big = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(big, s.s_suppkey == big.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: 'late' = shipped > 60 days after the order
+    date, since l_commitdate/l_receiptdate don't exist here): suppliers
+    who were the SOLE late supplier on a multi-supplier finished order.
+    The EXISTS/NOT-EXISTS pair collapses to per-order distinct-supplier
+    stats (ns > 1, late-supplier count == 1) — two aggregates instead of
+    two correlated self-joins, same semantics, one shuffle each."""
+    o_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lj = li.join(o_f, li.l_orderkey == o_f.o_orderkey).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lj.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+    )
+    sole_late_orders = per_order.filter(
+        (F.col("ns") > 1) & (F.col("nl") == 1)
+    ).select("l_orderkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lj.filter(F.col("late"))
+        .join(sole_late_orders, "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: country code = c_nationkey % 10, no phone
+    column): customers with above-average positive balance and no recent
+    orders — scalar-avg broadcast + anti join."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_nationkey") % 10).isin(1, 2, 3, 4, 5))
+        .withColumn("cntrycode", F.col("c_nationkey") % 10)
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("ab")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: the part-supplier relation is derived from
+    lineitem and 'min supply cost' becomes min s_acctbal): for each
+    size-15 STANDARD part, its cheapest European supplier — the
+    correlated-min shape as a per-part min aggregate joined back on
+    equality (stored values, so float equality is exact)."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    target = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    cand = target.join(ps, F.col("p_partkey") == F.col("ps_partkey")).join(
+        F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("mp")).agg(
+        F.min("s_acctbal").alias("mn")
+    )
+    return (
+        cand.join(
+            F.broadcast(mn),
+            (F.col("p_partkey") == F.col("mp")) & (F.col("s_acctbal") == F.col("mn")),
+        )
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        .orderBy("s_acctbal", "p_partkey", "s_name")
+    )
+
+
 def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ int8-quantized top-k search (4x smaller vector storage). The
     quantized table is WRITTEN once and scanned thereafter — quantization
@@ -3140,6 +3540,18 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
         "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
         "tpch_q18_large_volume": q_tpch_q18_large_volume,
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q11_important_parts": q_tpch_q11_important_parts,
+        "tpch_q12_priority_by_status": q_tpch_q12_priority_by_status,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q16_supplier_counts": q_tpch_q16_supplier_counts,
+        "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
+        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
+        "tpch_q20_promo_suppliers": q_tpch_q20_promo_suppliers,
+        "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
+        "tpch_q22_global_sales": q_tpch_q22_global_sales,
         "curriculum_shards": q_curriculum_shards,
         "token_offset_shards": q_token_offset_shards,
         "stream_enrich_counts": q_stream_enrich_counts,
@@ -5136,6 +5548,177 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+    """
+    d["tpch_q8_market_share"] = """
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+                     / sum(volume), 6) AS mkt_share
+        FROM (
+          SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+        ) GROUP BY o_year ORDER BY o_year
+    """
+    d["tpch_q9_product_profit"] = """
+        SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+        FROM (
+          SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity AS amount
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE p_type = 'PROMO'
+        ) GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """
+    d["tpch_q11_important_parts"] = """
+        WITH vals AS (
+          SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
+          FROM lineitem
+          WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1')
+          GROUP BY l_partkey)
+        SELECT l_partkey, round(val, 4) AS value
+        FROM vals
+        WHERE round(val, 4) > round((SELECT sum(val) FROM vals) * 0.001, 4)
+        ORDER BY value DESC, l_partkey
+    """
+    d["tpch_q12_priority_by_status"] = """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus ORDER BY l_linestatus
+    """
+    d["tpch_q15_top_supplier"] = """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """
+    d["tpch_q16_supplier_counts"] = """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+    d["tpch_q17_small_quantity"] = """
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l
+        JOIN part ON p_partkey = l.l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT round(0.2 * avg(l2.l_quantity), 6) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+    """
+    d["tpch_q19_disjunctive_revenue"] = """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
+               AND l_quantity BETWEEN 20 AND 50)
+    """
+    d["tpch_q20_promo_suppliers"] = """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_type = 'PROMO'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > 50)
+          AND s_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+        ORDER BY s_name
+    """
+    d["tpch_q21_waiting_supplier"] = """
+        SELECT s_name, count(*)::BIGINT AS numwait
+        FROM lineitem l1
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """
+    d["tpch_q22_global_sales"] = """
+        WITH sel AS (
+          SELECT c_custkey, c_acctbal, c_nationkey % 10 AS cntrycode
+          FROM customer WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5))
+        SELECT cntrycode, count(*)::BIGINT AS numcust,
+               round(sum(c_acctbal), 4) AS totacctbal
+        FROM sel
+        WHERE c_acctbal > (
+            SELECT round(avg(c_acctbal), 6) FROM sel WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = sel.c_custkey
+              AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY cntrycode ORDER BY cntrycode
+    """
+    d["tpch_q2_min_cost_supplier"] = """
+        WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+                                    l_suppkey AS ps_suppkey FROM lineitem),
+        eu AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE')
+        SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+        FROM part
+        JOIN ps ON p_partkey = ps_partkey
+        JOIN eu ON ps_suppkey = s_suppkey
+        WHERE p_size = 15 AND p_type = 'STANDARD'
+          AND s_acctbal = (
+            SELECT min(e2.s_acctbal) FROM ps p2 JOIN eu e2
+            ON p2.ps_suppkey = e2.s_suppkey
+            WHERE p2.ps_partkey = p_partkey)
+        ORDER BY s_acctbal, p_partkey, s_name
     """
     d["curriculum_shards"] = f"""
         WITH scored AS (

@@ -146,6 +146,8 @@ HEADLINE = [
     "corpus_mix_temperature",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_supplier",
     "tpch_q13_order_distribution",
     "tpch_q18_large_volume",
     "cdc_chunking",

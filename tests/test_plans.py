@@ -161,6 +161,31 @@ def test_tpch_q5_broadcasts_all_dimensions(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_tpch_q8_broadcasts_all_seven_dims(spark, sf_dir):
+    """The widest star in the suite (7 joins): lineitem must reach the
+    per-year share aggregation through broadcasts only — orders/customer
+    are the only shuffle-worthy sides and at this scale even those are
+    outweighed by the fact table, so no SortMergeJoin may appear."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["tpch_q8_market_share"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q19_disjunction_pushed_to_scan(spark, sf_dir):
+    """Q19's OR-of-ANDs: the l_quantity disjuncts must reach the lineitem
+    parquet scan as pushed filters, not evaluate post-join."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["tpch_q19_disjunctive_revenue"](spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "PushedFilters" in plan, plan
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_quantity" in pushed or "Or(" in pushed, pushed
+
+
 def test_training_shards_no_global_window(spark, sf_dir):
     """The exact global rank must never degenerate into the classic
     single-partition global window: the plan's Window nodes all partition
