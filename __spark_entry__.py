@@ -1519,6 +1519,47 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ ANALYZE-style per-column statistics (operators/stats.py): exact
+    row/null/NDV counts + typed min/max for five lineitem columns in ONE
+    scan (multi-distinct plans as a single Expand+agg pass)."""
+    from penr_oz_agent_memory_rust_spark.operators.stats import analyze_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return analyze_columns(
+        li,
+        numeric_cols=["l_quantity", "l_discount", "l_partkey"],
+        string_cols=["l_returnflag", "l_linestatus"],
+    ).orderBy("column")
+
+
+def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Incremental aggregate maintenance (materialized-view refresh):
+    the pre-1999 base state merges with the 1999+ delta state via
+    union + re-agg over group-cardinality rows — the base table is never
+    rescanned on refresh (operators/incremental_agg.py; single-shuffle
+    merge and state algebra pinned in tests/test_incremental_agg.py).
+    The oracle recomputes the same aggregates directly over the union —
+    equality IS the state-merge correctness claim. vvar stays out of the
+    hash (1e15-magnitude ssq leaves ~1e-4 absolute cancellation noise
+    between accumulation orders)."""
+    from penr_oz_agent_memory_rust_spark.operators.incremental_agg import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")
+    base = agg_state(o.filter(cut), ["o_orderpriority"], "o_totalprice")
+    delta = agg_state(o.filter(~cut), ["o_orderpriority"], "o_totalprice")
+    return (
+        finalize(merge_states(base, delta))
+        .drop("vvar")
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ int8-quantized top-k search (4x smaller vector storage). The
     quantized table is WRITTEN once and scanned thereafter — quantization
@@ -3552,6 +3593,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q20_promo_suppliers": q_tpch_q20_promo_suppliers,
         "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
+        "incremental_agg_refresh": q_incremental_agg_refresh,
+        "analyze_table_stats": q_analyze_table_stats,
         "curriculum_shards": q_curriculum_shards,
         "token_offset_shards": q_token_offset_shards,
         "stream_enrich_counts": q_stream_enrich_counts,
@@ -5719,6 +5762,37 @@ def oracle_sql() -> dict[str, str]:
             ON p2.ps_suppkey = e2.s_suppkey
             WHERE p2.ps_partkey = p_partkey)
         ORDER BY s_acctbal, p_partkey, s_name
+    """
+    _stat_num = """
+        SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+               (count(*) - count({c}))::BIGINT AS n_nulls,
+               count(DISTINCT {c})::BIGINT AS n_distinct,
+               min({c})::DOUBLE AS vmin_num, max({c})::DOUBLE AS vmax_num,
+               NULL::VARCHAR AS vmin_str, NULL::VARCHAR AS vmax_str
+        FROM lineitem"""
+    _stat_str = """
+        SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+               (count(*) - count({c}))::BIGINT AS n_nulls,
+               count(DISTINCT {c})::BIGINT AS n_distinct,
+               NULL::DOUBLE AS vmin_num, NULL::DOUBLE AS vmax_num,
+               min({c}) AS vmin_str, max({c}) AS vmax_str
+        FROM lineitem"""
+    d["analyze_table_stats"] = (
+        " UNION ALL ".join(
+            [_stat_num.format(c=c) for c in ("l_quantity", "l_discount", "l_partkey")]
+            + [_stat_str.format(c=c) for c in ("l_returnflag", "l_linestatus")]
+        )
+        + ' ORDER BY "column"'
+    )
+    d["incremental_agg_refresh"] = """
+        SELECT o_orderpriority,
+               count(o_totalprice)::BIGINT AS n_rows,
+               round(sum(o_totalprice), 4) AS total,
+               round(min(o_totalprice), 4) AS vmin,
+               round(max(o_totalprice), 4) AS vmax,
+               round(sum(o_totalprice) / count(o_totalprice), 6) AS vavg
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
     d["curriculum_shards"] = f"""
         WITH scored AS (

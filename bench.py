@@ -160,6 +160,7 @@ HEADLINE = [
     "corpus_datasheet",
     "knn_graph_walks",
     "zorder_values",
+    "incremental_agg_refresh",
 ]
 
 

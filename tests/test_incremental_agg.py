@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.operators.incremental_agg import (
+    agg_state,
+    finalize,
+    merge_states,
+)
+from penr_oz_agent_memory_rust_spark.plans import explain
+from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return load_table(spark, SF_DIR, "orders")
+
+
+def _final_rows(df):
+    return {
+        tuple(r[k] for k in ("o_orderpriority",)): r
+        for r in df.collect()
+    }
+
+
+def test_merge_equals_full_recompute(spark, orders):
+    """state(a ∪ b) == merge(state(a), state(b)) — the algebraic
+    contract, on a real split of orders."""
+    cut = F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")
+    base = agg_state(orders.filter(cut), ["o_orderpriority"], "o_totalprice")
+    delta = agg_state(orders.filter(~cut), ["o_orderpriority"], "o_totalprice")
+    merged = _final_rows(finalize(merge_states(base, delta)))
+    full = _final_rows(finalize(agg_state(orders, ["o_orderpriority"], "o_totalprice")))
+    assert merged.keys() == full.keys()
+    for k in full:
+        m, f = merged[k], full[k]
+        assert m.n_rows == f.n_rows and m.vmin == f.vmin and m.vmax == f.vmax
+        # sums accumulate in a different order across the two plans:
+        # equal to well beyond the 4/6dp the finalize view rounds to
+        assert abs(m.total - f.total) < 1e-6
+        assert abs(m.vavg - f.vavg) < 1e-9
+        # ssq is ~1e15 here, so cancellation leaves ~1e-4 ABSOLUTE noise
+        # between accumulation orders — compare var relatively (and keep
+        # vvar out of any value-hash oracle for the same reason)
+        assert abs(m.vvar - f.vvar) <= 1e-9 * max(1.0, abs(f.vvar))
+
+
+def test_merge_is_associative_over_three_splits(spark, orders):
+    s1 = agg_state(orders.filter(F.col("o_orderkey") % 3 == 0), ["o_orderstatus"], "o_totalprice")
+    s2 = agg_state(orders.filter(F.col("o_orderkey") % 3 == 1), ["o_orderstatus"], "o_totalprice")
+    s3 = agg_state(orders.filter(F.col("o_orderkey") % 3 == 2), ["o_orderstatus"], "o_totalprice")
+    left = finalize(merge_states(merge_states(s1, s2), s3))
+    flat = finalize(merge_states(s1, s2, s3))
+    a = {r.o_orderstatus: r for r in left.collect()}
+    b = {r.o_orderstatus: r for r in flat.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k].n_rows == b[k].n_rows
+        assert abs(a[k].total - b[k].total) < 1e-6
+
+
+def test_hll_state_merges_within_sketch_error(spark, orders):
+    """The distinct-count state survives the split+merge and lands within
+    HLL error of the exact distinct customer count per priority."""
+    cut = F.col("o_orderkey") % 2 == 0
+    base = agg_state(orders.filter(cut), ["o_orderpriority"], "o_totalprice", distinct_col="o_custkey")
+    delta = agg_state(orders.filter(~cut), ["o_orderpriority"], "o_totalprice", distinct_col="o_custkey")
+    est = {
+        r.o_orderpriority: r.n_distinct_est
+        for r in finalize(merge_states(base, delta)).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.05, (k, est[k], exact[k])
+
+
+def test_merge_never_rescans_base_single_shuffle(spark, orders, tmp_path):
+    """The refresh plan: states read from parquet, merged with exactly
+    one hash exchange — group-cardinality inputs, no base-table scan."""
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    agg_state(orders.limit(1000), ["o_orderpriority"], "o_totalprice").write.parquet(p1)
+    agg_state(orders.limit(2000), ["o_orderpriority"], "o_totalprice").write.parquet(p2)
+    merged = merge_states(spark.read.parquet(p1), spark.read.parquet(p2))
+    assert explain.count_shuffle_exchanges(merged) == 1, explain.physical_plan(merged)
+    plan = explain.physical_plan(merged)
+    assert "orders.parquet" not in plan, plan
