@@ -1542,7 +1542,13 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the same aggregates directly over the union —
     equality IS the state-merge correctness claim. vvar stays out of the
     hash (1e15-magnitude ssq leaves ~1e-4 absolute cancellation noise
-    between accumulation orders)."""
+    between accumulation orders), and total/vavg re-round to 2dp: the
+    merged partial sums arrive in shuffle-fetch order, which is
+    NONDETERMINISTIC run-to-run, so finalize's 4dp/6dp presentation sits
+    inside the ~1e-6 reorder noise of a 1e8-magnitude sum (caught by the
+    bit-exact entry test, r4). The oracle mirrors the two-step rounding
+    verbatim so the only residual flake window is the raw noise against
+    a 5e-3 boundary."""
     from penr_oz_agent_memory_rust_spark.operators.incremental_agg import (
         agg_state,
         finalize,
@@ -1556,6 +1562,8 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         finalize(merge_states(base, delta))
         .drop("vvar")
+        .withColumn("total", F.round("total", 2))
+        .withColumn("vavg", F.round("vavg", 2))
         .orderBy("o_orderpriority")
     )
 
@@ -1586,6 +1594,147 @@ def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         quantize.quantize_table(emb).write.mode("overwrite").parquet(path)
     return quantize.quantized_search(spark.read.parquet(path), qv, k=10)
+
+
+def _binq_table_path(sf_dir: str) -> str:
+    import hashlib as _hl
+    import tempfile as _tf
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"binq|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = f"binq|{sf_dir}"
+    return os.path.join(
+        _tf.gettempdir(), f"__binq_table_{_hl.md5(ident.encode()).hexdigest()[:12]}"
+    )
+
+
+def _binq_query(spark: SparkSession, sf_dir: str):
+    """Shared setup for the binary-quantization gates: probe the query
+    vector, pack the table once (write-path projection, 32× smaller than
+    float32 on the wire), scan the packed parquet thereafter."""
+    from penr_oz_agent_memory_rust_spark.operators import quantize
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = _binq_table_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        quantize.binarize_table(emb, dim=len(qv)).write.mode("overwrite").parquet(path)
+    return emb, qv, spark.read.parquet(path)
+
+
+def q_bq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ 1-bit (sign) quantized top-k by Hamming distance — the 32×
+    storage/IO lever: the scan reads dim/32 bigint words per row and the
+    whole score is bit_count(xor) inside whole-stage codegen (no UDF, no
+    shuffle; TakeOrderedAndProject heap). Packing is deterministic
+    (bit = v > 0, MSB-first 32-per-word), so Hamming ranks are
+    oracle-checkable exactly."""
+    from penr_oz_agent_memory_rust_spark.operators import quantize
+
+    _, qv, packed = _binq_query(spark, sf_dir)
+    return quantize.binary_search(packed, qv, k=10)
+
+
+def q_bq_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ two-stage binary ANN: Hamming top-40 candidates from the packed
+    scan, exact f64 cosine re-score of only those candidates (broadcast
+    semi-join back to the float table), top-10. The serving shape for
+    billion-vector search on 1-bit storage; end-to-end deterministic."""
+    from penr_oz_agent_memory_rust_spark.operators import quantize
+
+    emb, qv, packed = _binq_query(spark, sf_dir)
+    return quantize.binary_search_rerank(packed, emb, qv, k=10, rerank_k=40)
+
+
+def q_ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ time-series regularization (time_bucket_gapfill): per event type,
+    resample `value` onto a 15-minute grid, densify the grid from one
+    (min, max) row per key (sequence+explode — grid size is bounded by the
+    time range, never the fact count), and linearly interpolate the gaps.
+    The per-key interpolation windows are running frames (one pass per
+    direction). ~29% of grid cells are gaps at sf0.01."""
+    from penr_oz_agent_memory_rust_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = timeseries.resample(ev, ["event_type"], "ts", "value", 900, agg="avg")
+    # fused form: one lead-window + explode, no grid join (equivalence to
+    # gap_fill()+interpolate() pinned in tests/test_timeseries.py)
+    out = timeseries.gap_fill_interpolate(obs, ["event_type"], 900, method="linear")
+    return out.select(
+        "event_type",
+        "bucket",
+        F.round("value_filled", 6).alias("value_filled"),
+        "is_gap",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+    ).orderBy("event_type", "bucket")
+
+
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ reciprocal (mutual) kNN graph: exact f64 top-6 edges over a
+    deterministic corpus slice (vec_id % 5 == 0), then keep only pairs
+    where BOTH directions survive — the hubness-robust edge set that
+    downstream clustering / label propagation should consume. The filter
+    itself (operators/knn.py mutual_knn_filter) shuffles only (id, id,
+    score) edge rows and works on any ANN strategy's output. The gate
+    slice is %10 (sf0.1: 500 nodes, 250k exact pair scores) — the edge
+    GENERATION is the cost; the mutual filter adds one edge-sized
+    semi-join."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
+    edges = knn.expr_knn_join(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        k=6,
+        round_to=6,
+    ).filter(F.col("query_id") != F.col("id"))
+    return knn.mutual_knn_filter(edges).orderBy("u", "v")
+
+
+def q_rolling_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ trailing moving-window stats (mean / exact interpolated median /
+    sample stddev over the last 24 hourly buckets) per event type — the
+    moving-aggregate monitoring primitive; the median baseline resists the
+    spike it is scoring. One row-bounded window pass per series."""
+    from penr_oz_agent_memory_rust_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    # The gate series is the hourly event COUNT, not the value average:
+    # integer sums are accumulation-order-independent, so every downstream
+    # fold (mean = s/n, median = (a+b)/2, std over integer ssq) is a
+    # deterministic IEEE op with NO cross-engine 6dp half-ties — an avg
+    # series hits exact .5 rounding boundaries that Spark (shortest-repr
+    # HALF_UP) and DuckDB (exact-double) break differently. The operator's
+    # agg='avg' path is exercised by ts_gapfill_interp and unit tests.
+    obs = timeseries.resample(ev, ["event_type"], "ts", "value", 3600, agg="count")
+    obs = obs.drop("n_obs")
+    out = timeseries.rolling(obs, ["event_type"], "bucket", "v", 24)
+    return out.select(
+        "event_type",
+        "bucket",
+        "v",
+        "roll_mean",
+        "roll_median",
+        "roll_std",
+        "roll_n",
+    ).orderBy("event_type", "bucket")
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ embedding-space decontamination: max exact f64 cosine from each
+    train vector (label != 9) to the held-out test set (label == 9);
+    flagged above 0.3. Catches the paraphrase leaks n-gram overlap misses.
+    Test side broadcasts; map-side partial max means the shuffle carries
+    one row per train id, never pairs."""
+    from penr_oz_agent_memory_rust_spark.operators.corpus import semantic_decontaminate
+
+    emb = _emb(spark, sf_dir)
+    return semantic_decontaminate(
+        emb.filter(F.col("label") != 9),
+        emb.filter(F.col("label") == 9),
+        threshold=0.3,
+    ).orderBy("vec_id")
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3518,6 +3667,12 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_search": q_bm25_search,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "quantized_search": q_quantized_search,
+        "bq_ann": q_bq_ann,
+        "bq_ann_rerank": q_bq_ann_rerank,
+        "ts_gapfill_interp": q_ts_gapfill_interp,
+        "mutual_knn": q_mutual_knn,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "rolling_series_stats": q_rolling_series_stats,
         # --- window: ★ text / corpus pipeline
         "text_profile": q_text_profile,
         "repetition_profile": q_repetition_profile,
@@ -4394,6 +4549,142 @@ def oracle_sql() -> dict[str, str]:
             FROM dq d, q
             WHERE {_dk_norm_pos('d.deq')} AND {_dk_norm_pos('q.qv')}
             ORDER BY score DESC, d.vec_id LIMIT 10
+        """,
+        "bq_ann": """
+            WITH pos AS (
+              SELECT vec_id, embedding, UNNEST(range(len(embedding))) AS i FROM embeddings
+            ), words AS (
+              SELECT vec_id, i // 32 AS w,
+                     CAST(SUM(CASE WHEN embedding[i + 1] > 0
+                                   THEN CAST(pow(2, 31 - (i % 32)) AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS word
+              FROM pos GROUP BY vec_id, i // 32
+            ), ham AS (
+              SELECT v.vec_id, CAST(SUM(bit_count(xor(v.word, q.word))) AS BIGINT) AS hamming
+              FROM words v JOIN (SELECT w, word FROM words WHERE vec_id = 0) q USING (w)
+              GROUP BY v.vec_id
+            )
+            SELECT vec_id, hamming FROM ham ORDER BY hamming, vec_id LIMIT 10
+        """,
+        "bq_ann_rerank": f"""
+            WITH pos AS (
+              SELECT vec_id, embedding, UNNEST(range(len(embedding))) AS i FROM embeddings
+            ), words AS (
+              SELECT vec_id, i // 32 AS w,
+                     CAST(SUM(CASE WHEN embedding[i + 1] > 0
+                                   THEN CAST(pow(2, 31 - (i % 32)) AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS word
+              FROM pos GROUP BY vec_id, i // 32
+            ), ham AS (
+              SELECT v.vec_id, CAST(SUM(bit_count(xor(v.word, q.word))) AS BIGINT) AS hamming
+              FROM words v JOIN (SELECT w, word FROM words WHERE vec_id = 0) q USING (w)
+              GROUP BY v.vec_id
+            ), cand AS (
+              SELECT vec_id FROM ham ORDER BY hamming, vec_id LIMIT 40
+            ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id, {_dk_cos('e.embedding', 'q.qv')} AS score
+            FROM embeddings e JOIN cand USING (vec_id), q
+            WHERE {_dk_norm_pos('e.embedding')} AND {_dk_norm_pos('q.qv')}
+            ORDER BY score DESC, e.vec_id LIMIT 10
+        """,
+        "ts_gapfill_interp": """
+            WITH obs AS (
+              SELECT event_type,
+                     CAST(floor(floor(epoch(ts)) / 900) * 900 AS BIGINT) AS bucket,
+                     CAST(avg(value) AS DOUBLE) AS v,
+                     count(*) AS n_obs
+              FROM events GROUP BY event_type, 2
+            ), bounds AS (
+              SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM obs GROUP BY event_type
+            ), grid AS (
+              SELECT event_type, UNNEST(range(mn, mx + 900, 900)) AS bucket FROM bounds
+            ), filled AS (
+              SELECT g.event_type, g.bucket, o.v, coalesce(o.n_obs, 0) AS n_obs
+              FROM grid g LEFT JOIN obs o USING (event_type, bucket)
+            ), bounded AS (
+              SELECT *,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+                first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+              FROM filled
+            )
+            SELECT event_type, bucket,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                                THEN pv + ((nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)))
+                              ELSE coalesce(pv, nv) END, 6) AS value_filled,
+                   (v IS NULL) AS is_gap,
+                   CAST(n_obs AS BIGINT) AS n_obs
+            FROM bounded ORDER BY event_type, bucket
+        """,
+        "mutual_knn": f"""
+            WITH sub AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+            ), pairs AS (
+              SELECT a.vec_id AS u, b.vec_id AS v,
+                     {_dk_cos('a.embedding', 'b.embedding')} AS score
+              FROM sub a, sub b
+              WHERE {_dk_norm_pos('a.embedding')} AND {_dk_norm_pos('b.embedding')}
+            ), ranked AS (
+              SELECT u, v, score,
+                     row_number() OVER (PARTITION BY u ORDER BY score DESC, v) AS rn
+              FROM pairs
+            ), edges AS (
+              SELECT u, v, score FROM ranked WHERE rn <= 6 AND u <> v
+            )
+            SELECT e.u, e.v, e.score
+            FROM edges e JOIN edges r ON e.u = r.v AND e.v = r.u
+            WHERE e.u < e.v
+            ORDER BY e.u, e.v
+        """,
+        "rolling_series_stats": """
+            WITH obs AS (
+              SELECT event_type,
+                     CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket,
+                     CAST(count(value) AS DOUBLE) AS v
+              FROM events GROUP BY event_type, 2
+            ), framed AS (
+              -- mirror the Spark plan: stats fold over the frame's SORTED
+              -- array (windowed sliding sums drift engine-specifically)
+              SELECT event_type, bucket, v,
+                     list_sort(list(v) OVER (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) AS arr
+              FROM obs
+            ), stats AS (
+              SELECT event_type, bucket, v, arr,
+                     len(arr) AS n,
+                     list_aggregate(arr, 'sum') AS s,
+                     list_aggregate(list_transform(arr, x -> x * x), 'sum') AS ssq
+              FROM framed
+            )
+            SELECT event_type, bucket, v,
+                   round(s / n, 6) AS roll_mean,
+                   round(CASE WHEN n % 2 = 1 THEN arr[n // 2 + 1]
+                              ELSE (arr[n // 2] + arr[n // 2 + 1]) / 2.0 END, 6) AS roll_median,
+                   round(CASE WHEN n > 1
+                              THEN sqrt(greatest(0.0, (ssq - (s * s) / n) / (n - 1)))
+                         END, 6) AS roll_std,
+                   CAST(n AS BIGINT) AS roll_n
+            FROM stats
+            ORDER BY event_type, bucket
+        """,
+        "semantic_decontaminate": f"""
+            WITH test AS (SELECT embedding FROM embeddings WHERE label = 9),
+                 train AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 9),
+            sims AS (
+              SELECT t.vec_id, {_dk_cos('t.embedding', 's.embedding')} AS sim
+              FROM train t, test s
+              WHERE {_dk_norm_pos('t.embedding')} AND {_dk_norm_pos('s.embedding')}
+            )
+            SELECT vec_id, max(sim) AS max_test_sim FROM sims GROUP BY vec_id
+            HAVING max(sim) > 0.3 ORDER BY vec_id
         """,
         "dedup_clusters": _minhash_reach_cte() + """
             SELECT min_v AS component, count(*) AS cluster_size FROM (
@@ -5787,10 +6078,10 @@ def oracle_sql() -> dict[str, str]:
     d["incremental_agg_refresh"] = """
         SELECT o_orderpriority,
                count(o_totalprice)::BIGINT AS n_rows,
-               round(sum(o_totalprice), 4) AS total,
+               round(round(sum(o_totalprice), 4), 2) AS total,
                round(min(o_totalprice), 4) AS vmin,
                round(max(o_totalprice), 4) AS vmax,
-               round(sum(o_totalprice) / count(o_totalprice), 6) AS vavg
+               round(round(sum(o_totalprice) / count(o_totalprice), 6), 2) AS vavg
         FROM orders
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """

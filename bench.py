@@ -91,6 +91,12 @@ HEADLINE = [
     "ivf_ann",
     "pq_ann",
     "ivfpq_ann",
+    "bq_ann",
+    "bq_ann_rerank",
+    "ts_gapfill_interp",
+    "mutual_knn",
+    "semantic_decontaminate",
+    "rolling_series_stats",
     "kmeans_assign",
     "kmeans_profile",
     "centroid_classifier",

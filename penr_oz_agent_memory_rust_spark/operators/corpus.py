@@ -60,6 +60,60 @@ def decontaminate(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding-space train/test contamination: for each train vector, its
+    max cosine to ANY test vector; rows above `threshold` are the paraphrase
+    / near-duplicate leaks that exact n-gram decontamination misses.
+
+    Returns (id_col, max_test_sim) for the contaminated subset only — like
+    the n-gram form, the output is the small flagged set, not the corpus.
+
+    Scale shape: the test set is the small side by construction (eval
+    benchmarks are thousands of rows, train is billions) — it broadcasts,
+    each train partition scores it locally, and the partial-max combine
+    reduces the pair stream to one row per train id BEFORE the shuffle, so
+    the exchange carries |contaminated train| rows, never pairs. Exact f64
+    prenormed cosine (functions/similarity.py) keeps the whole operator
+    oracle-checkable — no ANN shortcut in the gate path.
+    """
+    from penr_oz_agent_memory_rust_spark.functions import similarity
+
+    t = F.broadcast(
+        test.select(
+            F.col(vec_col).alias("__tv"),
+            similarity.norm_f64(F.col(vec_col)).alias("__tn"),
+        )
+    )
+    left = train.select(
+        id_col,
+        F.col(vec_col).alias("__v"),
+        similarity.norm_f64(F.col(vec_col)).alias("__n"),
+    )
+    sim = similarity.cosine_f64_prenormed(
+        similarity.dot_f64(F.col("__v"), F.col("__tv")),
+        F.col("__n"),
+        F.col("__tn"),
+        F.size("__v") == F.size("__tv"),
+    )
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        left.crossJoin(t)
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim").isNotNull())
+        .groupBy(id_col)
+        .agg(F.max("__sim").alias("max_test_sim"))
+        .filter(F.col("max_test_sim") > F.lit(threshold))
+    )
+
+
 def word_freq_topk(
     docs: DataFrame, text_col: str = "text", k: int = 100
 ) -> DataFrame:

@@ -756,3 +756,33 @@ def lsh_knn_self_join(
     return out.select(
         F.col("a").alias(id_col + "_a"), F.col("b").alias(id_col + "_b"), "score"
     )
+
+
+def mutual_knn_filter(
+    edges: DataFrame,
+    src_col: str = "query_id",
+    dst_col: str = "id",
+    score_col: str | None = "score",
+) -> DataFrame:
+    """★ reciprocal (mutual) kNN filter: keep an edge (u, v) only when v is
+    in u's top-k AND u is in v's top-k. Mutual edges are the standard
+    robustness gate for similarity graphs — one-directional edges are
+    dominated by hubness (a vector that is everyone's neighbor while its
+    own neighborhood is elsewhere), and downstream dedup clustering /
+    label propagation over mutual edges resists hub-induced mega-clusters.
+
+    Works on ANY directed edge list (exact, LSH, IVF strategies all emit
+    the same shape). One self-join on the canonical pair: left-semi
+    against the reversed edges, then u < v keeps each mutual pair once.
+    Shuffle cost is |E| ~ N·k rows of (id, id, score) — never touches
+    vectors.
+    """
+    cols = [F.col(src_col).alias("u"), F.col(dst_col).alias("v")]
+    if score_col is not None:
+        cols.append(F.col(score_col).alias("score"))
+    fwd = edges.select(*cols)
+    rev = edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    return (
+        fwd.join(rev, ["u", "v"], "left_semi")
+        .filter(F.col("u") < F.col("v"))
+    )

@@ -383,3 +383,37 @@ def test_vocab_coverage_oov_rates(spark):
     assert out[11].n_tokens == 4 and out[11].oov_tokens == 3
     assert abs(out[11].oov_rate - 0.75) < 1e-9
     assert out[12].oov_rate == 1.0
+
+
+def test_semantic_decontaminate_flags_only_near_test_vectors(spark):
+    from penr_oz_agent_memory_rust_spark.operators.corpus import semantic_decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # exact copy of a test vector -> sim 1.0
+            (2, [0.9, 0.1, 0.0]),   # near the same test vector
+            (3, [0.0, 0.0, 1.0]),   # orthogonal to the whole test set
+            (4, [0.0, 0.0, 0.0]),   # zero norm -> never comparable
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    test = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["max_test_sim"] for r in
+           semantic_decontaminate(train, test, threshold=0.5).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == 1.0 and 0.99 < got[2] < 1.0
+
+
+def test_semantic_decontaminate_dim_mismatch_excluded(spark):
+    from penr_oz_agent_memory_rust_spark.operators.corpus import semantic_decontaminate
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    test = spark.createDataFrame(
+        [(2, [1.0, 0.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    assert semantic_decontaminate(train, test, threshold=0.0).count() == 0

@@ -559,6 +559,26 @@ def test_seasonal_anomalies_broadcasts_profile_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
 
 
+def test_binary_hamming_search_shuffle_free_codegen(spark, sf_dir, tmp_path):
+    """1-bit ANN must be the cheapest possible plan: scan reads ONLY the
+    packed words (never the float column), bit_count(xor) scores inside
+    whole-stage codegen (no Python eval), and top-k is the heap
+    (TakeOrderedAndProject, zero Exchange)."""
+    from penr_oz_agent_memory_rust_spark.operators import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "packed")
+    quantize.binarize_table(emb, dim=len(qv)).write.parquet(path)
+    df = quantize.binary_search(spark.read.parquet(path), qv, k=10)
+    plan = explain.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert explain.count_exchanges(df) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "embedding" not in read_schema, read_schema
+
+
 def test_cdc_chunking_no_pair_expansion(spark, sf_dir):
     """CDC chunking must never self-join positions — its only joins are
     per-doc equi-joins of the bounded boundary sliver back onto the
