@@ -845,6 +845,108 @@ def zorder_probe() -> None:
         spark.stop()
 
 
+def binq_probe() -> None:
+    """Binary-quantization probe (`python scale_probe.py binq`): does the
+    1-bit Hamming path actually buy its 32× at a few hundred thousand
+    vectors, and what recall does the sign sketch keep?
+
+    Synthesizes N distinct 64-dim vectors, writes the float table and the
+    packed table, then over Q query vectors measures:
+    - parquet bytes on disk (float32 list vs 2 packed bigints per row);
+    - per-query latency: exact f64 expr cosine top-10 over the float scan
+      vs Hamming top-10 over the packed scan vs Hamming top-40 + exact
+      rerank (the serving shape);
+    - candidate recall@10 of the 4× over-fetch vs the exact top-10.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    from penr_oz_agent_memory_rust_spark.operators import quantize
+    from penr_oz_agent_memory_rust_spark.operators import knn as knn_ops
+
+    spark = get_spark(app_name="poz-binq-probe")
+    n = int(os.environ.get("SCALE_BINQ_ROWS", "200000"))
+    n_queries = int(os.environ.get("SCALE_BINQ_QUERIES", "8"))
+    vecs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> cast(sin(id * i + i) as float))"
+            ).alias("embedding"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="poz_binq_")
+    try:
+        vecs.write.mode("overwrite").parquet(f"{tmp}/full")
+        full = spark.read.parquet(f"{tmp}/full")
+        quantize.binarize_table(full, dim=64).write.mode("overwrite").parquet(f"{tmp}/packed")
+        packed = spark.read.parquet(f"{tmp}/packed")
+        size = lambda p: sum(  # noqa: E731
+            os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet")
+        )
+        bytes_full, bytes_packed = size(f"{tmp}/full"), size(f"{tmp}/packed")
+
+        qids = [i * (n // n_queries) + 17 for i in range(n_queries)]
+        qvecs = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in full.filter(F.col("vec_id").isin(qids)).collect()
+        }
+        t_exact = t_ham = t_rerank = 0.0
+        recalls: list[float] = []
+        recalls16: list[float] = []
+        for qid, qv in qvecs.items():
+            t0 = time.time()
+            exact = [
+                r["id"]
+                for r in knn_ops.expr_knn_join(
+                    spark.createDataFrame([(0, qv)], "query_id int, qvec array<float>"),
+                    full.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+                    k=10,
+                ).collect()
+            ]
+            t_exact += time.time() - t0
+            t0 = time.time()
+            quantize.binary_search(packed, qv, k=10).collect()
+            t_ham += time.time() - t0
+            t0 = time.time()
+            got = [
+                r["vec_id"]
+                for r in quantize.binary_search_rerank(
+                    packed, full, qv, k=10, rerank_k=40
+                ).collect()
+            ]
+            t_rerank += time.time() - t0
+            recalls.append(len(set(got) & set(exact)) / 10.0)
+            got16 = [
+                r["vec_id"]
+                for r in quantize.binary_search_rerank(
+                    packed, full, qv, k=10, rerank_k=160
+                ).collect()
+            ]
+            recalls16.append(len(set(got16) & set(exact)) / 10.0)
+        print(
+            json.dumps(
+                {
+                    "rows": n,
+                    "queries": n_queries,
+                    "bytes_full": bytes_full,
+                    "bytes_packed": bytes_packed,
+                    "compression": round(bytes_full / bytes_packed, 1),
+                    "sec_per_query_exact_expr": round(t_exact / n_queries, 2),
+                    "sec_per_query_hamming": round(t_ham / n_queries, 2),
+                    "sec_per_query_hamming_rerank": round(t_rerank / n_queries, 2),
+                    "recall_at_10_overfetch_4x": round(sum(recalls) / len(recalls), 3),
+                    "recall_at_10_overfetch_16x": round(sum(recalls16) / len(recalls16), 3),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -1018,5 +1120,7 @@ if __name__ == "__main__":
         cdc_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "zorder":
         zorder_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "binq":
+        binq_probe()
     else:
         main()

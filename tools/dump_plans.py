@@ -62,6 +62,12 @@ SHOWCASE = {
     "seasonal_anomalies": "seasonal z: (group,hour) profile broadcast back onto the current scan",
     "html_strip": "markup extraction: one codegen regexp chain, zero exchanges",
     "tpch_q13_order_distribution": "outer-join order distribution: broadcast customer side, double agg",
+    "bq_ann": "1-bit ANN: packed-word scan (16 B/row) -> codegen bit_count(xor) -> TakeOrderedAndProject, zero exchanges",
+    "bq_ann_rerank": "binary candidates -> broadcast semi-join back to floats -> exact f64 rerank heap",
+    "ts_gapfill_interp": "gapfill+interp fused: resample agg -> ONE lead window -> gap explode (no grid join)",
+    "rolling_series_stats": "rolling stats: one bounded-frame window; mean/median/std fold over the frame's sorted array",
+    "mutual_knn": "mutual kNN: edge list left-semi its own reverse; only (id,id,score) rows shuffle",
+    "semantic_decontaminate": "embedding decontamination: broadcast test set; partial max -> id-sized shuffle",
 }
 
 SF = "/root/testdata/sf0.01"
