@@ -1692,6 +1692,23 @@ def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.mutual_knn_filter(edges).orderBy("u", "v")
 
 
+def q_semantic_decontaminate_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ production path of semantic_decontaminate: f64 BLAS matmul per
+    Arrow batch against the collected (bounded, guarded) test matrix —
+    ~20× the expr gate on this workload. Rows-only (BLAS sum order isn't
+    the expr fold); pinned to the expr path at 6dp in tests."""
+    from penr_oz_agent_memory_rust_spark.operators.corpus import (
+        semantic_decontaminate_blas,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return semantic_decontaminate_blas(
+        emb.filter(F.col("label") != 9),
+        emb.filter(F.col("label") == 9),
+        threshold=0.3,
+    ).orderBy("vec_id")
+
+
 def q_rolling_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ trailing moving-window stats (mean / exact interpolated median /
     sample stddev over the last 24 hourly buckets) per event type — the
@@ -3356,6 +3373,64 @@ def q_stream_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ streaming sketch maintenance: documents arrive as TWO availableNow
+    micro-batches (doc_id < 250, then the rest); each batch folds into its
+    own 4×64 count-min partial that APPENDS to the sketch store — CMS is
+    linear, so the live counter table is the groupBy-sum of the partials
+    (streaming.run_cms_ingest_once / read_cms_sketch; append-only =
+    exactly-once with no read-modify-write window). The gate then runs the
+    SAME heavy-hitters estimate as the batch `heavy_hitters_cms` — the
+    DuckDB oracle computes the sketch over the whole corpus at once, so a
+    dropped or double-counted micro-batch shifts the counters and fails
+    the hash."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from penr_oz_agent_memory_rust_spark.operators import sketches
+    from penr_oz_agent_memory_rust_spark.streaming import ingest as _ingest
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"cmsstream|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = f"cmsstream|{sf_dir}"
+    work = os.path.join(
+        _tf.gettempdir(), f"__cms_stream_{_hl.md5(ident.encode()).hexdigest()[:12]}"
+    )
+    marker = os.path.join(work, "_STREAMED_OK")
+    incoming = os.path.join(work, "incoming")
+    sketch = os.path.join(work, "sketch")
+
+    def _tok(bdf: DataFrame) -> DataFrame:
+        return bdf.select(F.explode(hashing.word_tokens(F.col("text"))).alias("w"))
+
+    if not os.path.exists(marker):
+        if os.path.exists(work):
+            _sh.rmtree(work)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(
+            incoming
+        )
+        _ingest.run_cms_ingest_once(spark, incoming, sketch, "w", 64, 4, prepare=_tok)
+        docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(
+            incoming
+        )
+        _ingest.run_cms_ingest_once(spark, incoming, sketch, "w", 64, 4, prepare=_tok)
+        with open(marker, "w") as f:
+            f.write("ok")
+    counters = _ingest.read_cms_sketch(spark, sketch)
+    cands = _tok(_docs(spark, sf_dir)).distinct()
+    est = sketches.cms_estimate(cands, counters, "w", width=64, depth=4)
+    return (
+        est.orderBy(F.col("est").desc(), F.col("w"))
+        .limit(20)
+        .select("w", F.col("est").cast("bigint").alias("est"))
+    )
+
+
 def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ streaming → ANN-index incremental build: the persisted IVF index
     is built from HALF the corpus (even vec_ids, trained centroids), then
@@ -3672,7 +3747,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ts_gapfill_interp": q_ts_gapfill_interp,
         "mutual_knn": q_mutual_knn,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "semantic_decontaminate_blas": q_semantic_decontaminate_blas,
         "rolling_series_stats": q_rolling_series_stats,
+        "stream_cms_topk": q_stream_cms_topk,
         # --- window: ★ text / corpus pipeline
         "text_profile": q_text_profile,
         "repetition_profile": q_repetition_profile,
@@ -5717,6 +5794,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT w, est FROM est ORDER BY est DESC, w LIMIT 20
     """
+    # the streamed sketch must equal the batch sketch (CMS linearity +
+    # exactly-once micro-batches), so its oracle IS the batch oracle
+    d["stream_cms_topk"] = d["heavy_hitters_cms"]
     d["preference_pairs"] = f"""
         WITH s AS (
           SELECT lang || '|' || source AS grp, doc_id, {_DK_QUALITY} AS q

@@ -96,7 +96,9 @@ HEADLINE = [
     "ts_gapfill_interp",
     "mutual_knn",
     "semantic_decontaminate",
+    "semantic_decontaminate_blas",
     "rolling_series_stats",
+    "stream_cms_topk",
     "kmeans_assign",
     "kmeans_profile",
     "centroid_classifier",

@@ -114,6 +114,63 @@ def semantic_decontaminate(
     )
 
 
+def semantic_decontaminate_blas(
+    train: DataFrame,
+    test: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    max_test_rows: int = 100_000,
+) -> DataFrame:
+    """Production path of `semantic_decontaminate`: one f64 BLAS matmul per
+    Arrow batch against the collected test matrix instead of pair-wise
+    interpreted expressions (~20× on the gate workload; pinned to the expr
+    path at 6dp in tests/test_corpus.py). The collect is BOUNDED and
+    guarded — eval sets are small by construction; above `max_test_rows`
+    use the expr form or an LSH prefilter."""
+    import numpy as np
+    import pandas as pd
+
+    rows = test.select(vec_col).limit(max_test_rows + 1).collect()
+    if len(rows) > max_test_rows:
+        raise ValueError(
+            f"test set exceeds max_test_rows={max_test_rows}; "
+            "use semantic_decontaminate (expr) or prefilter"
+        )
+    T = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    tn = np.linalg.norm(T, axis=1)
+    T = T[tn > 0] / tn[tn > 0, None]
+    dim = T.shape[1]
+
+    out_schema = f"{id_col} bigint, max_test_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ok = pdf[vec_col].map(len) == dim
+            pdf = pdf[ok]
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            nz = mn > 0
+            if not nz.any():
+                continue
+            S = (M[nz] / mn[nz, None]) @ T.T
+            best = np.round(S.max(axis=1), round_to)
+            keep = best > threshold
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[nz][keep], "max_test_sim": best[keep]}
+            )
+
+    # a small-file scan arrives as few partitions; the matmul is the cost,
+    # so spread the batches across cores first (same rationale as the
+    # shingle pipelines — at real scale the scan is already parallel and
+    # this round-robin exchange is a no-op knob)
+    src = hashing.cpu_rebalance(train.select(id_col, vec_col))
+    return src.mapInPandas(score, schema=out_schema)
+
+
 def word_freq_topk(
     docs: DataFrame, text_col: str = "text", k: int = 100
 ) -> DataFrame:

@@ -809,3 +809,59 @@ def run_cdc_chunk_dedup_once(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+def run_cms_ingest_once(
+    spark: SparkSession,
+    incoming_dir: str,
+    sketch_path: str,
+    item_col: str,
+    width: int = 64,
+    depth: int = 4,
+    prepare=None,
+) -> int:
+    """Streaming count-min-sketch maintenance: each arriving micro-batch is
+    reduced to its own depth×width partial counter table and APPENDED under
+    `sketch_path/partials`. CMS is linear (counter-wise sum), so the live
+    sketch is just the groupBy-sum of all partials (`read_cms_sketch`) —
+    append-only makes the job exactly-once with nothing but the checkpoint
+    (no read-modify-write window, no swap), and a crash between batches
+    loses at most the uncommitted batch, never corrupts the sketch.
+
+    Scale: a micro-batch of any size leaves as ≤ depth×width rows, so the
+    sketch store grows by O(batches), not O(rows); run `read_cms_sketch`'s
+    plan as a compaction whenever the partial count gets long. Returns the
+    number of micro-batches executed. `prepare` (optional) maps each raw
+    micro-batch DataFrame to the item rows to sketch (e.g. tokenize) —
+    the same pluggable seam as the embedding providers."""
+    from penr_oz_agent_memory_rust_spark.operators import sketches
+
+    schema = spark.read.parquet(incoming_dir).schema
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    n_batches = {"n": 0}
+    partials = os.path.join(sketch_path, "partials")
+
+    def _fold(bdf: DataFrame, _bid: int) -> None:
+        items = prepare(bdf) if prepare is not None else bdf
+        part = sketches.cms_counter_table(items, item_col, width=width, depth=depth)
+        part.write.mode("append").parquet(partials)
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", os.path.join(sketch_path, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """The live counter table: sum the appended partials (bounded —
+    depth×width distinct (d, bucket) keys regardless of partial count)."""
+    return (
+        spark.read.parquet(os.path.join(sketch_path, "partials"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -417,3 +417,36 @@ def test_semantic_decontaminate_dim_mismatch_excluded(spark):
         [(2, [1.0, 0.0, 0.0])], "vec_id bigint, embedding array<float>"
     )
     assert semantic_decontaminate(train, test, threshold=0.0).count() == 0
+
+
+def test_semantic_decontaminate_blas_matches_expr_at_6dp(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators.corpus import (
+        semantic_decontaminate,
+        semantic_decontaminate_blas,
+    )
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train, test = emb.filter(F.col("label") != 9), emb.filter(F.col("label") == 9)
+    expr = {r["vec_id"]: r["max_test_sim"]
+            for r in semantic_decontaminate(train, test, threshold=0.3).collect()}
+    blas = {r["vec_id"]: r["max_test_sim"]
+            for r in semantic_decontaminate_blas(train, test, threshold=0.3).collect()}
+    assert set(expr) == set(blas)
+    assert all(abs(expr[k] - blas[k]) <= 1e-6 for k in expr)
+
+
+def test_semantic_decontaminate_blas_guards_test_size(spark):
+    import pytest
+
+    from penr_oz_agent_memory_rust_spark.operators.corpus import (
+        semantic_decontaminate_blas,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="max_test_rows"):
+        semantic_decontaminate_blas(df, df, max_test_rows=3).collect()

@@ -630,3 +630,48 @@ def test_cdc_chunk_dedup_stream_first_write_wins(spark, tmp_path):
     total = stored.count()
     run_cdc_chunk_dedup_once(spark, incoming, store, gram=4, modulus=8)
     assert spark.read.parquet(store + "/chunks").count() == total
+
+
+def test_cms_stream_partials_sum_to_batch_sketch(spark, tmp_path):
+    """The streamed sketch (append-only per-batch partials, summed at read)
+    must equal the batch counter table over the union — CMS linearity plus
+    exactly-once micro-batches. A re-run against the same checkpoint must
+    be a no-op (no double counting)."""
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators import sketches
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        read_cms_sketch,
+        run_cms_ingest_once,
+    )
+
+    incoming = str(tmp_path / "incoming")
+    sketch = str(tmp_path / "sketch")
+    a = spark.createDataFrame([(i, f"k{i % 7}") for i in range(50)], "id bigint, w string")
+    b = spark.createDataFrame([(i, f"k{i % 5}") for i in range(30)], "id bigint, w string")
+    a.coalesce(1).write.mode("append").parquet(incoming)
+    assert run_cms_ingest_once(spark, incoming, sketch, "w", width=16, depth=3) == 1
+    b.coalesce(1).write.mode("append").parquet(incoming)
+    assert run_cms_ingest_once(spark, incoming, sketch, "w", width=16, depth=3) == 1
+    # no new files -> no new batches, sketch unchanged
+    assert run_cms_ingest_once(spark, incoming, sketch, "w", width=16, depth=3) == 0
+
+    streamed = {
+        (r["d"], r["bucket"]): r["c"] for r in read_cms_sketch(spark, sketch).collect()
+    }
+    batch = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in sketches.cms_counter_table(a.union(b), "w", width=16, depth=3).collect()
+    }
+    assert streamed == batch
+    # estimates over the streamed sketch upper-bound the true counts
+    cands = a.union(b).select("w").distinct()
+    est = {
+        r["w"]: r["est"]
+        for r in sketches.cms_estimate(
+            cands, read_cms_sketch(spark, sketch), "w", width=16, depth=3
+        ).collect()
+    }
+    truth = {r["w"]: r["cnt"] for r in a.union(b).groupBy("w").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert all(est[w] >= c for w, c in truth.items())
