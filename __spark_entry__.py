@@ -1568,6 +1568,32 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_quantile_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ incremental PERCENTILE maintenance: per-priority p50/p95 of order
+    totals served from a mergeable equal-width histogram state — the base
+    (pre-1999) and delta (1999+) states merge by integer bin-count sums,
+    never rescanning the base (operators/incremental_agg.py hist_state /
+    merge_hist_states / quantile_from_hist). Bin counts are integers and
+    the in-bin interpolation is mirrored verbatim in SQL, so unlike
+    KLL/t-digest blobs this sketch is fully oracle-checkable; estimate
+    error is bounded by the bin width (64 bins over [0, 500k))."""
+    from penr_oz_agent_memory_rust_spark.operators.incremental_agg import (
+        hist_state,
+        merge_hist_states,
+        quantile_from_hist,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")
+    lo, hi, bins = 0.0, 500_000.0, 64
+    base = hist_state(o.filter(cut), ["o_orderpriority"], "o_totalprice", lo, hi, bins)
+    delta = hist_state(o.filter(~cut), ["o_orderpriority"], "o_totalprice", lo, hi, bins)
+    merged = merge_hist_states(base, delta)
+    p50 = quantile_from_hist(merged, ["o_orderpriority"], 0.5, lo, hi, bins, "p50")
+    p95 = quantile_from_hist(merged, ["o_orderpriority"], 0.95, lo, hi, bins, "p95")
+    return p50.join(p95, "o_orderpriority").orderBy("o_orderpriority")
+
+
 def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ int8-quantized top-k search (4x smaller vector storage). The
     quantized table is WRITTEN once and scanned thereafter — quantization
@@ -3750,6 +3776,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "semantic_decontaminate_blas": q_semantic_decontaminate_blas,
         "rolling_series_stats": q_rolling_series_stats,
         "stream_cms_topk": q_stream_cms_topk,
+        "incremental_quantile_refresh": q_incremental_quantile_refresh,
         # --- window: ★ text / corpus pipeline
         "text_profile": q_text_profile,
         "repetition_profile": q_repetition_profile,
@@ -6164,6 +6191,35 @@ def oracle_sql() -> dict[str, str]:
                round(round(sum(o_totalprice) / count(o_totalprice), 6), 2) AS vavg
         FROM orders
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    d["incremental_quantile_refresh"] = """
+        WITH h AS (
+          SELECT o_orderpriority,
+                 CAST(least(63, greatest(0,
+                      CAST(floor((o_totalprice - 0.0) / 7812.5) AS BIGINT))) AS INT) AS bin,
+                 count(*) AS cnt
+          FROM orders WHERE o_totalprice IS NOT NULL
+          GROUP BY 1, 2
+        ), c AS (
+          SELECT o_orderpriority, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+          FROM h
+        ), qq AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.95)) t(q)
+        ), hit AS (
+          SELECT o_orderpriority, q,
+                 round(0.0 + 7812.5 * (CAST(bin AS DOUBLE)
+                   + (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                     / CAST(cnt AS DOUBLE)), 6) AS est
+          FROM c CROSS JOIN qq
+          WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+            AND CAST(cum - cnt AS DOUBLE) < q * CAST(n AS DOUBLE)
+        )
+        SELECT o_orderpriority,
+               max(CASE WHEN q = 0.5 THEN est END) AS p50,
+               max(CASE WHEN q = 0.95 THEN est END) AS p95
+        FROM hit GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
     d["curriculum_shards"] = f"""
         WITH scored AS (

@@ -169,6 +169,7 @@ HEADLINE = [
     "knn_graph_walks",
     "zorder_values",
     "incremental_agg_refresh",
+    "incremental_quantile_refresh",
 ]
 
 

@@ -90,3 +90,83 @@ def finalize(state: DataFrame, round_dp: int = 6) -> DataFrame:
     if "hll" in state.columns:
         cols.append(F.hll_sketch_estimate("hll").alias("n_distinct_est"))
     return state.select(*cols)
+
+
+# ----------------------------------------------------- histogram quantiles
+
+def hist_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Mergeable quantile state: a fixed equal-width histogram over
+    [lo, hi) as SPARSE (keys..., bin, cnt) rows — merge is the same
+    union + groupBy-sum as the algebraic states, so percentile dashboards
+    refresh from deltas without rescanning the base table. Out-of-range
+    values clamp into the edge bins (the estimate degrades gracefully at
+    the tails; pick [lo, hi) from domain knowledge or an ANALYZE pass).
+    Bin counts are integers, so the whole state — and the interpolation
+    arithmetic below — is engine-exact and oracle-checkable, unlike
+    opaque KLL/t-digest blobs."""
+    w = (hi - lo) / bins
+    b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(w))
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), b)).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, b.alias("bin"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def merge_hist_states(*states: DataFrame) -> DataFrame:
+    """union + groupBy-sum: associative, order-insensitive (integer adds)."""
+    merged = reduce(lambda a, b: a.unionByName(b), states)
+    keys = [c for c in merged.columns if c not in ("cnt",)]
+    return merged.groupBy(*keys).agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def quantile_from_hist(
+    state: DataFrame,
+    keys: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    out_col: str = "q_est",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Read-time quantile estimate per key: walk the cumulative histogram
+    to the bin containing rank q·N and interpolate linearly inside it —
+    x = lo + w·(bin + (qN − cum_before) / bin_cnt). One window cumsum per
+    key over ≤ bins rows/key (the state, never the data). Estimation
+    error is bounded by the bin width; the arithmetic itself is exact
+    and mirrored verbatim by the SQL oracle."""
+    from pyspark.sql import Window
+
+    w_width = (hi - lo) / bins
+    totals = state.groupBy(*keys).agg(F.sum("cnt").alias("__n"))
+    win = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        state.join(totals, keys)
+        .withColumn("__cum", F.sum("cnt").over(win))
+        .withColumn("__rank", F.lit(q) * F.col("__n").cast("double"))
+    )
+    hit = cum.filter(
+        (F.col("__cum").cast("double") >= F.col("__rank"))
+        & ((F.col("__cum") - F.col("cnt")).cast("double") < F.col("__rank"))
+    )
+    est = F.lit(lo) + F.lit(w_width) * (
+        F.col("bin").cast("double")
+        + (F.col("__rank") - (F.col("__cum") - F.col("cnt")).cast("double"))
+        / F.col("cnt").cast("double")
+    )
+    if round_to is not None:
+        est = F.round(est, round_to)
+    return hit.select(*keys, est.alias(out_col))

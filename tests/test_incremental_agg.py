@@ -93,3 +93,62 @@ def test_merge_never_rescans_base_single_shuffle(spark, orders, tmp_path):
     assert explain.count_shuffle_exchanges(merged) == 1, explain.physical_plan(merged)
     plan = explain.physical_plan(merged)
     assert "orders.parquet" not in plan, plan
+
+
+def test_hist_state_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators.incremental_agg import (
+        hist_state,
+        merge_hist_states,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)] + [("b", float(i * 2)) for i in range(50)],
+        "k string, v double",
+    )
+    direct = hist_state(df, ["k"], "v", 0.0, 200.0, 16)
+    merged = merge_hist_states(
+        hist_state(df.filter(F.col("v") < 60), ["k"], "v", 0.0, 200.0, 16),
+        hist_state(df.filter(F.col("v") >= 60), ["k"], "v", 0.0, 200.0, 16),
+    )
+    as_map = lambda d: {(r["k"], r["bin"]): r["cnt"] for r in d.collect()}  # noqa: E731
+    assert as_map(direct) == as_map(merged)
+
+
+def test_hist_quantile_error_bounded_by_bin_width(spark):
+    from penr_oz_agent_memory_rust_spark.operators.incremental_agg import (
+        hist_state,
+        quantile_from_hist,
+    )
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    o = load_table(spark, sf, "orders")
+    lo, hi, bins = 0.0, 500_000.0, 64
+    st = hist_state(o, ["o_orderpriority"], "o_totalprice", lo, hi, bins)
+    est = {
+        r["o_orderpriority"]: r["q_est"]
+        for r in quantile_from_hist(st, ["o_orderpriority"], 0.5, lo, hi, bins).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["m"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+        .collect()
+    }
+    width = (hi - lo) / bins
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= width, (k, e, exact[k])
+
+
+def test_hist_state_clamps_out_of_range(spark):
+    from penr_oz_agent_memory_rust_spark.operators.incremental_agg import hist_state
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 99.9), ("a", 250.0)], "k string, v double"
+    )
+    rows = {r["bin"]: r["cnt"] for r in hist_state(df, ["k"], "v", 0.0, 100.0, 10).collect()}
+    assert rows[0] == 2  # -5 clamps into bin 0 alongside 0.0
+    assert rows[9] == 2  # 99.9 lands in the top bin; 250 clamps into it

@@ -592,3 +592,66 @@ def test_cdc_chunking_no_pair_expansion(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A fact table laid out partitionBy(dim key) must prune at runtime
+    from a filtered dim join (DPP): at 100 TB this is the difference
+    between scanning 2 partitions and scanning all of them when the
+    selective predicate lives on the DIMENSION, not the fact."""
+    fact = spark.range(20000).select(
+        F.col("id"), (F.col("id") % 20).alias("pkey"), (F.col("id") % 7).alias("x")
+    )
+    path = str(tmp_path / "fact")
+    fact.write.partitionBy("pkey").parquet(path)
+    dim = spark.createDataFrame(
+        [(i, "keep" if i in (3, 7) else "drop") for i in range(20)],
+        "pkey bigint, attr string",
+    )
+    j = (
+        spark.read.parquet(path)
+        .join(dim.filter(F.col("attr") == "keep"), "pkey")
+        .groupBy("pkey")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert j.count() == 2
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, tmp_path):
+    """When neither side broadcasts, Spark can still push a runtime Bloom
+    filter of the selective side's join keys into the big side's scan
+    (might_contain below the exchange) — rows that cannot match never
+    shuffle. Thresholds are production-guarded; the test lowers the
+    application-side floor to engage it on test-sized data and restores
+    the session confs."""
+    fpath, dpath = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(50000).select(
+        F.col("id"), (F.col("id") % 10000).alias("k")
+    ).write.parquet(fpath)
+    spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("attr")
+    ).write.parquet(dpath)
+    conf = spark.conf
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        j = (
+            spark.read.parquet(fpath)
+            .join(spark.read.parquet(dpath).filter(F.col("attr") == 13), "k")
+            .groupBy()
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
