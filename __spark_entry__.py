@@ -1677,15 +1677,19 @@ def q_bq_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ time-series regularization (time_bucket_gapfill): per event type,
-    resample `value` onto a 15-minute grid, densify the grid from one
-    (min, max) row per key (sequence+explode — grid size is bounded by the
-    time range, never the fact count), and linearly interpolate the gaps.
-    The per-key interpolation windows are running frames (one pass per
-    direction). ~29% of grid cells are gaps at sf0.01."""
+    resample the event COUNT onto a 15-minute grid, densify the grid from
+    one (min, max) row per key (sequence+explode — grid size is bounded by
+    the time range, never the fact count), and linearly interpolate the
+    gaps. ~29% of grid cells are gaps at sf0.01. The gate series is counts
+    for the same reason as rolling_series_stats: integer inputs make every
+    downstream float op a deterministic IEEE expression — a value-average
+    series drifts run-to-run with shuffle-fetch order and flips 6dp
+    roundings (caught by the bit-exact entry test, r4); the avg path is
+    exercised by tests/test_timeseries.py."""
     from penr_oz_agent_memory_rust_spark.operators import timeseries
 
     ev = load_table(spark, sf_dir, "events")
-    obs = timeseries.resample(ev, ["event_type"], "ts", "value", 900, agg="avg")
+    obs = timeseries.resample(ev, ["event_type"], "ts", "value", 900, agg="count")
     # fused form: one lead-window + explode, no grid join (equivalence to
     # gap_fill()+interpolate() pinned in tests/test_timeseries.py)
     out = timeseries.gap_fill_interpolate(obs, ["event_type"], 900, method="linear")
@@ -4695,7 +4699,7 @@ def oracle_sql() -> dict[str, str]:
             WITH obs AS (
               SELECT event_type,
                      CAST(floor(floor(epoch(ts)) / 900) * 900 AS BIGINT) AS bucket,
-                     CAST(avg(value) AS DOUBLE) AS v,
+                     CAST(count(value) AS DOUBLE) AS v,
                      count(*) AS n_obs
               FROM events GROUP BY event_type, 2
             ), bounds AS (

@@ -30,3 +30,9 @@ def make_memories(spark, rows):
 
     full = [(*r, None) for r in rows]  # created_at
     return spark.createDataFrame(full, MEMORIES_SCHEMA)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: suite-wide sweeps that take minutes (deselect with -m 'not slow')"
+    )
