@@ -1784,6 +1784,30 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ perceptual-hash near-dup over media blobs: decode → 8×8 aHash
+    (64 bits packed like the binary-quant words) → banded Hamming pairs
+    (8 bands of 8 bits; pigeonhole gives exact recall for ≤ 7-bit
+    thresholds) — SimHash on pixels (operators/multimodal.py). The corpus
+    is documents-as-fake-media plus a duplicated slice (doc_id % 7), so
+    every copied blob must pair with its original at hamming 0; the
+    oracle enumerates exactly those pairs — a hash that ever collides
+    unequal payloads within 5 bits, or banding that misses a true pair,
+    fails the gate. Decode runs through the pluggable decode_pixels_fn
+    seam (deterministic fake here; codecs absent in this container)."""
+    from penr_oz_agent_memory_rust_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir)
+    media = mm.synthesize_media_from_documents(docs).unionByName(
+        mm.synthesize_media_from_documents(docs.filter(F.col("doc_id") % 7 == 0), kind="copy")
+    )
+    hashed = mm.perceptual_hash(media)
+    return (
+        mm.phash_near_dup_pairs(hashed, max_bits=5, bands=8)
+        .orderBy("u", "v")
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ frame-sampling plumbing: fixed-size slices of each media payload
     (deterministic fake blobs => 4 frames of 16 bytes each)."""
@@ -3781,6 +3805,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rolling_series_stats": q_rolling_series_stats,
         "stream_cms_topk": q_stream_cms_topk,
         "incremental_quantile_refresh": q_incremental_quantile_refresh,
+        "media_phash_dedup": q_media_phash_dedup,
         # --- window: ★ text / corpus pipeline
         "text_profile": q_text_profile,
         "repetition_profile": q_repetition_profile,
@@ -6195,6 +6220,12 @@ def oracle_sql() -> dict[str, str]:
                round(round(sum(o_totalprice) / count(o_totalprice), 6), 2) AS vavg
         FROM orders
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    d["media_phash_dedup"] = """
+        SELECT 'copy-' || CAST(doc_id AS VARCHAR) AS u,
+               'image-' || CAST(doc_id AS VARCHAR) AS v,
+               CAST(0 AS BIGINT) AS hamming
+        FROM documents WHERE doc_id % 7 = 0 ORDER BY u, v
     """
     d["incremental_quantile_refresh"] = """
         WITH h AS (

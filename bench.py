@@ -170,6 +170,7 @@ HEADLINE = [
     "zorder_values",
     "incremental_agg_refresh",
     "incremental_quantile_refresh",
+    "media_phash_dedup",
 ]
 
 

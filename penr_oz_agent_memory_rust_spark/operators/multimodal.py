@@ -162,3 +162,127 @@ def resize_media(
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def _fake_pixels(payload: bytes, side: int = 32) -> np.ndarray:
+    """Deterministic pseudo-pixel grid (stands in for a real image decode,
+    same contract as _fake_decode): equal payloads yield equal images."""
+    seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:8], "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(side, side)).astype(np.float64)
+
+
+def average_hash_py(pixels: np.ndarray, grid: int = 8) -> list[int]:
+    """Classic aHash: mean-pool the grayscale image onto a grid×grid block
+    matrix, threshold each block against the overall mean, pack the bits
+    MSB-first 32-per-word (the same packing as quantize.binarize_py, so
+    quantize.hamming_expr scores these directly). Pure NumPy — no codec."""
+    h, w = pixels.shape
+    bh, bw = max(1, h // grid), max(1, w // grid)
+    blocks = pixels[: bh * grid, : bw * grid].reshape(grid, bh, grid, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).astype(int).ravel()
+    words = []
+    for wv in range((grid * grid + 31) // 32):
+        acc = 0
+        for j in range(32):
+            i = wv * 32 + j
+            acc = acc * 2 + (int(bits[i]) if i < len(bits) else 0)
+        words.append(acc)
+    return words
+
+
+def perceptual_hash(
+    media: DataFrame,
+    decode_pixels_fn=None,
+    fake: bool = True,
+    grid: int = 8,
+) -> DataFrame:
+    """Per-media perceptual (average) hash: decode to a grayscale pixel
+    matrix inside each Arrow batch, aHash it to grid² bits packed as
+    array<bigint>. `decode_pixels_fn` (picklable `bytes -> 2-D ndarray`)
+    is the real-codec seam; the deterministic fake keeps the plumbing
+    testable without codec libraries (REAL DECODER NOT AVAILABLE — module
+    docstring). Output: (media_id, kind, phash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_pixels_fn is not None:
+                dec = decode_pixels_fn
+            elif fake:
+                dec = _fake_pixels
+            else:
+                raise NotImplementedError(
+                    "real image decoding requires codec libraries not present "
+                    "in this environment — pass decode_pixels_fn=<your codec>"
+                )
+            hashes = [
+                average_hash_py(np.asarray(dec(p if p is not None else b""), dtype=np.float64), grid)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "phash": hashes}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema="media_id string, kind string, phash array<bigint>"
+    )
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame,
+    max_bits: int = 5,
+    bands: int = 8,
+    id_col: str = "media_id",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate media pairs by Hamming distance over the perceptual
+    hash — the SimHash recipe on pixels: split the 64 bits into `bands`
+    segments, equi-join only inside (band, value) buckets (pigeonhole: a
+    pair ≤ bands−1 differing bits ALWAYS shares an identical band, so
+    recall is exact for max_bits ≤ bands−1), then verify with
+    bit_count(xor). `max_bucket` caps degenerate buckets the way the
+    minhash path caps stop-shingles. Output: (u, v, hamming), u < v."""
+    from penr_oz_agent_memory_rust_spark.operators.quantize import hamming_expr
+
+    assert max_bits <= bands - 1, "pigeonhole recall needs max_bits <= bands - 1"
+    bits_per_band = 64 // bands
+    mask = (1 << bits_per_band) - 1
+    # band b covers the high-to-low segments of (word0, word1)
+    def band_val(b: int):
+        word = F.get(F.col("phash"), b * bits_per_band // 32)
+        shift = 32 - bits_per_band - (b * bits_per_band) % 32
+        return F.shiftright(word, shift).bitwiseAND(F.lit(mask))
+
+    sides = hashed.select(
+        id_col,
+        "phash",
+        F.array(*[band_val(b) for b in range(bands)]).alias("__bands"),
+    )
+    exploded = sides.select(
+        id_col, "phash", F.posexplode("__bands").alias("band", "val")
+    )
+    grouped = exploded.groupBy("band", "val").agg(
+        F.slice(F.array_sort(F.collect_list(F.struct(id_col, "phash"))), 1, max_bucket).alias(
+            "members"
+        )
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda a: F.transform(
+                            F.col("members"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                        ),
+                    )
+                ),
+                lambda p: p["a"][id_col] < p["b"][id_col],
+            )
+        ).alias("p")
+    ).select(
+        F.col(f"p.a.{id_col}").alias("u"),
+        F.col(f"p.b.{id_col}").alias("v"),
+        hamming_expr(F.col("p.a.phash"), F.col("p.b.phash")).alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= max_bits).dropDuplicates(["u", "v"])

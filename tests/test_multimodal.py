@@ -99,3 +99,80 @@ def test_resize_media_exact_size_and_short_blob(spark):
     assert bytes(rows["m1"]["resized"]) == bytes(range(0, 128, 2))  # stride-2
     assert bytes(rows["m2"]["resized"]) == b"\x07" * 64             # repeated
     assert bytes(rows["m3"]["resized"]) == b"\x00" * 64             # null blob
+
+
+def test_ahash_perceptual_property_with_injected_decoder(spark):
+    """With a REAL pixel decoder injected through the seam (payload =
+    raw uint8 image bytes), near-identical images land within a few bits
+    while structurally different images land far apart — the property
+    that makes banded Hamming a usable near-dup join for media."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators import multimodal as mm
+
+    side = 32
+    base = np.add.outer(np.arange(side), np.arange(side)) * 2.0  # gradient
+    noisy = base.copy()
+    noisy[0, 0] += 3.0  # imperceptible wiggle
+    inverted = base[::-1, :]  # structurally different
+    rows = [
+        ("a", "image", bytes(base.astype(np.uint8).tobytes())),
+        ("b", "image", bytes(noisy.astype(np.uint8).tobytes())),
+        ("c", "image", bytes(inverted.astype(np.uint8).tobytes())),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, kind string, payload binary")
+
+    def decode(p: bytes):
+        import numpy as _np
+
+        return _np.frombuffer(p, dtype=_np.uint8)[: 32 * 32].reshape(32, 32).astype(float)
+
+    hashed = mm.perceptual_hash(media, decode_pixels_fn=decode)
+    hs = {r["media_id"]: list(r["phash"]) for r in hashed.collect()}
+
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+
+    assert ham(hs["a"], hs["b"]) <= 2           # near-dup stays near
+    assert ham(hs["a"], hs["c"]) >= 16          # different image is far
+    pairs = {(r["u"], r["v"]): r["hamming"]
+             for r in mm.phash_near_dup_pairs(hashed, max_bits=5, bands=8).collect()}
+    assert ("a", "b") in pairs and pairs[("a", "b")] <= 2
+    assert ("a", "c") not in pairs and ("b", "c") not in pairs
+
+
+def test_ahash_python_twin_matches_spark(spark):
+    from penr_oz_agent_memory_rust_spark.operators import multimodal as mm
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").limit(5)
+    media = mm.synthesize_media_from_documents(docs)
+    hashed = {r["media_id"]: list(r["phash"]) for r in mm.perceptual_hash(media).collect()}
+    for r in media.collect():
+        expect = mm.average_hash_py(mm._fake_pixels(bytes(r["payload"])))
+        assert hashed[r["media_id"]] == expect
+
+
+def test_phash_band_values_cover_all_64_bits(spark):
+    """Flipping ANY single bit must change exactly one band value — the
+    banding decomposition partitions the 64 bits with no gaps/overlap
+    (the pigeonhole recall guarantee depends on it)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.operators import multimodal as mm
+
+    # craft two hashes differing in exactly one bit, per word/position set
+    for word_idx, bit in [(0, 0), (0, 31), (1, 0), (1, 31), (0, 13), (1, 22)]:
+        h1 = [0, 0]
+        h2 = h1.copy()
+        h2[word_idx] = 1 << (31 - bit)
+        df = spark.createDataFrame(
+            [("x", "image", h1), ("y", "image", h2)],
+            "media_id string, kind string, phash array<bigint>",
+        )
+        got = mm.phash_near_dup_pairs(df, max_bits=1, bands=8).collect()
+        assert len(got) == 1 and got[0]["hamming"] == 1, (word_idx, bit, got)
