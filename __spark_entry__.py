@@ -2932,6 +2932,56 @@ def _knn_edges_500(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ k-core decomposition (k=3) over the cosine>0.3 threshold graph on
+    vec_id < 500 — the dense-community extractor: survivors have ≥ 3
+    neighbors that themselves survive, so redundant clique content
+    separates from bridge content before sampling. Peeling cascades for
+    9 rounds on this data (377 → … → 316 nodes); the operator runs ≤ 12
+    peels (monotone, so extra peels past the fixpoint are no-ops) and the
+    oracle unrolls the same 12 as CTEs (operators/graph_stats.py)."""
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import kcore
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
+    pre = emb.select(
+        "vec_id", "embedding", similarity.norm_f64(F.col("embedding")).alias("__n")
+    )
+    q = F.broadcast(
+        pre.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("qv"),
+            F.col("__n").alias("qn"),
+        )
+    )
+    edges = (
+        hashing.cpu_rebalance(
+            pre.select(
+                F.col("vec_id").alias("dst"),
+                F.col("embedding").alias("ev"),
+                F.col("__n").alias("en"),
+            )
+        )
+        .crossJoin(q)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                similarity.cosine_f64_prenormed(
+                    similarity.dot_f64(F.col("ev"), F.col("qv")),
+                    F.col("en"),
+                    F.col("qn"),
+                    F.size("ev") == F.size("qv"),
+                ),
+                6,
+            ).alias("score"),
+        )
+        .filter(F.col("score") > 0.3)
+        .select("src", "dst")
+    )
+    return kcore(edges, k=3, max_iters=12).orderBy("id")
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ semi-supervised label propagation over the same exact top-5
     cosine kNN graph: every 10th vector seeds its true label, 3
@@ -3861,6 +3911,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "preference_pairs": q_preference_pairs,
         "leakage_safe_split": q_leakage_safe_split,
         "knn_pagerank": q_knn_pagerank,
+        "knn_kcore": q_knn_kcore,
         "lm_quality": q_lm_quality,
         "hard_negatives": q_hard_negatives,
         "funnel_conversion": q_funnel_conversion,
@@ -4252,6 +4303,44 @@ def _label_prop_sql(iters: int = 3, k: int = 5) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id AS vec_id, label FROM {prev}"
+    )
+
+
+def _kcore_sql(k: int = 3, tau: float = 0.3, peels: int = 12) -> str:
+    """DuckDB mirror of q_knn_kcore: the same 6dp-rounded cosine threshold
+    edges (both directions), then `peels` fixed degree-filter rounds
+    unrolled as CTEs — peeling is monotone, so any unroll ≥ the fixpoint
+    depth equals the true k-core."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and every peel references
+    # the previous edge CTE three times — un-materialized, the expansion is
+    # 3^peels scans of the base join ("too many open files" long before
+    # any result)
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+          SELECT a.vec_id AS u, b.vec_id AS v
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 500 AND b.vec_id < 500
+            AND {_dk_norm_pos('a.embedding')} AND {_dk_norm_pos('b.embedding')}
+            AND {_dk_cos('a.embedding', 'b.embedding')} > {tau!r}
+        )"""
+    ]
+    prev = "e0"
+    for i in range(1, peels + 1):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+              SELECT u AS id FROM {prev} GROUP BY u HAVING count(*) >= {k}
+            )"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+              SELECT e.u, e.v FROM {prev} e
+              JOIN k{i} a ON e.u = a.id JOIN k{i} b ON e.v = b.id
+            )"""
+        )
+        prev = f"e{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u AS id, CAST(count(*) AS BIGINT) AS degree FROM {prev} GROUP BY u ORDER BY id"
     )
 
 
@@ -5436,6 +5525,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN agg a ON t.doc_id = a.doc_id AND t.n_tokens = a.n_tokens
     """
     d["knn_pagerank"] = _pagerank_sql(iters=3, k=5, damping=0.85)
+    d["knn_kcore"] = _kcore_sql(k=3, tau=0.3, peels=12)
     d["label_propagation"] = _label_prop_sql(iters=3, k=5)
     _z_terms = " + ".join(
         f"((((l_partkey::BIGINT & 65535) >> {i}) & 1) << {2 * i}) + "

@@ -171,6 +171,7 @@ HEADLINE = [
     "incremental_agg_refresh",
     "incremental_quantile_refresh",
     "media_phash_dedup",
+    "knn_kcore",
 ]
 
 

@@ -187,3 +187,56 @@ def deterministic_walks(
     res = out.localCheckpoint(eager=True)
     nbrs.unpersist()
     return res
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """★ k-core decomposition: iteratively peel nodes of degree < k until
+    fixpoint — the standard dense-community extractor (a node in the
+    k-core has ≥ k neighbors that are themselves in the core), used to
+    split redundant clique content from bridge content before sampling.
+
+    Input edges are treated as UNDIRECTED: the list is symmetrized and
+    deduplicated first, so a kNN edge list (directed top-k) works as-is.
+    Each peel is one degree aggregation + two semi-joins — node-sized
+    frames only; intermediate edge frames persist per round and unpersist
+    as soon as the next round materializes (the pagerank lineage-cut
+    pattern). Peeling is monotone (the survivor set only shrinks), so
+    `max_iters` peels compute exactly the fixpoint whenever convergence
+    happens earlier — which makes the operator oracle-mirrorable by a
+    fixed CTE unroll. Returns (id, degree) for the surviving core.
+    """
+    # eager localCheckpoint per round, NOT persist: each peel references
+    # the previous edge frame three times (degree agg + two semi-joins),
+    # so the un-cut logical plan grows 3^rounds — 12 peels OOM'd the
+    # driver on plan STRINGS alone. Checkpointing materializes the edge
+    # frame and truncates lineage, the same pattern as label_prop /
+    # pagerank / deepwalk.
+    cur = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = cur.select("src").distinct().count()
+    for _ in range(max_iters):
+        deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("id"))
+        cur = (
+            cur.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = cur.select("src").distinct().count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return cur.groupBy("src").agg(F.count("*").cast("bigint").alias("degree")).select(
+        F.col("src").alias("id"), "degree"
+    )

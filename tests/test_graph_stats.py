@@ -125,3 +125,31 @@ def test_walks_shape_and_edges_valid(spark):
         assert sorted(steps) == [0, 1, 2, 3, 4]
         for i in range(4):
             assert (steps[i], steps[i + 1]) in ring  # every hop is an edge
+
+
+def test_kcore_peels_tails_keeps_cliques(spark):
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import kcore
+
+    # 4-clique {1,2,3,4} + chain 4-5-6 (directed one way; kcore symmetrizes)
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(clique + [(4, 5), (5, 6)], "src bigint, dst bigint")
+    core3 = {r["id"]: r["degree"] for r in kcore(edges, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}  # the chain peels off
+    core2 = {r["id"] for r in kcore(edges, k=2).collect()}
+    assert core2 == {1, 2, 3, 4}  # 5 and 6 still peel (degree 1 after 6 goes)
+    assert kcore(edges, k=4).count() == 0  # clique of 4 has max degree 3
+
+
+def test_kcore_cascade_requires_iteration(spark):
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import kcore
+
+    # path 1-2-3-4-5: every node has degree <= 2, and a k=2 peel cascades
+    # from both ends inward, removing everything over several rounds
+    path = [(i, i + 1) for i in range(1, 5)]
+    edges = spark.createDataFrame(path, "src bigint, dst bigint")
+    assert kcore(edges, k=2).count() == 0
+    # ...but adding one closing edge makes the whole ring a 2-core
+    ring = path + [(5, 1)]
+    edges2 = spark.createDataFrame(ring, "src bigint, dst bigint")
+    core = {r["id"]: r["degree"] for r in kcore(edges2, k=2).collect()}
+    assert core == {i: 2 for i in range(1, 6)}
