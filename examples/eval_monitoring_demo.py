@@ -11,6 +11,11 @@ training_pipeline_demo.py (batch pipeline):
                  second half arrives shifted)
     documents  ─ per-source Jensen–Shannon divergence
                ─ label propagation from a 10% seed set over the kNN graph
+               ─ k-core dense-community peel on the cosine threshold graph
+    events     ─ hourly resample → fused gap-fill + interpolation
+               ─ rolling median/std baselines → spike flags
+    stream     ─ count-min partials folded per micro-batch; heavy hitters
+                 answered from the live summed sketch
 
 Run: python examples/eval_monitoring_demo.py          (~1 min, sf0.001)
 Every step is the same oracle-checked operator the driver gates; this
@@ -159,6 +164,49 @@ def main() -> None:
     )
     print(f"[8] label propagation: {labeled}/{n} labeled from {seeds.count()} seeds; "
           f"{agree}/{labeled} agree with ground truth")
+
+    # -- k-core: dense-community extraction on the cosine threshold graph
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import kcore
+
+    tgraph = scored.filter(F.col("score") > 0.3).select("src", "dst")
+    core = kcore(tgraph, k=3)
+    print(f"[9] 3-core of the cosine>0.3 graph: {core.count()}/{n} vectors survive the peel")
+
+    # -- time-series monitoring: hourly event counts, gap-filled +
+    #    interpolated, then rolling mean/median/std baselines
+    from penr_oz_agent_memory_rust_spark.operators import timeseries
+
+    ev_t = load_table(spark, SF_DIR, "events")
+    obs = timeseries.resample(ev_t, ["event_type"], "ts", "value", 3600, agg="count")
+    dense = timeseries.gap_fill_interpolate(obs, ["event_type"], 3600)
+    gaps = dense.filter(F.col("is_gap")).count()
+    roll = timeseries.rolling(obs.drop("n_obs"), ["event_type"], "bucket", "v", 24)
+    spikes = roll.filter(
+        (F.col("roll_std") > 0) & (F.col("v") > F.col("roll_median") + 3 * F.col("roll_std"))
+    ).count()
+    print(f"[10] series: {dense.count()} grid cells ({gaps} gaps interpolated); "
+          f"{spikes} points above median+3*rolling-std")
+
+    # -- streaming sketch: two micro-batches fold into CMS partials; the
+    #    live sketch answers heavy hitters without storing tokens
+    from penr_oz_agent_memory_rust_spark.functions import hashing as _h
+    from penr_oz_agent_memory_rust_spark.operators import sketches
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        read_cms_sketch,
+        run_cms_ingest_once,
+    )
+
+    work = tempfile.mkdtemp(prefix="poz_demo_cms_")
+    incoming, sketch = f"{work}/incoming", f"{work}/sketch"
+    tok = lambda bdf: bdf.select(F.explode(_h.word_tokens(F.col("text"))).alias("w"))  # noqa: E731
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(incoming)
+    run_cms_ingest_once(spark, incoming, sketch, "w", 64, 4, prepare=tok)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(incoming)
+    run_cms_ingest_once(spark, incoming, sketch, "w", 64, 4, prepare=tok)
+    hh = sketches.cms_estimate(
+        tok(docs).distinct(), read_cms_sketch(spark, sketch), "w", width=64, depth=4
+    ).orderBy(F.col("est").desc(), "w").limit(5)
+    print("[11] streamed-sketch heavy hitters:", [(r["w"], r["est"]) for r in hh.collect()])
 
     print("\nevaluation & monitoring demo complete")
     spark.stop()
