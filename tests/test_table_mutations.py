@@ -15,6 +15,7 @@ from penr_oz_agent_memory_rust_spark.sources.delta_tables import (
     delta_available,
 )
 from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable
+from penr_oz_agent_memory_rust_spark.sources.versioned_tables import VersionedParquetTable
 
 SCHEMA = T.StructType(
     [
@@ -29,6 +30,7 @@ def backends():
     marks = [] if delta_available() else [pytest.mark.skip(reason="delta-spark absent")]
     return [
         pytest.param(ParquetTable, id="parquet"),
+        pytest.param(VersionedParquetTable, id="versioned"),
         pytest.param(DeltaTableIO, id="delta", marks=marks),
     ]
 
