@@ -48,6 +48,11 @@ class EngineConfig:
     vector_store: VectorStoreConfig | None = None
     sessions_path: str | None = None  # replaces DATABASE_URL
     api_key: str | None = None  # SESSION_API_KEY (src/main.rs:82-89)
+    # mutation-seam backend for every engine table: "parquet" (plain
+    # overwrite), "versioned" (manifest commits: snapshot isolation, time
+    # travel, rollback — sources/versioned_tables.py), or "delta" (real
+    # Delta MERGE, import-gated). [storage] backend=... / STORAGE_BACKEND.
+    table_backend: str = "parquet"
 
     @classmethod
     def load(cls, path: str | None = None, env: dict[str, str] | None = None) -> "EngineConfig":
@@ -95,4 +100,10 @@ class EngineConfig:
         if env.get("DATABASE_URL"):
             cfg.sessions_path = env["DATABASE_URL"]
         cfg.api_key = env.get("SESSION_API_KEY") or cfg.api_key
+        storage = data.get("storage", {})
+        cfg.table_backend = (
+            env.get("STORAGE_BACKEND") or storage.get("backend") or cfg.table_backend
+        ).lower()
+        if cfg.table_backend not in ("parquet", "versioned", "delta"):
+            raise ValueError(f"unknown storage backend {cfg.table_backend!r}")
         return cfg

@@ -57,17 +57,35 @@ class MemoryEngine:
         self.config = config
         self.registry = ProviderRegistry(config)
         self._clock = clock or (lambda: dt.datetime.now(dt.timezone.utc).replace(tzinfo=None))
-        self.memories = ParquetTable(spark, memories_path, MEMORIES_SCHEMA)
+        # the ONE constructor the backend choice flows through — the whole
+        # engine mutates tables only via the seam interface, so swapping to
+        # the manifest-versioned (or Delta) backend changes nothing else
+        table_cls = self._table_cls(config.table_backend)
+        self.memories = table_cls(spark, memories_path, MEMORIES_SCHEMA)
         self.points = (
-            ParquetTable(spark, config.vector_store.table_path, MEMORY_POINTS_SCHEMA)
+            table_cls(spark, config.vector_store.table_path, MEMORY_POINTS_SCHEMA)
             if config.vector_store
             else None
         )
         self.sessions = (
-            ParquetTable(spark, config.sessions_path, SESSIONS_SCHEMA)
+            table_cls(spark, config.sessions_path, SESSIONS_SCHEMA)
             if config.sessions_path
             else None
         )
+
+    @staticmethod
+    def _table_cls(backend: str):
+        if backend == "versioned":
+            from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+                VersionedParquetTable,
+            )
+
+            return VersionedParquetTable
+        if backend == "delta":
+            from penr_oz_agent_memory_rust_spark.sources.delta_tables import DeltaTableIO
+
+            return DeltaTableIO
+        return ParquetTable
 
     # ------------------------------------------------------- helpers
 
