@@ -587,6 +587,40 @@ def graph_probe() -> None:
             )
         )
         und.unpersist()
+    # k-core peel on the largest skewed graph: iterative cost per round at
+    # a realistic hub-heavy degree distribution (each round = one degree
+    # agg + two semi-joins + a lineage cut)
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import kcore
+
+    n_nodes, n_edges = 300_000, 3_000_000
+    e = spark.range(n_edges).select(
+        (F.col("id") % n_nodes).alias("src"),
+        (
+            F.floor(
+                F.pow(
+                    (F.hash(F.col("id")).cast("double") / 2147483647.0 + 1.0) / 2.0,
+                    F.lit(3.0),
+                )
+                * n_nodes
+            ).cast("bigint")
+        ).alias("dst"),
+    )
+    for k in (12, 14):
+        t0 = time.time()
+        core = kcore(e, k=k, max_iters=30)
+        n_core = core.count()
+        print(
+            json.dumps(
+                {
+                    "probe": "kcore",
+                    "nodes": n_nodes,
+                    "edges": n_edges,
+                    "k": k,
+                    "core_nodes": n_core,
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
     spark.stop()
 
 
