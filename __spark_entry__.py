@@ -1675,6 +1675,32 @@ def q_bq_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize.binary_search_rerank(packed, emb, qv, k=10, rerank_k=40)
 
 
+def q_bq_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ 1-bit embedding near-dup pairs: sign-quantize the corpus (plus a
+    jittered copy of every 7th vector — +0.001 flips only the bits whose
+    coordinate sat within 0.001 of zero) and join ONLY inside (band,
+    8-bit value) buckets before verifying with bit_count(xor) ≤ 7 —
+    SimHash dedup at 1/32 the scan bytes of the exact embedding_neardup
+    path. Banding, packing, and Hamming all mirror verbatim in SQL, so
+    unlike LSH this approximate join is oracle-checked END TO END
+    (max_bucket is set above the gate's bucket sizes; at scale it is the
+    stop-bucket cap)."""
+    from penr_oz_agent_memory_rust_spark.operators import quantize
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 7 == 0)
+    jit = base.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x + F.lit(0.001)).cast("float")
+        ).alias("embedding"),
+    )
+    coded = quantize.binarize_table(emb.unionByName(jit), dim=64)
+    return quantize.hamming_near_dup_pairs(
+        coded, max_bits=7, bands=8, max_bucket=100000
+    ).orderBy("u", "v")
+
+
 def q_ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ time-series regularization (time_bucket_gapfill): per event type,
     resample the event COUNT onto a 15-minute grid, densify the grid from
@@ -3853,6 +3879,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bq_ann_rerank": q_bq_ann_rerank,
         "ts_gapfill_interp": q_ts_gapfill_interp,
         "mutual_knn": q_mutual_knn,
+        "bq_neardup": q_bq_neardup,
         "semantic_decontaminate": q_semantic_decontaminate,
         "semantic_decontaminate_blas": q_semantic_decontaminate_blas,
         "rolling_series_stats": q_rolling_series_stats,
@@ -4774,6 +4801,43 @@ def oracle_sql() -> dict[str, str]:
             FROM dq d, q
             WHERE {_dk_norm_pos('d.deq')} AND {_dk_norm_pos('q.qv')}
             ORDER BY score DESC, d.vec_id LIMIT 10
+        """,
+        "bq_neardup": """
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+            ), jit AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(embedding, x -> CAST(x + 0.001 AS FLOAT)) AS embedding
+              FROM base
+            ), allv AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM jit
+            ), pos AS (
+              SELECT vec_id, embedding, UNNEST(range(len(embedding))) AS i FROM allv
+            ), words AS MATERIALIZED (
+              SELECT vec_id, i // 32 AS w,
+                     CAST(SUM(CASE WHEN embedding[i + 1] > 0
+                                   THEN CAST(pow(2, 31 - (i % 32)) AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS word
+              FROM pos GROUP BY vec_id, i // 32
+            ), bs AS (SELECT UNNEST(generate_series(0, 7)) AS band
+            ), bandv AS MATERIALIZED (
+              SELECT vec_id, band,
+                     (word >> (24 - 8 * (band % 4))) & 255 AS val
+              FROM words JOIN bs ON words.w = bs.band // 4
+            ), cand AS (
+              SELECT DISTINCT x.vec_id AS u, y.vec_id AS v
+              FROM bandv x JOIN bandv y
+                ON x.band = y.band AND x.val = y.val AND x.vec_id < y.vec_id
+            ), ham AS (
+              SELECT c.u, c.v,
+                     CAST(SUM(bit_count(xor(wu.word, wv.word))) AS BIGINT) AS hamming
+              FROM cand c
+              JOIN words wu ON wu.vec_id = c.u
+              JOIN words wv ON wv.vec_id = c.v AND wv.w = wu.w
+              GROUP BY c.u, c.v
+            )
+            SELECT u, v, hamming FROM ham WHERE hamming <= 7 ORDER BY u, v
         """,
         "bq_ann": """
             WITH pos AS (

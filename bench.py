@@ -93,6 +93,7 @@ HEADLINE = [
     "ivfpq_ann",
     "bq_ann",
     "bq_ann_rerank",
+    "bq_neardup",
     "ts_gapfill_interp",
     "mutual_knn",
     "semantic_decontaminate",

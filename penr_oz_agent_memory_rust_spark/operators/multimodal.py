@@ -236,53 +236,19 @@ def phash_near_dup_pairs(
     max_bucket: int = 200,
 ) -> DataFrame:
     """Near-duplicate media pairs by Hamming distance over the perceptual
-    hash — the SimHash recipe on pixels: split the 64 bits into `bands`
-    segments, equi-join only inside (band, value) buckets (pigeonhole: a
-    pair ≤ bands−1 differing bits ALWAYS shares an identical band, so
-    recall is exact for max_bits ≤ bands−1), then verify with
-    bit_count(xor). `max_bucket` caps degenerate buckets the way the
-    minhash path caps stop-shingles. Output: (u, v, hamming), u < v."""
-    from penr_oz_agent_memory_rust_spark.operators.quantize import hamming_expr
+    hash — delegates to the shared banded-Hamming join
+    (operators/quantize.py hamming_near_dup_pairs): SimHash-style banding
+    with pigeonhole-exact recall for max_bits <= bands - 1, verified with
+    bit_count(xor). Output: (u, v, hamming), u < v."""
+    from penr_oz_agent_memory_rust_spark.operators.quantize import (
+        hamming_near_dup_pairs,
+    )
 
-    assert max_bits <= bands - 1, "pigeonhole recall needs max_bits <= bands - 1"
-    bits_per_band = 64 // bands
-    mask = (1 << bits_per_band) - 1
-    # band b covers the high-to-low segments of (word0, word1)
-    def band_val(b: int):
-        word = F.get(F.col("phash"), b * bits_per_band // 32)
-        shift = 32 - bits_per_band - (b * bits_per_band) % 32
-        return F.shiftright(word, shift).bitwiseAND(F.lit(mask))
-
-    sides = hashed.select(
-        id_col,
-        "phash",
-        F.array(*[band_val(b) for b in range(bands)]).alias("__bands"),
+    return hamming_near_dup_pairs(
+        hashed,
+        max_bits=max_bits,
+        bands=bands,
+        id_col=id_col,
+        code_col="phash",
+        max_bucket=max_bucket,
     )
-    exploded = sides.select(
-        id_col, "phash", F.posexplode("__bands").alias("band", "val")
-    )
-    grouped = exploded.groupBy("band", "val").agg(
-        F.slice(F.array_sort(F.collect_list(F.struct(id_col, "phash"))), 1, max_bucket).alias(
-            "members"
-        )
-    )
-    pairs = grouped.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("members"),
-                        lambda a: F.transform(
-                            F.col("members"), lambda b: F.struct(a.alias("a"), b.alias("b"))
-                        ),
-                    )
-                ),
-                lambda p: p["a"][id_col] < p["b"][id_col],
-            )
-        ).alias("p")
-    ).select(
-        F.col(f"p.a.{id_col}").alias("u"),
-        F.col(f"p.b.{id_col}").alias("v"),
-        hamming_expr(F.col("p.a.phash"), F.col("p.b.phash")).alias("hamming"),
-    )
-    return pairs.filter(F.col("hamming") <= max_bits).dropDuplicates(["u", "v"])

@@ -204,3 +204,68 @@ def binary_search_rerank(
         score = F.round(score, round_to)
     scored = full.withColumn("score", score).filter(F.col("score").isNotNull())
     return top_k(scored, "score", k, tiebreak=id_col).select(id_col, "score")
+
+
+def hamming_near_dup_pairs(
+    coded: DataFrame,
+    max_bits: int = 5,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    code_col: str = "b_vec",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over 64-bit packed codes
+    (2 × 32-bit words) — the banded SimHash join: split the 64 bits into
+    `bands` equal segments, equi-join only inside (band, value) buckets
+    (pigeonhole: a pair differing in ≤ bands−1 bits ALWAYS shares an
+    identical band, so recall is exact for max_bits ≤ bands−1), verify
+    with bit_count(xor). Candidate volume is Σ bucket², never N²;
+    `max_bucket` caps degenerate buckets like the minhash stop-shingle
+    cap (set it above the largest expected duplicate-cluster size when
+    exact output matters — an oracle mirrors the uncapped join).
+    Works on any (id, packed-code) frame: sign-quantized embeddings
+    (binarize_table) and perceptual image hashes share this join.
+    Output: (u, v, hamming), u < v, one row per pair."""
+    assert max_bits <= bands - 1, "pigeonhole recall needs max_bits <= bands - 1"
+    bits_per_band = 64 // bands
+    mask = (1 << bits_per_band) - 1
+
+    def band_val(b: int):
+        word = F.get(F.col(code_col), b * bits_per_band // 32)
+        shift = 32 - bits_per_band - (b * bits_per_band) % 32
+        return F.shiftright(word, shift).bitwiseAND(F.lit(mask))
+
+    sides = coded.select(
+        id_col,
+        code_col,
+        F.array(*[band_val(b) for b in range(bands)]).alias("__bands"),
+    )
+    exploded = sides.select(
+        id_col, code_col, F.posexplode("__bands").alias("band", "val")
+    )
+    grouped = exploded.groupBy("band", "val").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct(id_col, code_col))), 1, max_bucket
+        ).alias("members")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda a: F.transform(
+                            F.col("members"),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                ),
+                lambda p: p["a"][id_col] < p["b"][id_col],
+            )
+        ).alias("p")
+    ).select(
+        F.col(f"p.a.{id_col}").alias("u"),
+        F.col(f"p.b.{id_col}").alias("v"),
+        hamming_expr(F.col(f"p.a.{code_col}"), F.col(f"p.b.{code_col}")).alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= max_bits).dropDuplicates(["u", "v"])

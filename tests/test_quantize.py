@@ -135,3 +135,33 @@ def test_binary_storage_32x_smaller_columns(spark, emb, tmp_path):
     # 64 floats (256B) -> 2 bigints (16B) per row before encoding; parquet
     # encodings narrow the gap, but packed must stay well under half
     assert size(packed) < 0.5 * size(full), (size(packed), size(full))
+
+
+def test_hamming_near_dup_pairs_banding_recall(spark):
+    """Pairs within bands-1 bits MUST be found (pigeonhole); far pairs must
+    not appear; the pair verifier reports the true Hamming distance."""
+    rows = [
+        (1, [0x0F0F0F0F, 0x12345678]),
+        (2, [0x0F0F0F0F, 0x12345679]),   # 2 bits from #1 (…78 vs …79 -> 1? 0x78^0x79=1 bit)
+        (3, [0x0F0F0F0E, 0x12345678]),   # 1 bit from #1
+        (4, [0x70F0F0F0, 0x65432187]),   # far from everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, b_vec array<bigint>")
+    got = {(r["u"], r["v"]): r["hamming"] for r in
+           quantize.hamming_near_dup_pairs(df, max_bits=7, bands=8).collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(2, 3)] == 2
+    assert not any(4 in p for p in got)
+
+
+def test_binarized_neardup_catches_jittered_copies(spark, emb):
+    from pyspark.sql import functions as F
+
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 50)
+    jit = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x + F.lit(0.001)).cast("float")).alias("embedding"),
+    )
+    coded = quantize.binarize_table(base.unionByName(jit), dim=64)
+    pairs = {(r["u"], r["v"]) for r in
+             quantize.hamming_near_dup_pairs(coded, max_bits=7, bands=8).collect()}
+    assert pairs == {(i, i + 1000) for i in range(50)}
