@@ -224,7 +224,11 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_prev = cur.select("src").distinct().count()
+    # fixpoint on the EDGE count, not a per-round distinct-node count: a
+    # peeled node always had >= 1 edge (degree-0 nodes never appear in an
+    # edge list), so the edge count is stable iff the survivor set is —
+    # and counting the checkpointed frame is a scan, not a shuffle
+    n_prev = cur.count()
     for _ in range(max_iters):
         deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("id"))
@@ -233,7 +237,7 @@ def kcore(
             .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
-        n_now = cur.select("src").distinct().count()
+        n_now = cur.count()
         if n_now == n_prev:
             break
         n_prev = n_now
