@@ -89,12 +89,15 @@ class VersionedParquetTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _try_commit(self, version: int, files: list[str], op: str) -> bool:
+    def _try_commit(
+        self, version: int, files: list[str], op: str, stats: dict | None = None
+    ) -> bool:
         os.makedirs(self._mdir, exist_ok=True)
         body = {
             "version": version,
             "op": op,
             "files": sorted(files),
+            "stats": stats or {},
             "committed_at": time.time(),
         }
         tmp = os.path.join(self._mdir, f".tmp-{uuid.uuid4().hex}")
@@ -125,6 +128,41 @@ class VersionedParquetTable:
             for p in glob.glob(os.path.join(cdir, f"*.{self.fmt}"))
         ]
 
+    def _collect_stats(self, rel_files: list[str]) -> dict:
+        """Per-file column min/max from the parquet footers (int/float/str
+        leaves only) — the manifest-level data-skipping index, gathered at
+        commit time when the footers are hot. One footer read per NEW file;
+        appends reuse the prior manifest's entries untouched."""
+        if self.fmt != "parquet":
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for rel in rel_files:
+            try:
+                md = pq.read_metadata(os.path.join(self.path, rel))
+            except Exception:  # noqa: BLE001 — stats are an optimization only
+                continue
+            cols: dict[str, list] = {}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for c in range(rg.num_columns):
+                    col = rg.column(c)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes) or not isinstance(mn, (int, float, str)):
+                        continue
+                    name = col.path_in_schema
+                    if name in cols:
+                        cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
+                    else:
+                        cols[name] = [mn, mx]
+            if cols:
+                out[rel] = cols
+        return out
+
     # ---------------------------------------------------------- public API
 
     def exists(self) -> bool:
@@ -146,18 +184,59 @@ class VersionedParquetTable:
             .load([os.path.join(self.path, f) for f in files])
         )
 
+    def prune_files(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Manifest-level data skipping: the files whose [min, max] for
+        `col` can intersect [lo, hi] (None = unbounded), plus the total
+        file count. Files without recorded stats are kept (safe). This is
+        the Delta/Iceberg skipping index — at 100 TB every skipped file is
+        a network fetch that never happens, decided from the MANIFEST with
+        zero footer reads at query time."""
+        self.ensure()
+        v = self.current_version() if version is None else version
+        m = self._load_manifest(v)
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            mm = stats.get(f, {}).get(col)
+            if mm is None:
+                keep.append(f)
+                continue
+            mn, mx = mm
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                continue
+            keep.append(f)
+        return keep, len(m["files"])
+
+    def read_pruned(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> DataFrame:
+        """read() over only the files `prune_files` keeps. The caller still
+        applies the row-level filter — pruning is file-granular."""
+        keep, _ = self.prune_files(col, lo, hi, version)
+        if not keep:
+            return self.spark.createDataFrame([], self.schema)
+        return (
+            self.spark.read.schema(self.schema)
+            .format(self.fmt)
+            .load([os.path.join(self.path, f) for f in keep])
+        )
+
     def append(self, df: DataFrame) -> None:
         self.ensure()
         new_files = self._write_commit_files(df)
+        new_stats = self._collect_stats(new_files)
         while True:  # zero-copy append: retry on a racing commit
             base = self.current_version()
-            prior = self._load_manifest(base)["files"]
-            if self._try_commit(base + 1, prior + new_files, "append"):
+            prev = self._load_manifest(base)
+            stats = {**prev.get("stats", {}), **new_stats}
+            if self._try_commit(base + 1, prev["files"] + new_files, "append", stats):
                 return
 
     def _rewrite(self, df: DataFrame, base: int, op: str) -> None:
         new_files = self._write_commit_files(df)
-        if not self._try_commit(base + 1, new_files, op):
+        if not self._try_commit(base + 1, new_files, op, self._collect_stats(new_files)):
             raise ConcurrentWriteError(
                 f"{op}: version {base + 1} was committed by another writer "
                 f"after this operation read version {base}"
@@ -208,10 +287,12 @@ class VersionedParquetTable:
 
     def rollback(self, version: int) -> None:
         """Restore `version`'s contents as a NEW commit (history preserved)."""
-        files = self._load_manifest(version)["files"]
+        m = self._load_manifest(version)
         while True:
             base = self.current_version()
-            if self._try_commit(base + 1, files, f"rollback_to_v{version}"):
+            if self._try_commit(
+                base + 1, m["files"], f"rollback_to_v{version}", m.get("stats", {})
+            ):
                 return
 
     def vacuum(self, keep_last: int = 1) -> int:

@@ -102,3 +102,31 @@ def test_crash_safe_partial_commit_is_invisible(spark, table):
     assert {r["id"] for r in table.read().collect()} == {"a", "b"}
     # vacuum reclaims the orphaned files
     assert table.vacuum(keep_last=len(table._versions())) >= 1
+
+
+def test_manifest_data_skipping_prunes_files(spark, tmp_path):
+    """Each append commits its own files with footer min/max recorded in
+    the manifest; a range probe must touch only the overlapping files and
+    still return exactly the filtered rows."""
+    t = VersionedParquetTable(spark, str(tmp_path / "skip"), SCHEMA)
+    for lo in (0, 100, 200, 300):  # 4 commits with disjoint val ranges
+        t.append(
+            spark.createDataFrame(
+                [(f"r{lo + i}", lo + i) for i in range(50)], "id string, val bigint"
+            ).coalesce(1)
+        )
+    keep, total = t.prune_files("val", lo=120, hi=180)
+    assert total >= 4 and len(keep) < total  # skipped at least the non-overlap files
+    got = t.read_pruned("val", lo=120, hi=180).filter(
+        (F.col("val") >= 120) & (F.col("val") <= 180)
+    )
+    want = t.read().filter((F.col("val") >= 120) & (F.col("val") <= 180))
+    assert sorted(r["val"] for r in got.collect()) == sorted(r["val"] for r in want.collect())
+    # an out-of-range probe reads nothing
+    none_keep, _ = t.prune_files("val", lo=10_000)
+    assert none_keep == []
+    assert t.read_pruned("val", lo=10_000).count() == 0
+    # stats survive rollback and vanish only with their files on vacuum
+    t.rollback(2)
+    k2, tot2 = t.prune_files("val", lo=0, hi=10)
+    assert len(k2) == tot2 == 1
