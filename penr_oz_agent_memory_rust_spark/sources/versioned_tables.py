@@ -315,3 +315,46 @@ class VersionedParquetTable:
         for v in vs[:-keep_last] if keep_last else []:
             os.unlink(self._manifest_path(v))
         return deleted
+
+    def optimize(
+        self,
+        n_files: int | None = None,
+        zorder_by: tuple[str, str] | None = None,
+        sort_by: str | None = None,
+        zorder_bits: int = 16,
+    ) -> None:
+        """OPTIMIZE as a commit: rewrite the CURRENT version's rows into a
+        better layout — fewer files (compaction), single-column clustering
+        (`sort_by`), or two-dimensional Z-order clustering (`zorder_by`,
+        operators/layout.py Morton code) — without changing contents.
+        Because it is just another manifest commit, readers keep snapshot
+        isolation throughout, time travel still reaches the pre-optimize
+        layout, and the per-file min/max stats recorded at commit give the
+        clustered files their data-skipping payoff immediately
+        (`prune_files`). Raises ConcurrentWriteError if another commit
+        lands mid-rewrite."""
+        self.ensure()
+        base = self.current_version()
+        df = self.read(base)
+        if zorder_by is not None:
+            from penr_oz_agent_memory_rust_spark.operators.layout import zorder_value
+
+            c1, c2 = zorder_by
+            df = df.withColumn(
+                "__z", zorder_value(F.col(c1), F.col(c2), zorder_bits)
+            )
+            df = (
+                df.repartitionByRange(n_files or 32, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            op = f"optimize_zorder_{c1}_{c2}"
+        elif sort_by is not None:
+            df = df.repartitionByRange(n_files or 32, sort_by).sortWithinPartitions(
+                sort_by
+            )
+            op = f"optimize_sort_{sort_by}"
+        else:
+            df = df.coalesce(n_files or 1)
+            op = "optimize_compact"
+        self._rewrite(df, base, op)

@@ -130,3 +130,58 @@ def test_manifest_data_skipping_prunes_files(spark, tmp_path):
     t.rollback(2)
     k2, tot2 = t.prune_files("val", lo=0, hi=10)
     assert len(k2) == tot2 == 1
+
+
+def test_optimize_compact_and_sort_improve_skipping(spark, tmp_path):
+    """OPTIMIZE is a contents-preserving commit: compaction shrinks the
+    file count; sort-clustering turns a useless skipping index (every
+    file spans the whole value range after hashed appends) into real
+    pruning; time travel still reaches the messy layout."""
+    t = VersionedParquetTable(spark, str(tmp_path / "opt"), SCHEMA)
+    import random
+
+    rng = random.Random(7)
+    vals = list(range(400))
+    rng.shuffle(vals)
+    for i in range(4):  # interleaved appends: every file spans ~the full range
+        chunk = vals[i * 100 : (i + 1) * 100]
+        t.append(
+            spark.createDataFrame([(f"r{v}", v) for v in chunk], SCHEMA).repartition(2)
+        )
+    before_keep, before_total = t.prune_files("val", lo=10, hi=40)
+    assert len(before_keep) == before_total  # nothing prunable yet
+    pre_optimize = t.current_version()
+    t.optimize(n_files=8, sort_by="val")
+    after_keep, after_total = t.prune_files("val", lo=10, hi=40)
+    assert after_total == 8 and len(after_keep) <= 2, (after_keep, after_total)
+    # contents identical, history intact
+    assert t.read().count() == 400
+    assert sorted(r["val"] for r in t.read_pruned("val", lo=10, hi=40)
+                  .filter((F.col("val") >= 10) & (F.col("val") <= 40)).collect()) == list(range(10, 41))
+    assert t.read(version=pre_optimize).count() == 400
+    assert t.history()[-1]["op"] == "optimize_sort_val"
+    # plain compaction: one file, same rows
+    t.optimize()
+    assert t.history()[-1]["op"] == "optimize_compact"
+    assert t.prune_files("val")[1] == 1 and t.read().count() == 400
+
+
+def test_optimize_zorder_prunes_both_dims(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.LongType(), False),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "zopt"), schema)
+    side = 64
+    rows = [(x, y) for x in range(side) for y in range(side)]
+    t.append(spark.createDataFrame(rows, schema).repartition(8))
+    t.optimize(n_files=16, zorder_by=("a", "b"), zorder_bits=8)
+    ka, ta_ = t.prune_files("a", lo=0, hi=7)
+    kb, tb_ = t.prune_files("b", lo=0, hi=7)
+    assert ta_ == tb_ == 16
+    # z-clustering prunes on EITHER dimension alone
+    assert len(ka) < 16 and len(kb) < 16, (len(ka), len(kb))
+    got = t.read_pruned("a", lo=0, hi=7).filter(F.col("a") <= 7).count()
+    assert got == 8 * side
