@@ -90,7 +90,12 @@ class VersionedParquetTable:
             return json.load(f)
 
     def _try_commit(
-        self, version: int, files: list[str], op: str, stats: dict | None = None
+        self,
+        version: int,
+        files: list[str],
+        op: str,
+        stats: dict | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> bool:
         os.makedirs(self._mdir, exist_ok=True)
         body = {
@@ -100,6 +105,8 @@ class VersionedParquetTable:
             "stats": stats or {},
             "committed_at": time.time(),
         }
+        if txn is not None:
+            body["txn"] = [txn[0], int(txn[1])]
         tmp = os.path.join(self._mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(body, f)
@@ -223,15 +230,34 @@ class VersionedParquetTable:
             .load([os.path.join(self.path, f) for f in keep])
         )
 
-    def append(self, df: DataFrame) -> None:
+    def txn_committed(self, txn_app: str, txn_id: int) -> bool:
+        """Has (txn_app, txn_id) already committed? The Delta idempotent-
+        writer device: a replayed streaming micro-batch carries the same
+        ids and must become a no-op, not a duplicate append."""
+        for v in reversed(self._versions()):
+            if self._load_manifest(v).get("txn") == [txn_app, int(txn_id)]:
+                return True
+        return False
+
+    def append(
+        self,
+        df: DataFrame,
+        txn_app: str | None = None,
+        txn_id: int | None = None,
+    ) -> None:
         self.ensure()
+        if txn_app is not None and self.txn_committed(txn_app, txn_id):
+            return  # replayed batch: already committed, exactly-once holds
         new_files = self._write_commit_files(df)
         new_stats = self._collect_stats(new_files)
+        txn = (txn_app, txn_id) if txn_app is not None else None
         while True:  # zero-copy append: retry on a racing commit
             base = self.current_version()
             prev = self._load_manifest(base)
             stats = {**prev.get("stats", {}), **new_stats}
-            if self._try_commit(base + 1, prev["files"] + new_files, "append", stats):
+            if self._try_commit(
+                base + 1, prev["files"] + new_files, "append", stats, txn
+            ):
                 return
 
     def _rewrite(self, df: DataFrame, base: int, op: str) -> None:

@@ -865,3 +865,37 @@ def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def run_versioned_table_ingest_once(
+    spark: SparkSession,
+    incoming_dir: str,
+    table,
+    app_id: str = "versioned-ingest",
+) -> int:
+    """Streaming ingest INTO the manifest-versioned table — the lakehouse
+    loop without a table format: each micro-batch appends as ONE atomic
+    zero-copy commit carrying (app_id, batch_id) as its transaction id, so
+    a replayed batch (foreachBatch is at-least-once on recovery) is a
+    recorded no-op rather than duplicate rows — the same idempotent-writer
+    device Delta's txnAppId/txnVersion provides. Readers keep snapshot
+    isolation mid-stream, and every committed batch is immediately
+    time-travelable. availableNow-triggered; returns micro-batches run."""
+    schema = spark.read.parquet(incoming_dir).schema
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    n_batches = {"n": 0}
+
+    def _commit(bdf: DataFrame, batch_id: int) -> None:
+        table.append(bdf, txn_app=app_id, txn_id=batch_id)
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_commit)
+        .option(
+            "checkpointLocation", os.path.join(table.path, "_ingest_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

@@ -185,3 +185,36 @@ def test_optimize_zorder_prunes_both_dims(spark, tmp_path):
     assert len(ka) < 16 and len(kb) < 16, (len(ka), len(kb))
     got = t.read_pruned("a", lo=0, hi=7).filter(F.col("a") <= 7).count()
     assert got == 8 * side
+
+
+def test_streaming_ingest_idempotent_txn_commits(spark, tmp_path):
+    """Micro-batches land as atomic zero-copy commits tagged with
+    (app, batch) txn ids; a REPLAYED batch id is a no-op (exactly-once on
+    at-least-once foreachBatch), and each batch is time-travelable."""
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        run_versioned_table_ingest_once,
+    )
+
+    incoming = str(tmp_path / "incoming")
+    t = VersionedParquetTable(spark, str(tmp_path / "lake"), SCHEMA)
+    spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(incoming)
+    assert run_versioned_table_ingest_once(spark, incoming, t) == 1
+    spark.createDataFrame([("c", 3)], SCHEMA).coalesce(1).write.mode("append").parquet(
+        incoming
+    )
+    assert run_versioned_table_ingest_once(spark, incoming, t) == 1
+    assert {r["id"] for r in t.read().collect()} == {"a", "b", "c"}
+    # simulate a replay of batch 1: same txn ids -> recorded no-op
+    replay = spark.createDataFrame([("c", 3)], SCHEMA)
+    before = t.current_version()
+    t.append(replay, txn_app="versioned-ingest", txn_id=1)
+    assert t.current_version() == before
+    assert t.read().count() == 3
+    # a NEW txn id still appends
+    t.append(replay, txn_app="versioned-ingest", txn_id=2)
+    assert t.read().count() == 4
+    # every streamed batch is a time-travelable version
+    ops = [h["op"] for h in t.history()]
+    assert ops.count("append") == 3 and ops[0] == "create"
