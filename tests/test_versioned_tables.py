@@ -218,3 +218,33 @@ def test_streaming_ingest_idempotent_txn_commits(spark, tmp_path):
     # every streamed batch is a time-travelable version
     ops = [h["op"] for h in t.history()]
     assert ops.count("append") == 3 and ops[0] == "create"
+
+
+def test_change_data_feed(spark, table):
+    """Appends feed as zero-copy file-diff inserts; a delete feeds the
+    removed row; an update feeds a delete+insert pair; optimize (layout
+    only) feeds nothing."""
+    v1 = table.current_version()
+    table.append(spark.createDataFrame([("c", 3), ("d", 4)], SCHEMA))
+    v2 = table.current_version()
+    cdf = {(r["id"], r["_change_type"]) for r in table.changes(v1, v2).collect()}
+    assert cdf == {("c", "insert"), ("d", "insert")}
+    table.delete_where(F.col("id") == "a")
+    v3 = table.current_version()
+    cdf = {(r["id"], r["_change_type"]) for r in table.changes(v2, v3).collect()}
+    assert cdf == {("a", "delete")}
+    table.update_where(F.col("id") == "b", {"val": F.lit(20)})
+    v4 = table.current_version()
+    got = {(r["id"], r["val"], r["_change_type"]) for r in table.changes(v3, v4).collect()}
+    assert got == {("b", 2, "delete"), ("b", 20, "insert")}
+    table.optimize()
+    assert table.changes(v4).count() == 0
+    # the full span composes too: net effect from v1 ('a','b'@2) to now
+    net = {(r["id"], r["val"], r["_change_type"]) for r in table.changes(v1).collect()}
+    assert net == {
+        ("c", 3, "insert"),
+        ("d", 4, "insert"),
+        ("a", 1, "delete"),
+        ("b", 2, "delete"),
+        ("b", 20, "insert"),
+    }
