@@ -981,6 +981,82 @@ def binq_probe() -> None:
         spark.stop()
 
 
+def lake_probe() -> None:
+    """Versioned-table probe (`python scale_probe.py lake`): what do the
+    manifest commits cost at millions of rows, and what do they buy?
+
+    8 appends of 1M rows each (sorted value ranges per commit, the
+    streaming steady state) measured against plain ParquetTable appends;
+    then a range probe with/without manifest skipping, an optimize, and a
+    change-feed read of the last commit."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    spark = get_spark(app_name="poz-lake-probe")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("val", T.LongType(), True),
+            T.StructField("payload", T.DoubleType(), True),
+        ]
+    )
+    n_per, n_commits = 1_000_000, 8
+    tmp = tempfile.mkdtemp(prefix="poz_lake_")
+    out = {"rows_per_commit": n_per, "commits": n_commits}
+    try:
+        batches = [
+            spark.range(lo * n_per, (lo + 1) * n_per).select(
+                F.col("id"),
+                F.col("id").alias("val"),
+                (F.rand(lo) * 100).alias("payload"),
+            )
+            for lo in range(n_commits)
+        ]
+        plain = ParquetTable(spark, f"{tmp}/plain", schema)
+        t0 = time.time()
+        for b in batches:
+            plain.append(b)
+        out["plain_append_total_sec"] = round(time.time() - t0, 2)
+
+        lake = VersionedParquetTable(spark, f"{tmp}/lake", schema)
+        t0 = time.time()
+        for i, b in enumerate(batches):
+            lake.append(b, txn_app="probe", txn_id=i)
+        out["versioned_append_total_sec"] = round(time.time() - t0, 2)
+
+        lo, hi = 2_500_000, 2_600_000
+        t0 = time.time()
+        full = lake.read().filter((F.col("val") >= lo) & (F.col("val") <= hi)).count()
+        out["range_scan_all_files_sec"] = round(time.time() - t0, 2)
+        keep, total = lake.prune_files("val", lo, hi)
+        t0 = time.time()
+        pruned = (
+            lake.read_pruned("val", lo, hi)
+            .filter((F.col("val") >= lo) & (F.col("val") <= hi))
+            .count()
+        )
+        out["range_scan_pruned_sec"] = round(time.time() - t0, 2)
+        out["files_pruned"] = f"{len(keep)}/{total}"
+        assert full == pruned
+        t0 = time.time()
+        lake.optimize(n_files=16, sort_by="val")
+        out["optimize_sort_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["cdf_last_commit_rows"] = lake.changes(lake.current_version() - 2).count()
+        out["cdf_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -1156,5 +1232,7 @@ if __name__ == "__main__":
         zorder_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "binq":
         binq_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "lake":
+        lake_probe()
     else:
         main()
