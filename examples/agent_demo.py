@@ -44,6 +44,7 @@ def main() -> None:
         providers={"hash": ProviderConfig(name="hash", kind="hash", dimensions=64)},
         vector_store=VectorStoreConfig(table_path=f"{workdir}/points", dimensions=64),
         sessions_path=f"{workdir}/sessions",
+        table_backend="versioned",  # manifest commits: time travel below
     )
     engine = MemoryEngine(spark, cfg, memories_path=f"{workdir}/memories")
 
@@ -61,9 +62,16 @@ def main() -> None:
         for h in hits:
             print(f"  {h['score']:.3f}  {h['text']}")
 
+    v_before = engine.memories.current_version()
     deleted = engine.delete_memory(ids[0])
     print(f"\ndeleted first memory: {deleted}; remaining:",
           engine.search_memory("anything", limit=100, session=session["id"]).count())
+
+    # the versioned backend keeps every commit: query the pre-delete
+    # snapshot and show the audit trail
+    print("pre-delete snapshot rows:", engine.memories.read(version=v_before).count())
+    print("memories table history:",
+          [(h["version"], h["op"]) for h in engine.memories.history()])
 
     spark.stop()
 
