@@ -89,6 +89,15 @@ class VersionedParquetTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
+    def _schema_at(self, version: int) -> T.StructType:
+        js = self._load_manifest(version).get("schema")
+        return T.StructType.fromJson(js) if js else self.schema
+
+    def current_schema(self) -> T.StructType:
+        """The schema the table evolved to — a reopened handle constructed
+        with an older StructType still reads/writes the widened one."""
+        return self._schema_at(self.current_version()) if self.exists() else self.schema
+
     def _try_commit(
         self,
         version: int,
@@ -96,6 +105,7 @@ class VersionedParquetTable:
         op: str,
         stats: dict | None = None,
         txn: tuple[str, int] | None = None,
+        schema_obj: T.StructType | None = None,
     ) -> bool:
         os.makedirs(self._mdir, exist_ok=True)
         body = {
@@ -103,6 +113,7 @@ class VersionedParquetTable:
             "op": op,
             "files": sorted(files),
             "stats": stats or {},
+            "schema": (schema_obj or self.schema).jsonValue(),
             "committed_at": time.time(),
         }
         if txn is not None:
@@ -122,10 +133,11 @@ class VersionedParquetTable:
 
     # ------------------------------------------------------------- data IO
 
-    def _write_commit_files(self, df: DataFrame) -> list[str]:
+    def _write_commit_files(self, df: DataFrame, schema: T.StructType | None = None) -> list[str]:
         cdir = os.path.join(self.path, "files", uuid.uuid4().hex)
+        sch = schema or self.schema
         (
-            df.select(*[f.name for f in self.schema.fields])
+            df.select(*[f.name for f in sch.fields])
             .write.mode("overwrite")
             .format(self.fmt)
             .save(cdir)
@@ -182,11 +194,14 @@ class VersionedParquetTable:
     def read(self, version: int | None = None) -> DataFrame:
         self.ensure()
         v = self.current_version() if version is None else version
+        sch = self._schema_at(v)
         files = self._load_manifest(v)["files"]
         if not files:
-            return self.spark.createDataFrame([], self.schema)
+            return self.spark.createDataFrame([], sch)
+        # files written before a later add_columns lack the new fields;
+        # reading them under the version's schema yields nulls there
         return (
-            self.spark.read.schema(self.schema)
+            self.spark.read.schema(sch)
             .format(self.fmt)
             .load([os.path.join(self.path, f) for f in files])
         )
@@ -222,10 +237,12 @@ class VersionedParquetTable:
         """read() over only the files `prune_files` keeps. The caller still
         applies the row-level filter — pruning is file-granular."""
         keep, _ = self.prune_files(col, lo, hi, version)
+        v = self.current_version() if version is None else version
+        sch = self._schema_at(v)
         if not keep:
-            return self.spark.createDataFrame([], self.schema)
+            return self.spark.createDataFrame([], sch)
         return (
-            self.spark.read.schema(self.schema)
+            self.spark.read.schema(sch)
             .format(self.fmt)
             .load([os.path.join(self.path, f) for f in keep])
         )
@@ -248,7 +265,8 @@ class VersionedParquetTable:
         self.ensure()
         if txn_app is not None and self.txn_committed(txn_app, txn_id):
             return  # replayed batch: already committed, exactly-once holds
-        new_files = self._write_commit_files(df)
+        sch = self.current_schema()
+        new_files = self._write_commit_files(df, sch)
         new_stats = self._collect_stats(new_files)
         txn = (txn_app, txn_id) if txn_app is not None else None
         while True:  # zero-copy append: retry on a racing commit
@@ -256,13 +274,17 @@ class VersionedParquetTable:
             prev = self._load_manifest(base)
             stats = {**prev.get("stats", {}), **new_stats}
             if self._try_commit(
-                base + 1, prev["files"] + new_files, "append", stats, txn
+                base + 1, prev["files"] + new_files, "append", stats, txn,
+                self._schema_at(base),
             ):
                 return
 
     def _rewrite(self, df: DataFrame, base: int, op: str) -> None:
-        new_files = self._write_commit_files(df)
-        if not self._try_commit(base + 1, new_files, op, self._collect_stats(new_files)):
+        sch = self._schema_at(base) if self.exists() else self.schema
+        new_files = self._write_commit_files(df, sch)
+        if not self._try_commit(
+            base + 1, new_files, op, self._collect_stats(new_files), None, sch
+        ):
             raise ConcurrentWriteError(
                 f"{op}: version {base + 1} was committed by another writer "
                 f"after this operation read version {base}"
@@ -282,7 +304,7 @@ class VersionedParquetTable:
             F.broadcast(updates.select(*key_cols).distinct()), key_cols, "left_anti"
         )
         merged = survivors.unionByName(
-            updates.select(*[f.name for f in self.schema.fields])
+            updates.select(*[f.name for f in self._schema_at(base).fields])
         )
         self._rewrite(merged, base, "merge_upsert")
 
@@ -317,7 +339,12 @@ class VersionedParquetTable:
         while True:
             base = self.current_version()
             if self._try_commit(
-                base + 1, m["files"], f"rollback_to_v{version}", m.get("stats", {})
+                base + 1,
+                m["files"],
+                f"rollback_to_v{version}",
+                m.get("stats", {}),
+                None,
+                self._schema_at(version),
             ):
                 return
 
@@ -420,3 +447,36 @@ class VersionedParquetTable:
             "_change_type", F.lit("delete").alias("_change_type")
         )
         return inserts.unionByName(deletes)
+
+    def add_columns(self, *fields: T.StructField) -> None:
+        """Schema evolution as a METADATA-ONLY commit: widen the table with
+        new NULLABLE fields without touching a single data file — existing
+        files read as null in the new columns (parquet missing-column
+        semantics under an explicit read schema), and subsequent appends
+        write them. Time travel still reads old versions under their own
+        narrower schema; a handle constructed with the original StructType
+        picks the widened schema up from the manifest (current_schema)."""
+        sch = self.current_schema()
+        existing = {f.name for f in sch.fields}
+        for f in fields:
+            if f.name in existing:
+                raise ValueError(f"column {f.name!r} already exists")
+            if not f.nullable:
+                raise ValueError(
+                    f"new column {f.name!r} must be nullable — existing files "
+                    "have no values for it"
+                )
+        widened = T.StructType(list(sch.fields) + list(fields))
+        names = ", ".join(f.name for f in fields)
+        while True:
+            base = self.current_version()
+            m = self._load_manifest(base)
+            if self._try_commit(
+                base + 1,
+                m["files"],
+                f"add_columns({names})",
+                m.get("stats", {}),
+                None,
+                widened,
+            ):
+                return

@@ -248,3 +248,36 @@ def test_change_data_feed(spark, table):
         ("b", 2, "delete"),
         ("b", 20, "insert"),
     }
+
+
+def test_schema_evolution_add_column(spark, table):
+    """add_columns is a zero-copy metadata commit: old files read as null
+    in the new column, new appends carry values, time travel still uses
+    the narrower schema, and a handle opened with the ORIGINAL StructType
+    sees the widened table."""
+    import glob
+
+    v_narrow = table.current_version()
+    files_before = set(glob.glob(os.path.join(table.path, "files", "*", "*.parquet")))
+    table.add_columns(T.StructField("tag", T.StringType(), True))
+    assert set(glob.glob(os.path.join(table.path, "files", "*", "*.parquet"))) == files_before
+    assert [f.name for f in table.current_schema().fields] == ["id", "val", "tag"]
+    # old rows surface with null tag
+    got = {r["id"]: r["tag"] for r in table.read().collect()}
+    assert got == {"a": None, "b": None}
+    # new appends carry the column (through a FRESH handle with the old schema)
+    reopened = VersionedParquetTable(spark, table.path, SCHEMA)
+    reopened.append(
+        spark.createDataFrame([("c", 3, "x")], "id string, val bigint, tag string")
+    )
+    rows = {r["id"]: r["tag"] for r in reopened.read().collect()}
+    assert rows == {"a": None, "b": None, "c": "x"}
+    # time travel reads the pre-evolution schema
+    assert "tag" not in reopened.read(version=v_narrow).columns
+    # non-nullable or duplicate additions are refused
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        table.add_columns(T.StructField("val", T.LongType(), True))
+    with _pt.raises(ValueError):
+        table.add_columns(T.StructField("req", T.LongType(), False))
