@@ -142,10 +142,22 @@ class VersionedParquetTable:
             .format(self.fmt)
             .save(cdir)
         )
-        return [
-            os.path.relpath(p, self.path)
-            for p in glob.glob(os.path.join(cdir, f"*.{self.fmt}"))
-        ]
+        rels = []
+        for pth in glob.glob(os.path.join(cdir, f"*.{self.fmt}")):
+            if self.fmt == "parquet":
+                # drop zero-row part files: they carry no data and no
+                # footer stats (and would erode the skipping index's
+                # coverage guarantees)
+                import pyarrow.parquet as pq
+
+                try:
+                    if pq.read_metadata(pth).num_rows == 0:
+                        os.unlink(pth)
+                        continue
+                except Exception:  # noqa: BLE001
+                    pass
+            rels.append(os.path.relpath(pth, self.path))
+        return rels
 
     def _collect_stats(self, rel_files: list[str]) -> dict:
         """Per-file column min/max from the parquet footers (int/float/str
@@ -297,16 +309,98 @@ class VersionedParquetTable:
         self._rewrite(df, self.current_version(), "overwrite")
 
     def merge_upsert(self, updates: DataFrame, key_cols: list[str]) -> None:
+        """Last-writer-wins upsert. With a SINGLE key column whose min/max
+        is recorded in the manifest, this is a FILE-PRUNED merge — the
+        Delta MERGE cost model on plain files: files whose key range
+        cannot contain an updated key stay in the manifest untouched
+        (zero-copy); only the overlapping files are anti-joined and
+        rewritten, plus the update rows themselves. Mutations thereby
+        cost O(matched files), not O(table) — the property DEVIATIONS #7
+        attributed to the (jar-gated) Delta backend. Composite keys or
+        files without stats fall back to the full rewrite."""
         self.ensure()
+        if updates.limit(1).count() == 0:
+            return  # empty update set: nothing to do on ANY path
         base = self.current_version()
-        current = self.read(base)
-        survivors = current.join(
-            F.broadcast(updates.select(*key_cols).distinct()), key_cols, "left_anti"
+        sch = self._schema_at(base)
+        m = self._load_manifest(base)
+        stats = m.get("stats", {})
+        key = key_cols[0] if len(key_cols) == 1 else None
+        have_stats = key is not None and all(
+            stats.get(f, {}).get(key) is not None for f in m["files"]
         )
-        merged = survivors.unionByName(
-            updates.select(*[f.name for f in self._schema_at(base).fields])
-        )
-        self._rewrite(merged, base, "merge_upsert")
+        if not have_stats:
+            current = self.read(base)
+            survivors = current.join(
+                F.broadcast(updates.select(*key_cols).distinct()), key_cols, "left_anti"
+            )
+            merged = survivors.unionByName(
+                updates.select(*[f.name for f in sch.fields])
+            )
+            self._rewrite(merged, base, "merge_upsert")
+            return
+        # per-file overlap against the update-key SET when it is small
+        # enough to collect (upserts are usually modest; the cap guards the
+        # driver) — the [min, max] envelope alone over-touches badly when
+        # keys are scattered (one far outlier key drags every file between
+        # into the rewrite). Above the cap, the envelope is still correct,
+        # just coarser.
+        import bisect
+
+        key_cap = 100_000
+        key_rows = updates.select(key).distinct().limit(key_cap + 1).collect()
+        if len(key_rows) <= key_cap:
+            ks = sorted(r[0] for r in key_rows)
+
+            def overlaps(mn, mx):
+                i = bisect.bisect_left(ks, mn)
+                return i < len(ks) and ks[i] <= mx
+
+        else:
+            ulo = min(r[0] for r in key_rows)
+            uhi = max(r[0] for r in key_rows)
+
+            def overlaps(mn, mx):
+                return not (mx < ulo or mn > uhi)
+
+        touched = [
+            f for f in m["files"] if overlaps(stats[f][key][0], stats[f][key][1])
+        ]
+        untouched = [f for f in m["files"] if f not in set(touched)]
+        parts = [updates.select(*[f.name for f in sch.fields])]
+        if touched:
+            overlap = (
+                self.spark.read.schema(sch)
+                .format(self.fmt)
+                .load([os.path.join(self.path, f) for f in touched])
+            )
+            parts.append(
+                overlap.join(
+                    F.broadcast(updates.select(*key_cols).distinct()),
+                    key_cols,
+                    "left_anti",
+                )
+            )
+        rewritten = parts[0]
+        for p in parts[1:]:
+            rewritten = rewritten.unionByName(p)
+        new_files = self._write_commit_files(rewritten, sch)
+        new_stats = {
+            **{f: stats[f] for f in untouched},
+            **self._collect_stats(new_files),
+        }
+        if not self._try_commit(
+            base + 1,
+            untouched + new_files,
+            "merge_upsert_pruned",
+            new_stats,
+            None,
+            sch,
+        ):
+            raise ConcurrentWriteError(
+                f"merge_upsert: version {base + 1} was committed by another "
+                f"writer after this operation read version {base}"
+            )
 
     def delete_where(self, condition) -> None:
         self.ensure()

@@ -197,7 +197,7 @@ def test_lifecycle_on_versioned_backend_with_time_travel(spark, tmp_path):
     res = eng.api_store("point text", session_id=sess["id"])
     assert eng.points.read().filter(F.col("id") == res["id"]).count() == 1
     assert eng.sessions.history()[-1]["op"] == "update"
-    assert eng.points.history()[-1]["op"] == "merge_upsert"
+    assert eng.points.history()[-1]["op"] in ("merge_upsert", "merge_upsert_pruned")
 
 
 def test_config_storage_backend_overlay(tmp_path):

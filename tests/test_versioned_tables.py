@@ -281,3 +281,49 @@ def test_schema_evolution_add_column(spark, table):
         table.add_columns(T.StructField("val", T.LongType(), True))
     with _pt.raises(ValueError):
         table.add_columns(T.StructField("req", T.LongType(), False))
+
+
+def test_merge_upsert_prunes_untouched_files(spark, tmp_path):
+    """With per-file key stats, an upsert rewrites ONLY the files whose
+    key range overlaps the updates — the rest stay in the manifest
+    byte-identical (O(matched files) mutation cost). Results must equal
+    full-merge semantics exactly."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "pm"), schema)
+    for lo in (0, 100, 200, 300):  # 4 disjoint-range commits
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"old{lo + i}") for i in range(100)], schema
+            ).coalesce(1)
+        )
+    m_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(t.path, "files", "*", "*.parquet"))
+    }
+    files_before = t._load_manifest(t.current_version())["files"]
+    # updates touch only the 100..199 range (one file) + a brand-new key
+    ups = spark.createDataFrame([(150, "NEW"), (151, "NEW"), (999, "NEW")], schema)
+    t.merge_upsert(ups, ["k"])
+    assert t.history()[-1]["op"] == "merge_upsert_pruned"
+    files_after = set(t._load_manifest(t.current_version())["files"])
+    untouched = [f for f in files_before if f in files_after]
+    assert len(untouched) == 3  # ranges 0-99, 200-299, 300-399 kept zero-copy
+    for p, mt in m_before.items():
+        if os.path.relpath(p, t.path) in files_after:
+            assert os.path.getmtime(p) == mt  # byte-identical survivors
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 401
+    assert got[150] == got[151] == got[999] == "NEW"
+    assert got[152] == "old152" and got[0] == "old0" and got[399] == "old399"
+    # skipping stats stay coherent after the pruned merge
+    keep, total = t.prune_files("k", lo=0, hi=50)
+    assert len(keep) < total
+    # empty update set is a no-op
+    before_v = t.current_version()
+    t.merge_upsert(spark.createDataFrame([], schema), ["k"])
+    assert t.current_version() == before_v
