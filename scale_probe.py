@@ -1051,6 +1051,19 @@ def lake_probe() -> None:
         t0 = time.time()
         out["cdf_last_commit_rows"] = lake.changes(lake.current_version() - 2).count()
         out["cdf_sec"] = round(time.time() - t0, 2)
+        # file-pruned upsert vs the full-rewrite cost model: 1k keys inside
+        # ONE commit's range against the 16-file optimized layout
+        ups = spark.range(2_500_000, 2_501_000).select(
+            F.col("id"), F.col("id").alias("val"), F.lit(-1.0).alias("payload")
+        )
+        t0 = time.time()
+        lake.merge_upsert(ups, ["id"])
+        out["pruned_upsert_sec"] = round(time.time() - t0, 2)
+        out["pruned_upsert_op"] = lake.history()[-1]["op"]
+        t0 = time.time()
+        plain.merge_upsert(ups, ["id"])
+        out["full_rewrite_upsert_sec"] = round(time.time() - t0, 2)
+        assert lake.read().count() == plain.read().count() == n_per * n_commits
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
