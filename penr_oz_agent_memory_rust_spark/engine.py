@@ -155,10 +155,10 @@ class MemoryEngine:
         current = self.memories.read()
         existed = current.filter(F.col("id") == memory_id).limit(1).count() > 0
         if existed:
-            # seam mutation: plain parquet rewrites the table; a Delta
-            # backend turns this into a transactional DELETE of the
-            # matched files only (sources/delta_tables.py)
-            self.memories.delete_where(F.col("id") == memory_id)
+            # seam mutation: plain parquet rewrites the table; the
+            # versioned backend prunes to the files whose key stats can
+            # contain the id; a Delta backend is a transactional DELETE
+            self.memories.delete_keys([memory_id], "id")
         return existed
 
     # ------------------------------------------------ Qdrant-path parity

@@ -122,6 +122,12 @@ class DeltaTableIO:
         cond = condition if isinstance(condition, str) else condition
         self._delta().delete(cond)
 
+    def delete_keys(self, keys: list, key_col: str) -> None:
+        """Key-addressed delete (seam parity): Delta's DELETE already
+        prunes to matched files via its own log stats."""
+        if keys:
+            self.delete_where(F.col(key_col).isin(list(keys)))
+
     def update_where(self, condition, assignments: dict) -> None:
         self.ensure()
         sets = {

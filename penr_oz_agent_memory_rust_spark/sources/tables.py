@@ -166,6 +166,14 @@ class ParquetTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         self.overwrite(self.read().filter(~cond | cond.isNull()))
 
+    def delete_keys(self, keys: list, key_col: str) -> None:
+        """Key-addressed delete — the seam call the engine's
+        DELETE-by-id route uses. Plain parquet has no per-file index, so
+        this is delete_where; the versioned backend overrides it with a
+        manifest-pruned O(matched files) rewrite."""
+        if keys:
+            self.delete_where(F.col(key_col).isin(list(keys)))
+
     def update_where(self, condition, assignments: dict) -> None:
         """Conditional in-place update (C3 touch): set `assignments`
         (col -> Column/SQL-string) on rows matching the predicate."""

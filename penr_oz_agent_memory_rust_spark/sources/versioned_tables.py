@@ -574,3 +574,52 @@ class VersionedParquetTable:
                 widened,
             ):
                 return
+
+    def delete_keys(self, keys: list, key_col: str) -> None:
+        """Key-addressed delete with the same file pruning as merge_upsert:
+        files whose key range cannot contain any of `keys` stay in the
+        manifest zero-copy; only overlapping files are rewritten without
+        the matching rows — the serving-path DELETE /memory/{id} becomes
+        O(matched files) instead of an O(table) rewrite. Falls back to a
+        full delete_where when any file lacks stats for `key_col`."""
+        self.ensure()
+        if not keys:
+            return
+        base = self.current_version()
+        sch = self._schema_at(base)
+        m = self._load_manifest(base)
+        stats = m.get("stats", {})
+        if not all(stats.get(f, {}).get(key_col) is not None for f in m["files"]):
+            self.delete_where(F.col(key_col).isin(list(keys)))
+            return
+        ks = sorted(keys)
+        import bisect
+
+        def overlaps(mn, mx):
+            i = bisect.bisect_left(ks, mn)
+            return i < len(ks) and ks[i] <= mx
+
+        touched = [
+            f for f in m["files"] if overlaps(stats[f][key_col][0], stats[f][key_col][1])
+        ]
+        if not touched:
+            return  # no file can contain any of the keys
+        untouched = [f for f in m["files"] if f not in set(touched)]
+        survivors = (
+            self.spark.read.schema(sch)
+            .format(self.fmt)
+            .load([os.path.join(self.path, f) for f in touched])
+            .filter(~F.col(key_col).isin(list(keys)))
+        )
+        new_files = self._write_commit_files(survivors, sch)
+        new_stats = {
+            **{f: stats[f] for f in untouched},
+            **self._collect_stats(new_files),
+        }
+        if not self._try_commit(
+            base + 1, untouched + new_files, "delete_keys_pruned", new_stats, None, sch
+        ):
+            raise ConcurrentWriteError(
+                f"delete_keys: version {base + 1} was committed by another "
+                f"writer after this operation read version {base}"
+            )

@@ -189,7 +189,11 @@ def test_lifecycle_on_versioned_backend_with_time_travel(spark, tmp_path):
     assert eng.search_memory("anything", limit=100).count() == 4
     # time travel: the pre-delete snapshot is still queryable
     assert eng.memories.read(version=v_before).count() == 5
-    assert eng.memories.history()[-1]["op"] in ("delete", "overwrite")
+    assert eng.memories.history()[-1]["op"] in (
+        "delete",
+        "overwrite",
+        "delete_keys_pruned",
+    )
     # the vector-store upsert path (S4 merge + C3 touch) also commits
     # through the versioned seam
     from pyspark.sql import functions as F

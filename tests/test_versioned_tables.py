@@ -327,3 +327,28 @@ def test_merge_upsert_prunes_untouched_files(spark, tmp_path):
     before_v = t.current_version()
     t.merge_upsert(spark.createDataFrame([], schema), ["k"])
     assert t.current_version() == before_v
+
+
+def test_delete_keys_prunes_untouched_files(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "dk"), schema)
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame([(lo + i, f"v{lo + i}") for i in range(100)], schema).coalesce(1)
+        )
+    files_before = t._load_manifest(t.current_version())["files"]
+    t.delete_keys([150, 155], "k")
+    assert t.history()[-1]["op"] == "delete_keys_pruned"
+    files_after = set(t._load_manifest(t.current_version())["files"])
+    assert len([f for f in files_before if f in files_after]) == 2  # 0-99, 200-299 untouched
+    assert t.read().count() == 298
+    assert t.read().filter(F.col("k").isin([150, 155])).count() == 0
+    # keys hitting no file commit nothing
+    v = t.current_version()
+    t.delete_keys([99999], "k")
+    assert t.current_version() == v
