@@ -227,6 +227,14 @@ def hamming_near_dup_pairs(
     (binarize_table) and perceptual image hashes share this join.
     Output: (u, v, hamming), u < v, one row per pair."""
     assert max_bits <= bands - 1, "pigeonhole recall needs max_bits <= bands - 1"
+    # band_val indexes a single 32-bit word and shifts within it, so bands
+    # must tile 64 bits evenly with no band straddling a word boundary —
+    # i.e. a power of two in [2, 64]; bands=3 or 6 would silently compute
+    # wrong bucket values and LOSE pairs despite the pigeonhole guarantee
+    assert 64 % bands == 0 and (64 // bands) <= 32 and bands & (bands - 1) == 0, (
+        f"bands={bands}: must be a power of two in [2, 64] so every band "
+        "fits inside one 32-bit word"
+    )
     bits_per_band = 64 // bands
     mask = (1 << bits_per_band) - 1
 

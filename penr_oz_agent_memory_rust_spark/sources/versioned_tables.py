@@ -61,11 +61,16 @@ class VersionedParquetTable:
         # manifests list files directly, so directory-partition pruning does
         # not apply — filter pushdown still works via parquet row-group stats
         fmt: str = "parquet",
+        merge_key_cap: int = 100_000,
     ):
         self.spark = spark
         self.path = path
         self.schema = schema
         self.fmt = fmt
+        # largest distinct-update-key set merge_upsert/delete-style pruning
+        # will collect to the driver for the bisect fast path; above it the
+        # overlap test runs as a distributed range join (still exact)
+        self.merge_key_cap = merge_key_cap
         self._mdir = os.path.join(path, "_manifests")
 
     # ------------------------------------------------------------ manifests
@@ -106,6 +111,7 @@ class VersionedParquetTable:
         stats: dict | None = None,
         txn: tuple[str, int] | None = None,
         schema_obj: T.StructType | None = None,
+        txns: dict[str, int] | None = None,
     ) -> bool:
         os.makedirs(self._mdir, exist_ok=True)
         body = {
@@ -115,9 +121,17 @@ class VersionedParquetTable:
             "stats": stats or {},
             "schema": (schema_obj or self.schema).jsonValue(),
             "committed_at": time.time(),
+            # latest txn id PER APP, carried forward by every commit (the
+            # Delta-checkpoint device): vacuum can drop old manifests
+            # without erasing the idempotence records txn_committed needs
+            "txns": dict(txns or {}),
         }
         if txn is not None:
             body["txn"] = [txn[0], int(txn[1])]
+            prev = body["txns"].get(txn[0])
+            body["txns"][txn[0]] = (
+                int(txn[1]) if prev is None else max(int(prev), int(txn[1]))
+            )
         tmp = os.path.join(self._mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(body, f)
@@ -262,7 +276,16 @@ class VersionedParquetTable:
     def txn_committed(self, txn_app: str, txn_id: int) -> bool:
         """Has (txn_app, txn_id) already committed? The Delta idempotent-
         writer device: a replayed streaming micro-batch carries the same
-        ids and must become a no-op, not a duplicate append."""
+        ids and must become a no-op, not a duplicate append. Streaming
+        batch ids are monotonic per app, so the newest manifest's carried
+        txns map answers in O(1) — and keeps answering after a vacuum
+        drops the manifest that originally recorded the txn."""
+        if self.exists():
+            head = self._load_manifest(self.current_version())
+            txns = head.get("txns")
+            if txns is not None and txn_app in txns:
+                return int(txns[txn_app]) >= int(txn_id)
+        # legacy tables (pre-txns-map manifests): scan per-manifest records
         for v in reversed(self._versions()):
             if self._load_manifest(v).get("txn") == [txn_app, int(txn_id)]:
                 return True
@@ -284,18 +307,26 @@ class VersionedParquetTable:
         while True:  # zero-copy append: retry on a racing commit
             base = self.current_version()
             prev = self._load_manifest(base)
+            if txn is not None:
+                # re-check against the head we are about to commit onto: a
+                # racing writer carrying the SAME txn may have won a retry
+                # round, and committing again would double-append
+                head_txns = prev.get("txns") or {}
+                if txn_app in head_txns and int(head_txns[txn_app]) >= int(txn_id):
+                    return
             stats = {**prev.get("stats", {}), **new_stats}
             if self._try_commit(
                 base + 1, prev["files"] + new_files, "append", stats, txn,
-                self._schema_at(base),
+                self._schema_at(base), prev.get("txns"),
             ):
                 return
 
     def _rewrite(self, df: DataFrame, base: int, op: str) -> None:
         sch = self._schema_at(base) if self.exists() else self.schema
+        txns = self._load_manifest(base).get("txns") if self.exists() else None
         new_files = self._write_commit_files(df, sch)
         if not self._try_commit(
-            base + 1, new_files, op, self._collect_stats(new_files), None, sch
+            base + 1, new_files, op, self._collect_stats(new_files), None, sch, txns
         ):
             raise ConcurrentWriteError(
                 f"{op}: version {base + 1} was committed by another writer "
@@ -308,7 +339,9 @@ class VersionedParquetTable:
         # table's current files, and they are never touched anyway
         self._rewrite(df, self.current_version(), "overwrite")
 
-    def merge_upsert(self, updates: DataFrame, key_cols: list[str]) -> None:
+    def merge_upsert(
+        self, updates: DataFrame, key_cols: list[str], key_cap: int | None = None
+    ) -> None:
         """Last-writer-wins upsert. With a SINGLE key column whose min/max
         is recorded in the manifest, this is a FILE-PRUNED merge — the
         Delta MERGE cost model on plain files: files whose key range
@@ -317,7 +350,20 @@ class VersionedParquetTable:
         rewritten, plus the update rows themselves. Mutations thereby
         cost O(matched files), not O(table) — the property DEVIATIONS #7
         attributed to the (jar-gated) Delta backend. Composite keys or
-        files without stats fall back to the full rewrite."""
+        files without stats fall back to the full rewrite.
+
+        Touched-file resolution is EXACT at every update cardinality:
+        - ≤ `key_cap` distinct keys (default `self.merge_key_cap`): collect
+          the key set and bisect it against each file's [min, max] —
+          zero extra Spark jobs beyond the collect, ideal for the serving-
+          path upsert of a handful of rows;
+        - > `key_cap`: a distributed range join — broadcast the per-file
+          [min, max] ranges (manifest-sized, already driver-resident) and
+          join the distinct update keys against them, collecting only the
+          MATCHED FILE NAMES. No truncated sample, no coarse envelope:
+          a file is rewritten iff some update key can actually live in it.
+        NULL update keys match no file range and no existing row (SQL
+        join semantics); those rows simply append as inserts on all paths."""
         self.ensure()
         if updates.limit(1).count() == 0:
             return  # empty update set: nothing to do on ANY path
@@ -339,16 +385,12 @@ class VersionedParquetTable:
             )
             self._rewrite(merged, base, "merge_upsert")
             return
-        # per-file overlap against the update-key SET when it is small
-        # enough to collect (upserts are usually modest; the cap guards the
-        # driver) — the [min, max] envelope alone over-touches badly when
-        # keys are scattered (one far outlier key drags every file between
-        # into the rewrite). Above the cap, the envelope is still correct,
-        # just coarser.
         import bisect
 
-        key_cap = 100_000
-        key_rows = updates.select(key).distinct().limit(key_cap + 1).collect()
+        if key_cap is None:
+            key_cap = self.merge_key_cap
+        keys_df = updates.select(key).where(F.col(key).isNotNull()).distinct()
+        key_rows = keys_df.limit(key_cap + 1).collect()
         if len(key_rows) <= key_cap:
             ks = sorted(r[0] for r in key_rows)
 
@@ -356,16 +398,25 @@ class VersionedParquetTable:
                 i = bisect.bisect_left(ks, mn)
                 return i < len(ks) and ks[i] <= mx
 
+            touched = [
+                f for f in m["files"] if overlaps(stats[f][key][0], stats[f][key][1])
+            ]
         else:
-            ulo = min(r[0] for r in key_rows)
-            uhi = max(r[0] for r in key_rows)
-
-            def overlaps(mn, mx):
-                return not (mx < ulo or mn > uhi)
-
-        touched = [
-            f for f in m["files"] if overlaps(stats[f][key][0], stats[f][key][1])
-        ]
+            ranges = self.spark.createDataFrame(
+                [(f, stats[f][key][0], stats[f][key][1]) for f in m["files"]],
+                ["__file", "__mn", "__mx"],
+            )
+            touched_set = {
+                r["__file"]
+                for r in keys_df.join(
+                    F.broadcast(ranges),
+                    (F.col(key) >= F.col("__mn")) & (F.col(key) <= F.col("__mx")),
+                )
+                .select("__file")
+                .distinct()
+                .collect()
+            }
+            touched = [f for f in m["files"] if f in touched_set]
         untouched = [f for f in m["files"] if f not in set(touched)]
         parts = [updates.select(*[f.name for f in sch.fields])]
         if touched:
@@ -396,6 +447,7 @@ class VersionedParquetTable:
             new_stats,
             None,
             sch,
+            m.get("txns"),
         ):
             raise ConcurrentWriteError(
                 f"merge_upsert: version {base + 1} was committed by another "
@@ -432,6 +484,9 @@ class VersionedParquetTable:
         m = self._load_manifest(version)
         while True:
             base = self.current_version()
+            # carry the HEAD's txn map, not the restored version's: a
+            # rollback reverts contents, not the idempotence ledger
+            head_txns = self._load_manifest(base).get("txns")
             if self._try_commit(
                 base + 1,
                 m["files"],
@@ -439,21 +494,38 @@ class VersionedParquetTable:
                 m.get("stats", {}),
                 None,
                 self._schema_at(version),
+                head_txns,
             ):
                 return
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(self, keep_last: int = 1, retain_seconds: float = 0.0) -> int:
         """Delete data files unreachable from the newest `keep_last`
         manifests, and drop the older manifests. Returns files deleted.
-        Destroys time travel beyond the window — run after it lapses."""
+        Destroys time travel beyond the window — run after it lapses.
+
+        CONCURRENCY: an in-flight writer's data files look exactly like
+        crash orphans until its manifest links, so vacuum must either not
+        run concurrently with writers, or be given `retain_seconds` larger
+        than the longest in-flight commit (Delta's retention period):
+        unreferenced files younger than the window are spared, and the
+        racing writer's manifest stays valid. Txn idempotence records
+        survive regardless — every manifest carries the full per-app txn
+        map forward, so dropping old manifests erases no history the
+        exactly-once check needs."""
         vs = self._versions()
         keep_vs = vs[-keep_last:] if keep_last else vs
         live: set[str] = set()
         for v in keep_vs:
             live.update(self._load_manifest(v)["files"])
         deleted = 0
+        now = time.time()
         for p in glob.glob(os.path.join(self.path, "files", "*", f"*.{self.fmt}")):
             if os.path.relpath(p, self.path) not in live:
+                try:
+                    if retain_seconds > 0 and now - os.path.getmtime(p) < retain_seconds:
+                        continue  # possibly an in-flight commit: spare it
+                except OSError:
+                    continue
                 os.unlink(p)
                 deleted += 1
         for d in glob.glob(os.path.join(self.path, "files", "*")):
@@ -522,20 +594,32 @@ class VersionedParquetTable:
         v1 = self.current_version() if to_version is None else to_version
         m0, m1 = self._load_manifest(from_version), self._load_manifest(v1)
         f0, f1 = set(m0["files"]), set(m1["files"])
+        # the feed is expressed under the DESTINATION version's schema —
+        # columns added between the two versions surface (null for rows
+        # written before the add_columns commit), exactly like Delta CDF
+        sch1 = self._schema_at(v1)
         ins_type = F.lit("insert").alias("_change_type")
         if f0 <= f1:
             added = sorted(f1 - f0)
             if not added:
-                return self.spark.createDataFrame([], self.schema).withColumn(
+                return self.spark.createDataFrame([], sch1).withColumn(
                     "_change_type", ins_type
                 )
             return (
-                self.spark.read.schema(self.schema)
+                self.spark.read.schema(sch1)
                 .format(self.fmt)
                 .load([os.path.join(self.path, f) for f in added])
                 .withColumn("_change_type", ins_type)
             )
         old, new = self.read(from_version), self.read(v1)
+        # align the older snapshot to the destination schema (add_columns
+        # only widens, so null-padding the missing columns suffices) or
+        # exceptAll throws on the column-count mismatch
+        missing = [f for f in sch1.fields if f.name not in set(old.columns)]
+        for fld in missing:
+            old = old.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        old = old.select(*[f.name for f in sch1.fields])
+        new = new.select(*[f.name for f in sch1.fields])
         inserts = new.exceptAll(old).withColumn("_change_type", ins_type)
         deletes = old.exceptAll(new).withColumn(
             "_change_type", F.lit("delete").alias("_change_type")
@@ -572,6 +656,7 @@ class VersionedParquetTable:
                 m.get("stats", {}),
                 None,
                 widened,
+                m.get("txns"),
             ):
                 return
 
@@ -583,6 +668,10 @@ class VersionedParquetTable:
         O(matched files) instead of an O(table) rewrite. Falls back to a
         full delete_where when any file lacks stats for `key_col`."""
         self.ensure()
+        # NULL keys address no row (a null key can't equal anything), and
+        # None is unorderable against file min/max — strip them up front so
+        # the pruned and fallback paths agree
+        keys = [k for k in keys if k is not None]
         if not keys:
             return
         base = self.current_version()
@@ -617,7 +706,8 @@ class VersionedParquetTable:
             **self._collect_stats(new_files),
         }
         if not self._try_commit(
-            base + 1, untouched + new_files, "delete_keys_pruned", new_stats, None, sch
+            base + 1, untouched + new_files, "delete_keys_pruned", new_stats, None,
+            sch, m.get("txns"),
         ):
             raise ConcurrentWriteError(
                 f"delete_keys: version {base + 1} was committed by another "

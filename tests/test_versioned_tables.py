@@ -352,3 +352,64 @@ def test_delete_keys_prunes_untouched_files(spark, tmp_path):
     v = t.current_version()
     t.delete_keys([99999], "k")
     assert t.current_version() == v
+
+
+def test_vacuum_retention_spares_inflight_files(spark, table):
+    """ADVICE r4: with retain_seconds set, vacuum must not reclaim young
+    unreferenced files — they may belong to an in-flight commit whose
+    manifest has not linked yet. With the window at 0, crash orphans are
+    reclaimed as before."""
+    table._write_commit_files(spark.createDataFrame([("ghost", 0)], SCHEMA))
+    n_all = len(glob.glob(os.path.join(table.path, "files", "*", "*.parquet")))
+    assert table.vacuum(keep_last=len(table._versions()), retain_seconds=3600) == 0
+    assert len(glob.glob(os.path.join(table.path, "files", "*", "*.parquet"))) == n_all
+    # past the window (retain 0) the orphans go
+    assert table.vacuum(keep_last=len(table._versions()), retain_seconds=0) >= 1
+
+
+def test_txn_records_survive_vacuum(spark, table):
+    """ADVICE r4: every manifest carries the per-app latest-txn map
+    forward, so vacuuming old manifests cannot erase the idempotence
+    ledger — a checkpoint-recovered micro-batch replayed AFTER a vacuum
+    must still be a no-op."""
+    table.append(spark.createDataFrame([("c", 3)], SCHEMA), txn_app="ing", txn_id=0)
+    table.append(spark.createDataFrame([("d", 4)], SCHEMA), txn_app="ing", txn_id=1)
+    table.vacuum(keep_last=1)
+    assert len(table._versions()) == 1  # the recording manifests are gone
+    assert table.txn_committed("ing", 0) and table.txn_committed("ing", 1)
+    before = table.current_version()
+    table.append(spark.createDataFrame([("d", 4)], SCHEMA), txn_app="ing", txn_id=1)
+    assert table.current_version() == before and table.read().count() == 4
+    # a NEW batch id still lands, and the map keeps the latest id
+    table.append(spark.createDataFrame([("e", 5)], SCHEMA), txn_app="ing", txn_id=2)
+    assert table.read().count() == 5
+    assert table._load_manifest(table.current_version())["txns"] == {"ing": 2}
+    # rewrites and rollbacks carry the ledger too
+    table.delete_where(F.col("id") == "e")
+    table.rollback(table.current_version() - 1)
+    assert table.txn_committed("ing", 2)
+
+
+def test_change_feed_across_schema_evolution(spark, table):
+    """ADVICE r4: the CDF is expressed under the DESTINATION version's
+    schema. Appends after an add_columns surface the new column on the
+    zero-copy fast path; a rewrite fallback spanning the add_columns
+    commit null-pads the older snapshot instead of throwing."""
+    v1 = table.current_version()
+    table.add_columns(T.StructField("tag", T.StringType(), True))
+    table.append(
+        spark.createDataFrame([("c", 3, "x")], "id string, val bigint, tag string")
+    )
+    v2 = table.current_version()
+    # fast path (pure appends v1 -> v2): new column present, not dropped
+    cdf = {(r["id"], r["tag"], r["_change_type"]) for r in table.changes(v1, v2).collect()}
+    assert cdf == {("c", "x", "insert")}
+    assert set(table.changes(v1, v2).columns) == {"id", "val", "tag", "_change_type"}
+    # rewrite fallback spanning the evolution: old snapshot (no 'tag')
+    # aligns by null-padding; the delete row carries tag=NULL
+    table.delete_where(F.col("id") == "a")
+    v3 = table.current_version()
+    got = {(r["id"], r["tag"], r["_change_type"]) for r in table.changes(v1, v3).collect()}
+    assert got == {("c", "x", "insert"), ("a", None, "delete")}
+    # empty-diff shape under the evolved schema too
+    assert "tag" in table.changes(v3, v3).columns
