@@ -3880,6 +3880,93 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics.retrieval_metrics(run, qrels, k=10)
 
 
+def q_versioned_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ lakehouse mutation gate — the versioned table's file-pruned MERGE
+    and key-addressed DELETE end-to-end (reference upsert-by-id
+    src/vector_store.rs:215-255, delete src/memory.rs:139-141, re-expressed
+    as manifest commits over plain parquet): seed a VersionedParquetTable
+    from orders range-partitioned on o_orderkey (8 files, disjoint key
+    ranges with footer min/max in the manifest), merge_upsert a batch that
+    UPDATES the bottom key-quarter (price +1000, status 'U') and INSERTS
+    brand-new beyond-max keys (status 'N'), then delete_keys a scattered
+    top-quarter key list. Both mutations must take the PRUNED path
+    (asserted on history): files whose key range cannot hold a touched key
+    survive zero-copy, so mutation cost is O(matched files) — the Delta
+    MERGE cost model this layer exists for. The DuckDB oracle recomputes
+    the same last-writer-wins + delete state in pure SQL over orders; a
+    stale surviving row, lost update, or over-deleted key fails the hash."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import types as _T
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"vmerge|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = f"vmerge|{sf_dir}"
+    work = os.path.join(
+        _tf.gettempdir(), f"__versioned_merge_{_hl.md5(ident.encode()).hexdigest()[:12]}"
+    )
+    marker = os.path.join(work, "_MERGED_OK")
+    sch = _T.StructType(
+        [
+            _T.StructField("o_orderkey", _T.LongType(), True),
+            _T.StructField("o_custkey", _T.LongType(), True),
+            _T.StructField("o_totalprice", _T.DoubleType(), True),
+            _T.StructField("o_orderstatus", _T.StringType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, os.path.join(work, "lake"), sch)
+    if not os.path.exists(marker):
+        if os.path.exists(work):  # partial state from an interrupted run
+            _sh.rmtree(work)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        mk = int(orders.agg(F.max("o_orderkey")).first()[0])
+        t.append(orders.repartitionByRange(8, "o_orderkey"))
+        upd = (
+            orders.filter(
+                (F.col("o_orderkey") % 7 == 3) & (F.col("o_orderkey") <= mk // 4)
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+            .withColumn("o_orderstatus", F.lit("U"))
+        )
+        ins = (
+            orders.filter(F.col("o_orderkey") % 419 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mk + 1))
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+        t.merge_upsert(upd.unionByName(ins), ["o_orderkey"])
+        assert t.history()[-1]["op"] == "merge_upsert_pruned", t.history()[-1]
+        dkeys = [
+            r[0]
+            for r in t.read()
+            .filter(
+                (F.col("o_orderkey") % 997 == 0)
+                & (F.col("o_orderkey") > (mk * 3) // 4)
+            )
+            .select("o_orderkey")
+            .collect()
+        ]
+        t.delete_keys(dkeys, "o_orderkey")
+        assert t.history()[-1]["op"] == "delete_keys_pruned", t.history()[-1]
+        with open(marker, "w") as f:
+            f.write("ok")
+    return (
+        t.read()
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
 # prefix (~50) of this dict, so slots 1-50 hold one oracle-checked gate
 # per §2 operator and per flagship ★ pipeline (merged q_* gates bundle
 # sibling variants). Slots beyond the window hold the standalone variants
@@ -3917,7 +4004,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mutual_knn": q_mutual_knn,
         "bq_neardup": q_bq_neardup,
         "semantic_decontaminate": q_semantic_decontaminate,
-        "semantic_decontaminate_blas": q_semantic_decontaminate_blas,
+        "versioned_merge_pruned": q_versioned_merge_pruned,
         "rolling_series_stats": q_rolling_series_stats,
         "stream_cms_topk": q_stream_cms_topk,
         "incremental_quantile_refresh": q_incremental_quantile_refresh,
@@ -4078,6 +4165,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_mix_temperature": q_corpus_mix_temperature,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
+        "semantic_decontaminate_blas": q_semantic_decontaminate_blas,
         "semantic_dedup_ivf": q_semantic_dedup_ivf,
         "knn_join_blocked": q_knn_join_blocked,
         "lsh_ann": q_lsh_ann,
@@ -4500,6 +4588,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, event_type, round(value, 6) AS value
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "versioned_merge_pruned": """
+            WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+            upd AS (
+                SELECT o.o_orderkey, o.o_custkey,
+                       o.o_totalprice + 1000.0 AS o_totalprice,
+                       'U' AS o_orderstatus
+                FROM orders o, mx
+                WHERE o.o_orderkey % 7 = 3 AND o.o_orderkey <= mx.mk // 4
+            ),
+            ins AS (
+                SELECT o.o_orderkey + mx.mk + 1 AS o_orderkey, o.o_custkey,
+                       o.o_totalprice, 'N' AS o_orderstatus
+                FROM orders o, mx WHERE o.o_orderkey % 419 = 0
+            ),
+            kept AS (
+                SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderstatus
+                FROM orders o, mx
+                WHERE NOT (o.o_orderkey % 7 = 3 AND o.o_orderkey <= mx.mk // 4)
+            ),
+            merged AS (
+                SELECT * FROM kept UNION ALL SELECT * FROM upd
+                UNION ALL SELECT * FROM ins
+            )
+            SELECT m.o_orderkey, m.o_custkey, m.o_totalprice, m.o_orderstatus
+            FROM merged m, mx
+            WHERE NOT (m.o_orderkey % 997 = 0 AND m.o_orderkey > (mx.mk * 3) // 4)
+            ORDER BY m.o_orderkey
         """,
         "session_pagination": """
             SELECT o_orderkey, o_orderdate FROM orders

@@ -8,12 +8,14 @@ $SPARK_GRAFT_BENCH_RUNS times (default 3) in interleaved rounds and the
 per-query MINIMUM is reported — single-run numbers on this shared VM move
 ±25% run-to-run, which would drown any real regression signal.
 
-Output contract (round 3 shipped `parsed: null` because the stdout line —
-queries + spread for 67 entries — outgrew the driver's tail-capture
-window and lost its head): stdout now carries ONLY the compact required
-JSON (no spread, no whitespace) as the LAST line, and the FULL result —
-per-run samples, spread, the compact line's fields — is written to
-`BENCH_LOCAL.json` next to this file for human/A-B use.
+Output contract (rounds 3 AND 4 shipped `parsed: null` because the
+stdout line outgrew the driver's 2,000-byte tail capture and lost its
+head): stdout carries ONLY a ~120-byte summary line
+{"metric","value","unit","sf","runs","n_queries"} — never the per-query
+dict. The FULL result (per-query mins, per-run samples, spread, and the
+exact stdout line under "stdout_line" so the committed record and the
+driver's capture cannot diverge) is written to `BENCH_LOCAL.json` next
+to this file.
 """
 
 from __future__ import annotations
@@ -97,7 +99,7 @@ HEADLINE = [
     "ts_gapfill_interp",
     "mutual_knn",
     "semantic_decontaminate",
-    "semantic_decontaminate_blas",
+    "versioned_merge_pruned",
     "rolling_series_stats",
     "stream_cms_topk",
     "kmeans_assign",
@@ -173,6 +175,7 @@ HEADLINE = [
     "incremental_quantile_refresh",
     "media_phash_dedup",
     "knn_kcore",
+    "semantic_decontaminate_blas",
 ]
 
 
@@ -237,22 +240,34 @@ def main() -> None:
     # smaller than the query's spread is not a signal)
     spread = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
+    # stdout carries ONLY this line, and it must fit the driver's 2,000-byte
+    # tail-capture window WHOLE (r3 and r4 both shipped `parsed: null`
+    # because the per-query dict pushed the line's head past the window).
+    # ~120 bytes: summary fields only — the 139-entry per-query dict lives
+    # exclusively in the sidecar.
     compact = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "runs": runs_done,
+        "n_queries": len(timings),
     }
-    # full record (spread + raw samples) goes to a sidecar file, NOT stdout:
-    # the driver's tail capture clips long lines, and the compact line must
-    # survive it whole
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1000, f"stdout line grew to {len(line)} bytes"
+    # the sidecar records the EXACT stdout line alongside the full result
+    # (per-query mins, spread, raw samples), so the committed record and
+    # the driver's capture can never diverge silently
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(sidecar, "w") as f:
-        json.dump({**compact, "spread": spread, "samples": samples}, f, indent=1)
+        json.dump(
+            {**compact, "stdout_line": line, "queries": timings,
+             "spread": spread, "samples": samples},
+            f,
+            indent=1,
+        )
     sys.stdout.flush()
-    print(json.dumps(compact, separators=(",", ":")))
+    print(line)
     spark.stop()
 
 
