@@ -3880,6 +3880,253 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics.retrieval_metrics(run, qrels, k=10)
 
 
+def _gate_workdir(sf_dir: str, tag: str, src_name: str = "orders.parquet") -> tuple[str, str]:
+    """(work_dir, marker_path) for a stateful gate, keyed by the source
+    table's identity so a testdata refresh invalidates the cached build."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    src = os.path.join(sf_dir, src_name)
+    try:
+        st = os.stat(src)
+        ident = f"{tag}|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = f"{tag}|{sf_dir}"
+    work = os.path.join(
+        _tf.gettempdir(), f"__{tag}_{_hl.md5(ident.encode()).hexdigest()[:12]}"
+    )
+    return work, os.path.join(work, "_BUILT_OK")
+
+
+def _versioned_orders_schema():
+    from pyspark.sql import types as _T
+
+    return _T.StructType(
+        [
+            _T.StructField("o_orderkey", _T.LongType(), True),
+            _T.StructField("o_custkey", _T.LongType(), True),
+            _T.StructField("o_totalprice", _T.DoubleType(), True),
+            _T.StructField("o_orderstatus", _T.StringType(), True),
+        ]
+    )
+
+
+def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ snapshot isolation + time travel through the oracle gate: seed a
+    versioned table from orders, then a delete commit (keys % 5 = 0) and
+    an update commit (+100 on status 'F'). The gate returns BOTH the
+    as-of-seed snapshot (time travel to v2 — must be byte-identical to
+    the original orders despite two later rewrites) and the current state;
+    the oracle recomputes each in SQL. A time-travel read that leaks a
+    later commit, or a mutation that misses/over-applies, fails the hash."""
+    import shutil as _sh
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    work, marker = _gate_workdir(sf_dir, "versioned_tt")
+    t = VersionedParquetTable(spark, os.path.join(work, "lake"), _versioned_orders_schema())
+    if not os.path.exists(marker):
+        if os.path.exists(work):
+            _sh.rmtree(work)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        t.append(orders.repartitionByRange(4, "o_orderkey"))  # v2
+        t.delete_where("o_orderkey % 5 = 0")  # v3
+        t.update_where(
+            "o_orderstatus = 'F'",
+            {"o_totalprice": F.col("o_totalprice") + F.lit(100.0)},
+        )  # v4
+        with open(marker, "w") as f:
+            f.write("ok")
+    cols = ["variant", "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    seed = t.read(version=2).withColumn("variant", F.lit("seed")).select(*cols)
+    now = t.read().withColumn("variant", F.lit("now")).select(*cols)
+    return seed.unionByName(now).orderBy("variant", "o_orderkey")
+
+
+def q_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ zero-copy schema evolution through the oracle gate: seed a
+    2-column versioned table from orders, add_columns a nullable
+    o_category (metadata-only commit — no data file is touched), then
+    append shifted-key rows that carry the new column. Old rows must
+    surface with NULL category under the widened read schema; the oracle
+    recomputes the widened union in SQL."""
+    import shutil as _sh
+
+    from pyspark.sql import types as _T
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    work, marker = _gate_workdir(sf_dir, "versioned_sev")
+    sch = _T.StructType(
+        [
+            _T.StructField("o_orderkey", _T.LongType(), True),
+            _T.StructField("o_totalprice", _T.DoubleType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, os.path.join(work, "lake"), sch)
+    if not os.path.exists(marker):
+        if os.path.exists(work):
+            _sh.rmtree(work)
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        mk = int(orders.agg(F.max("o_orderkey")).first()[0])
+        t.append(orders.repartitionByRange(4, "o_orderkey"))  # v2
+        t.add_columns(_T.StructField("o_category", _T.StringType(), True))  # v3
+        newrows = (
+            orders.filter(F.col("o_orderkey") % 3 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mk + 1))
+            .withColumn(
+                "o_category",
+                F.when(F.col("o_totalprice") > 100000.0, F.lit("big")).otherwise(
+                    F.lit("small")
+                ),
+            )
+        )
+        t.append(newrows)  # v4: carries the widened column
+        with open(marker, "w") as f:
+            f.write("ok")
+    return (
+        t.read()
+        .select("o_orderkey", "o_totalprice", "o_category")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_versioned_optimize_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ OPTIMIZE + manifest data skipping through the oracle gate: four
+    interleaved appends (event_id % 4 stripes) give every file a
+    near-full key span — the skipping index is useless — then
+    optimize(sort_by=event_id) re-clusters into 8 range-disjoint files
+    WITHOUT changing contents. The gate asserts the post-optimize
+    manifest actually prunes (files touched < total) and returns the
+    range-probed rows via read_pruned + row filter; the oracle is a plain
+    BETWEEN over events, so a clustering commit that loses or duplicates
+    a single row fails the hash."""
+    import shutil as _sh
+
+    from pyspark.sql import types as _T
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    work, marker = _gate_workdir(sf_dir, "versioned_opt", "events.parquet")
+    sch = _T.StructType(
+        [
+            _T.StructField("event_id", _T.LongType(), True),
+            _T.StructField("user_id", _T.LongType(), True),
+            _T.StructField("value", _T.DoubleType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, os.path.join(work, "lake"), sch)
+    if not os.path.exists(marker):
+        if os.path.exists(work):
+            _sh.rmtree(work)
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        for r in range(4):  # interleaved stripes: every file spans ~the full range
+            t.append(ev.filter(F.col("event_id") % 4 == r).repartition(2))
+        t.optimize(n_files=8, sort_by="event_id")
+        with open(marker, "w") as f:
+            f.write("ok")
+    mk = int(
+        load_table(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
+    )
+    lo, hi = mk // 4, mk // 2
+    keep, total = t.prune_files("event_id", lo, hi)
+    assert len(keep) < total, (len(keep), total)  # clustering made skipping real
+    return (
+        t.read_pruned("event_id", lo, hi)
+        .filter((F.col("event_id") >= lo) & (F.col("event_id") <= hi))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+def q_versioned_cdf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ change-data-feed CONSUMER end-to-end (the CDC story): v2 holds
+    the first half of documents and a materialized downstream word-count
+    index built from it. A merge_upsert then rewrites some docs (text +
+    ' refreshed') and inserts the rest. The index is refreshed ONLY from
+    t.changes(v2) — token deltas of the feed's insert rows minus its
+    delete rows, outer-joined onto the stale index — never by re-reading
+    the table. The oracle recomputes the word counts of the FINAL state
+    from scratch in SQL, so a missed delete, double-counted insert, or
+    stale surviving row in the feed shifts a count and fails the hash."""
+    import shutil as _sh
+
+    from pyspark.sql import types as _T
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    work, marker = _gate_workdir(sf_dir, "versioned_cdf", "documents.parquet")
+    sch = _T.StructType(
+        [
+            _T.StructField("doc_id", _T.LongType(), True),
+            _T.StructField("text", _T.StringType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, os.path.join(work, "lake"), sch)
+    out_path = os.path.join(work, "index_refreshed")
+
+    def _word_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(hashing.word_tokens(F.col("text"))).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    if not os.path.exists(marker):
+        if os.path.exists(work):
+            _sh.rmtree(work)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        t.append(docs.filter(F.col("doc_id") < 250).repartitionByRange(4, "doc_id"))
+        v2 = t.current_version()
+        index_path = os.path.join(work, "index_v2")
+        _word_counts(t.read()).write.parquet(index_path)
+        upd = docs.filter(
+            (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 250)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(" refreshed")))
+        ins = docs.filter(F.col("doc_id") >= 250)
+        t.merge_upsert(upd.unionByName(ins), ["doc_id"])
+        cdf = t.changes(v2)
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        delta = (
+            cdf.select(
+                F.explode(hashing.word_tokens(F.col("text"))).alias("token"),
+                sign.alias("sign"),
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.sum("sign").alias("delta"))
+        )
+        stale = spark.read.parquet(index_path)
+        refreshed = (
+            stale.join(delta, "token", "full_outer")
+            .select(
+                "token",
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.coalesce(F.col("delta"), F.lit(0))
+                ).alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        refreshed.write.parquet(out_path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return spark.read.parquet(out_path).select(
+        "token", F.col("cnt").cast("bigint").alias("cnt")
+    ).orderBy("token")
+
+
 def q_versioned_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ lakehouse mutation gate — the versioned table's file-pruned MERGE
     and key-addressed DELETE end-to-end (reference upsert-by-id
@@ -4163,6 +4410,12 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "zorder_values": q_zorder_values,
         "quality_winsorize": q_quality_winsorize,
         "corpus_mix_temperature": q_corpus_mix_temperature,
+        "kmeans_assign": q_kmeans_assign,
+        "centroid_classifier": q_centroid_classifier,
+        "versioned_time_travel": q_versioned_time_travel,
+        "versioned_schema_evolution": q_versioned_schema_evolution,
+        "versioned_optimize_read": q_versioned_optimize_read,
+        "versioned_cdf_refresh": q_versioned_cdf_refresh,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_decontaminate_blas": q_semantic_decontaminate_blas,
@@ -4173,9 +4426,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
         "ivfpq_ann": q_ivfpq_ann,
-        "kmeans_assign": q_kmeans_assign,
         "kmeans_profile": q_kmeans_profile,
-        "centroid_classifier": q_centroid_classifier,
         "quality_classifier_train": q_quality_classifier_train,
         "mmr_rerank": q_mmr_rerank,
         "jl_projected_ann": q_jl_projected_ann,
@@ -4616,6 +4867,45 @@ def oracle_sql() -> dict[str, str]:
             FROM merged m, mx
             WHERE NOT (m.o_orderkey % 997 = 0 AND m.o_orderkey > (mx.mk * 3) // 4)
             ORDER BY m.o_orderkey
+        """,
+        "versioned_time_travel": """
+            SELECT 'seed' AS variant, o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM orders
+            UNION ALL
+            SELECT 'now' AS variant, o_orderkey, o_custkey,
+                   CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 100.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 5 <> 0
+            ORDER BY variant, o_orderkey
+        """,
+        "versioned_schema_evolution": """
+            WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders)
+            SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_category
+            FROM orders
+            UNION ALL
+            SELECT o.o_orderkey + mx.mk + 1 AS o_orderkey, o.o_totalprice,
+                   CASE WHEN o.o_totalprice > 100000.0 THEN 'big' ELSE 'small' END AS o_category
+            FROM orders o, mx WHERE o.o_orderkey % 3 = 0
+            ORDER BY o_orderkey
+        """,
+        "versioned_optimize_read": """
+            WITH mx AS (SELECT max(event_id) AS mk FROM events)
+            SELECT e.event_id, e.user_id, e.value
+            FROM events e, mx
+            WHERE e.event_id >= mx.mk // 4 AND e.event_id <= mx.mk // 2
+            ORDER BY e.event_id
+        """,
+        "versioned_cdf_refresh": """
+            WITH final AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 50 = 0 AND doc_id < 250
+                            THEN text || ' refreshed' ELSE text END AS text
+                FROM documents
+            ),
+            tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM final)
+            SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
+            GROUP BY token ORDER BY token
         """,
         "session_pagination": """
             SELECT o_orderkey, o_orderdate FROM orders

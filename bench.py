@@ -175,6 +175,10 @@ HEADLINE = [
     "incremental_quantile_refresh",
     "media_phash_dedup",
     "knn_kcore",
+    "versioned_time_travel",
+    "versioned_schema_evolution",
+    "versioned_optimize_read",
+    "versioned_cdf_refresh",
     "semantic_decontaminate_blas",
 ]
 

@@ -73,6 +73,56 @@ def main() -> None:
     print("memories table history:",
           [(h["version"], h["op"]) for h in engine.memories.history()])
 
+    # --- change-data-feed consumer: keep a downstream token index fresh
+    # INCREMENTALLY from engine.memories.changes(), never re-reading the
+    # table — the CDC pattern a fleet of derived indexes runs at scale
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.functions import hashing
+
+    def token_counts(df, sign_col=None):
+        sign = (
+            F.when(F.col(sign_col) == "insert", F.lit(1)).otherwise(F.lit(-1))
+            if sign_col
+            else F.lit(1)
+        )
+        return (
+            df.select(
+                F.explode(hashing.word_tokens(F.col("text"))).alias("token"),
+                sign.alias("sign"),
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.sum("sign").alias("cnt"))
+        )
+
+    stale = token_counts(engine.memories.read(version=v_before))
+    delta = token_counts(
+        engine.memories.changes(v_before), sign_col="_change_type"
+    ).withColumnRenamed("cnt", "delta")
+    refreshed = (
+        stale.join(delta, "token", "full_outer")
+        .select(
+            "token",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("delta"), F.lit(0))).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    rebuilt = token_counts(engine.memories.read())
+    diff = refreshed.join(rebuilt, ["token", "cnt"], "full_outer").filter(
+        F.col("token").isNull() | F.col("cnt").isNull()
+    )
+    print("incremental index refresh == from-scratch rebuild:", diff.count() == 0)
+
+    # OPTIMIZE is just another commit: layout improves, contents (and the
+    # change feed) are untouched
+    v_pre_opt = engine.memories.current_version()
+    engine.memories.optimize()
+    print("post-optimize feed rows (expect 0):",
+          engine.memories.changes(v_pre_opt).count())
+    print("final history:",
+          [(h["version"], h["op"]) for h in engine.memories.history()])
+
     spark.stop()
 
 

@@ -620,8 +620,26 @@ class VersionedParquetTable:
             old = old.withColumn(fld.name, F.lit(None).cast(fld.dataType))
         old = old.select(*[f.name for f in sch1.fields])
         new = new.select(*[f.name for f in sch1.fields])
-        inserts = new.exceptAll(old).withColumn("_change_type", ins_type)
-        deletes = old.exceptAll(new).withColumn(
+        # Spark refuses set operations on MAP columns; diff maps through a
+        # canonical sorted-entries encoding (maps are equal iff their
+        # sorted entry arrays are), then decode back
+        map_cols = [
+            f.name for f in sch1.fields if isinstance(f.dataType, T.MapType)
+        ]
+
+        def _enc(df: DataFrame) -> DataFrame:
+            for c in map_cols:
+                df = df.withColumn(c, F.array_sort(F.map_entries(F.col(c))))
+            return df
+
+        def _dec(df: DataFrame) -> DataFrame:
+            for c in map_cols:
+                df = df.withColumn(c, F.map_from_entries(F.col(c)))
+            return df
+
+        old, new = _enc(old), _enc(new)
+        inserts = _dec(new.exceptAll(old)).withColumn("_change_type", ins_type)
+        deletes = _dec(old.exceptAll(new)).withColumn(
             "_change_type", F.lit("delete").alias("_change_type")
         )
         return inserts.unionByName(deletes)

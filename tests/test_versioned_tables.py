@@ -413,3 +413,84 @@ def test_change_feed_across_schema_evolution(spark, table):
     assert got == {("c", "x", "insert"), ("a", None, "delete")}
     # empty-diff shape under the evolved schema too
     assert "tag" in table.changes(v3, v3).columns
+
+
+def test_cdf_incremental_index_refresh_equals_rebuild(spark, tmp_path):
+    """r4 verdict #7: the change data feed has a CONSUMER — a downstream
+    token-count index refreshed only from changes() (insert rows add,
+    delete rows subtract) must equal a from-scratch rebuild of the final
+    state, across an upsert that rewrites AND inserts."""
+    from pyspark.sql import functions as F
+
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "cdfidx"), sch)
+    t.append(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma gamma delta")], sch
+        )
+    )
+    v0 = t.current_version()
+
+    def counts(df, signed=False):
+        sign = (
+            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+            if signed
+            else F.lit(1)
+        )
+        return (
+            df.select(F.explode(F.split(F.col("text"), " ")).alias("tok"), sign.alias("s"))
+            .groupBy("tok")
+            .agg(F.sum("s").alias("cnt"))
+        )
+
+    stale = counts(t.read())
+    # upsert: rewrite doc 2, insert doc 4; then delete doc 3 by key
+    t.merge_upsert(
+        spark.createDataFrame([(2, "beta beta"), (4, "epsilon alpha")], sch), ["doc_id"]
+    )
+    t.delete_keys([3], "doc_id")
+    delta = counts(t.changes(v0), signed=True).withColumnRenamed("cnt", "d")
+    refreshed = {
+        r["tok"]: r["n"]
+        for r in stale.join(delta, "tok", "full_outer")
+        .select(
+            "tok",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    rebuilt = {r["tok"]: r["cnt"] for r in counts(t.read()).collect()}
+    assert refreshed == rebuilt
+    assert refreshed == {"alpha": 2, "beta": 3, "epsilon": 1}
+
+
+def test_change_feed_with_map_column(spark, tmp_path):
+    """The rewrite-fallback diff must work on tables carrying MAP columns
+    (the memories table's metadata) — Spark bans set ops on maps, so the
+    feed diffs through a sorted-entries encoding and decodes back."""
+    sch = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "mapcdf"), sch)
+    t.append(
+        spark.createDataFrame([("a", {"k": "1", "j": "x"}), ("b", {"k": "2"})], sch)
+    )
+    v1 = t.current_version()
+    t.delete_where(F.col("id") == "a")
+    got = {
+        (r["id"], tuple(sorted((r["meta"] or {}).items())), r["_change_type"])
+        for r in t.changes(v1).collect()
+    }
+    assert got == {("a", (("j", "x"), ("k", "1")), "delete")}
+    # append fast path unaffected
+    t.append(spark.createDataFrame([("c", None)], sch))
+    assert [r["id"] for r in t.changes(t.current_version() - 1).collect()] == ["c"]
