@@ -1070,6 +1070,84 @@ def lake_probe() -> None:
         spark.stop()
 
 
+def lake_overcap_probe() -> None:
+    """Over-key-cap merge probe (`python scale_probe.py lake_overcap`):
+    the r4 verdict's failure scenario — a merge carrying MORE distinct
+    keys than the driver-collect cap — at 8M rows. The keys are scattered
+    (every 13th id) but confined to the bottom quarter of the key space,
+    so the exact distributed range-join resolution must rewrite only the
+    bottom-quarter files; output equality against the plain full-rewrite
+    backend proves last-writer-wins held on the over-cap path."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from penr_oz_agent_memory_rust_spark.sources.tables import ParquetTable
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    spark = get_spark(app_name="poz-lake-overcap-probe")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("val", T.LongType(), True),
+            T.StructField("payload", T.DoubleType(), True),
+        ]
+    )
+    n_per, n_commits = 1_000_000, 8
+    tmp = tempfile.mkdtemp(prefix="poz_lake_ovc_")
+    out = {"rows": n_per * n_commits}
+    try:
+        batches = [
+            spark.range(lo * n_per, (lo + 1) * n_per).select(
+                F.col("id"),
+                F.col("id").alias("val"),
+                (F.rand(lo) * 100).alias("payload"),
+            )
+            for lo in range(n_commits)
+        ]
+        lake = VersionedParquetTable(spark, f"{tmp}/lake", schema)
+        plain = ParquetTable(spark, f"{tmp}/plain", schema)
+        for b in batches:
+            lake.append(b)
+            plain.append(b)
+        lake.optimize(n_files=32, sort_by="id")
+        total_files = len(lake._load_manifest(lake.current_version())["files"])
+        # 153,846 distinct keys (cap is 100k): every 13th id in [0, 2M)
+        ups = (
+            spark.range(0, 2_000_000)
+            .filter(F.col("id") % 13 == 0)
+            .select(F.col("id"), F.lit(-7).alias("val"), F.lit(-1.0).alias("payload"))
+        )
+        out["distinct_update_keys"] = ups.count()
+        before_files = set(lake._load_manifest(lake.current_version())["files"])
+        t0 = time.time()
+        lake.merge_upsert(ups, ["id"])  # forces the > key_cap path
+        out["overcap_pruned_merge_sec"] = round(time.time() - t0, 2)
+        out["merge_op"] = lake.history()[-1]["op"]
+        after_files = set(lake._load_manifest(lake.current_version())["files"])
+        survivors = len(before_files & after_files)
+        out["files_untouched"] = f"{survivors}/{total_files}"
+        t0 = time.time()
+        plain.merge_upsert(ups, ["id"])
+        out["full_rewrite_merge_sec"] = round(time.time() - t0, 2)
+        # last-writer-wins equality across backends, checksum-level
+        chk = lambda t_: t_.read().agg(  # noqa: E731
+            F.count("*").alias("n"),
+            F.sum("id").alias("si"),
+            F.sum("val").alias("sv"),
+        ).first()
+        a, b = chk(lake), chk(plain)
+        assert (a["n"], a["si"], a["sv"]) == (b["n"], b["si"], b["sv"]), (a, b)
+        out["equal_to_full_rewrite"] = True
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -1247,5 +1325,7 @@ if __name__ == "__main__":
         binq_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "lake":
         lake_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "lake_overcap":
+        lake_overcap_probe()
     else:
         main()
