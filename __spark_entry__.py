@@ -174,6 +174,22 @@ def _dk_norm_pos(a: str) -> str:
     return f"list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]) > 0"
 
 
+def _jl_matrix_sql(in_dim: int = 64, out_dim: int = 16, seed: int = 42) -> str:
+    """The seeded JL projection matrix as a DuckDB DOUBLE[][] literal —
+    regenerated from the same PCG64 stream the Spark expression path uses
+    (projection._proj_matrix), f32 values widened to double exactly as
+    F.lit(float(x)) does. repr() round-trips doubles, so the parsed
+    literal is bit-identical on the oracle side."""
+    from penr_oz_agent_memory_rust_spark.operators.projection import _proj_matrix
+
+    P = _proj_matrix(in_dim, out_dim, seed)
+    rows = ",".join(
+        "[" + ",".join(repr(float(P[i, j])) for j in range(out_dim)) + "]"
+        for i in range(in_dim)
+    )
+    return f"[{rows}]::DOUBLE[][]"
+
+
 # ---------------------------------------------------------------- queries
 
 def q_mem_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3880,6 +3896,141 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics.retrieval_metrics(run, qrels, k=10)
 
 
+def q_quality_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ exact per-group quantiles (quantile_cont semantics) — the
+    threshold-setting primitive quality cuts need exact, not sketched:
+    p25/p50/p75/p90 of n_chars per language. Integer inputs keep the
+    interpolation on dyadic fractions, so both engines produce identical
+    doubles (operators/stats.exact_group_quantiles)."""
+    from penr_oz_agent_memory_rust_spark.operators import stats as _st
+
+    return _st.exact_group_quantiles(
+        _docs(spark, sf_dir), ["lang"], "n_chars", [0.25, 0.5, 0.75, 0.9]
+    ).orderBy("lang", "p")
+
+
+def q_doc_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ quantile binning WITHOUT a global window: edges from one exact
+    percentile aggregate, bucket assignment map-only against broadcast
+    edge literals — the ntile() replacement that survives 100× (a global
+    ntile funnels the whole table through one partition)."""
+    from penr_oz_agent_memory_rust_spark.operators import stats as _st
+
+    return _st.quantile_bucket_stats(_docs(spark, sf_dir), "n_chars", 4).orderBy(
+        "bucket"
+    )
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ fixed-width histogram per event type (bin = floor(value/20)) —
+    the drift/PSI baseline primitive as one hash aggregate, integer
+    counts, no sort (operators/stats.fixed_width_histogram)."""
+    from penr_oz_agent_memory_rust_spark.operators import stats as _st
+
+    ev = load_table(spark, sf_dir, "events")
+    return _st.fixed_width_histogram(ev, "value", 20.0, ["event_type"]).orderBy(
+        "event_type", "bin"
+    )
+
+
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ weighted sampling, deterministic across engines/runs: Poisson
+    inclusion u < k·w/Σw with the portable md5 uniform and an EXACT
+    integer Σw — weight-proportional selection with no transcendental
+    (pow/ln last-ulps differ per libm), so the same docs survive
+    everywhere (operators/text_ops.weighted_bernoulli_sample)."""
+    return text_ops.weighted_bernoulli_sample(
+        _docs(spark, sf_dir), "doc_id", "n_chars", expected_k=100
+    ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def q_events_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ PIVOT surface: event_type × value-bucket count matrix (10
+    fixed-width buckets pivoted wide). Spark's relational pivot plans as
+    one hash aggregate with a CASE-fan — no per-bucket scans."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") / F.lit(50.0)).cast("int").alias("b"),
+    )
+    wide = ev.groupBy("event_type").pivot("b", list(range(10))).count().na.fill(0)
+    renamed = wide.select(
+        "event_type",
+        *[F.col(str(i)).cast("bigint").alias(f"b{i}") for i in range(10)],
+    )
+    return renamed.orderBy("event_type")
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ directed n-gram containment (|A∩B|/|A|) over the inverted
+    shingle index — the doc-inside-doc detector Jaccard misses (a page
+    quoting a paragraph whole scores ≈1 here, low on Jaccard), which is
+    what decontamination / boilerplate-inclusion sweeps key on
+    (operators/dedup.ngram_containment_pairs)."""
+    return dedup.ngram_containment_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.3
+    ).orderBy("src", "dst")
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ language-ID evaluation: confusion counts of the marker-argmax
+    lang_id_expr against the labeled lang column — the quality gate a
+    corpus-curation pipeline runs after any langid change."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", text_ops.lang_id_expr(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def q_jl_exact_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ JL candidate generation, EXPRESSION path: project 64→16 dims as
+    native fold expressions over the seeded Gaussian literal matrix
+    (whole-stage codegen, zero Python — projection.project_embeddings_expr),
+    take the top-20 candidates per query by rounded f64 cosine in the
+    4×-smaller space, then re-rank the final 5 by exact f64 cosine on the
+    ORIGINAL vectors. Unlike the Arrow/BLAS twin (jl_projected_ann, no
+    oracle by design), every arithmetic step here is a deterministic
+    left-to-right fold the DuckDB oracle mirrors bit-exactly."""
+    from penr_oz_agent_memory_rust_spark.operators import projection as _proj
+    from penr_oz_agent_memory_rust_spark.operators.topk import top_k_per_group
+
+    emb = _emb(spark, sf_dir)
+    proj = _proj.project_embeddings_expr(
+        emb.select("vec_id", "embedding"), 64, 16, round_dp=6
+    )
+    corpus = proj.select("vec_id", F.col("proj").alias("vec"))
+    queries = proj.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("proj").alias("qv")
+    )
+    pscore = F.round(similarity.cosine_f64(F.col("vec"), F.col("qv")), 6)
+    cand = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(similarity.norm_f64(F.col("vec")) > 0)
+        .filter(similarity.norm_f64(F.col("qv")) > 0)
+        .withColumn("pscore", pscore)
+        .select("qid", "vec_id", "pscore")
+    )
+    top20 = top_k_per_group(cand, ["qid"], "pscore", 20, tiebreak="vec_id")
+    qorig = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    rerank = (
+        top20.select("qid", "vec_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qorig), "qid")
+        .withColumn(
+            "score",
+            F.round(similarity.cosine_f64(F.col("embedding"), F.col("q_emb")), 6),
+        )
+        .select("qid", "vec_id", "score")
+    )
+    return top_k_per_group(rerank, ["qid"], "score", 5, tiebreak="vec_id").orderBy(
+        "qid", F.col("score").desc(), "vec_id"
+    )
+
+
 def _gate_workdir(sf_dir: str, tag: str, src_name: str = "orders.parquet") -> tuple[str, str]:
     """(work_dir, marker_path) for a stateful gate, keyed by the source
     table's identity so a testdata refresh invalidates the cached build."""
@@ -4197,12 +4348,13 @@ def q_versioned_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             r[0]
             for r in t.read()
             .filter(
-                (F.col("o_orderkey") % 997 == 0)
+                (F.col("o_orderkey") % 97 == 0)
                 & (F.col("o_orderkey") > (mk * 3) // 4)
             )
             .select("o_orderkey")
             .collect()
         ]
+        assert dkeys, "delete-key predicate must select rows at every sf"
         t.delete_keys(dkeys, "o_orderkey")
         assert t.history()[-1]["op"] == "delete_keys_pruned", t.history()[-1]
         with open(marker, "w") as f:
@@ -4416,6 +4568,14 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "versioned_schema_evolution": q_versioned_schema_evolution,
         "versioned_optimize_read": q_versioned_optimize_read,
         "versioned_cdf_refresh": q_versioned_cdf_refresh,
+        "quality_exact_quantiles": q_quality_exact_quantiles,
+        "doc_quantile_buckets": q_doc_quantile_buckets,
+        "events_value_histogram": q_events_value_histogram,
+        "weighted_doc_sample": q_weighted_doc_sample,
+        "events_pivot_matrix": q_events_pivot_matrix,
+        "ngram_containment": q_ngram_containment,
+        "langid_confusion": q_langid_confusion,
+        "jl_exact_ann": q_jl_exact_ann,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_decontaminate_blas": q_semantic_decontaminate_blas,
@@ -4865,7 +5025,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT m.o_orderkey, m.o_custkey, m.o_totalprice, m.o_orderstatus
             FROM merged m, mx
-            WHERE NOT (m.o_orderkey % 997 = 0 AND m.o_orderkey > (mx.mk * 3) // 4)
+            WHERE NOT (m.o_orderkey % 97 = 0 AND m.o_orderkey > (mx.mk * 3) // 4)
             ORDER BY m.o_orderkey
         """,
         "versioned_time_travel": """
@@ -4906,6 +5066,120 @@ def oracle_sql() -> dict[str, str]:
             tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM final)
             SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
             GROUP BY token ORDER BY token
+        """,
+        "quality_exact_quantiles": """
+            WITH qs AS (
+                SELECT lang, count(n_chars)::BIGINT AS n_values,
+                       quantile_cont(n_chars, 0.25) AS q25,
+                       quantile_cont(n_chars, 0.5)  AS q50,
+                       quantile_cont(n_chars, 0.75) AS q75,
+                       quantile_cont(n_chars, 0.9)  AS q90
+                FROM documents GROUP BY lang
+            )
+            SELECT lang, 0.25::DOUBLE AS p, round(q25, 6) AS quantile_value, n_values FROM qs
+            UNION ALL SELECT lang, 0.5::DOUBLE,  round(q50, 6), n_values FROM qs
+            UNION ALL SELECT lang, 0.75::DOUBLE, round(q75, 6), n_values FROM qs
+            UNION ALL SELECT lang, 0.9::DOUBLE,  round(q90, 6), n_values FROM qs
+            ORDER BY lang, p
+        """,
+        "doc_quantile_buckets": """
+            WITH e AS (
+                SELECT quantile_cont(n_chars, 0.25) AS e1,
+                       quantile_cont(n_chars, 0.5)  AS e2,
+                       quantile_cont(n_chars, 0.75) AS e3
+                FROM documents
+            )
+            SELECT ((n_chars::DOUBLE > e1)::INT + (n_chars::DOUBLE > e2)::INT
+                    + (n_chars::DOUBLE > e3)::INT)::BIGINT AS bucket,
+                   count(*) AS n,
+                   round(sum(n_chars::DOUBLE) / count(*), 6) AS mean_value
+            FROM documents, e
+            WHERE n_chars IS NOT NULL
+            GROUP BY bucket ORDER BY bucket
+        """,
+        "events_value_histogram": """
+            SELECT event_type, CAST(floor(value / 20.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, bin ORDER BY event_type, bin
+        """,
+        "weighted_doc_sample": """
+            WITH tot AS (SELECT sum(n_chars) AS w FROM documents)
+            SELECT doc_id, lang, n_chars
+            FROM documents, tot
+            WHERE n_chars > 0
+              AND (('0x' || substring(md5('wsample|' || doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+                  / 1152921504606846976.0
+                  < least(100 * n_chars::DOUBLE / tot.w::DOUBLE, 1.0)
+            ORDER BY doc_id
+        """,
+        "events_pivot_matrix": """
+            SELECT event_type,
+        """ + ",\n".join(
+            f"                   sum(CASE WHEN CAST(floor(value / 50.0) AS INT) = {i} "
+            f"THEN 1 ELSE 0 END)::BIGINT AS b{i}"
+            for i in range(10)
+        ) + """
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ngram_containment": f"""
+            WITH sh0 AS (
+              SELECT doc_id AS did, unnest(list_distinct({_DK_SHINGLES3})) AS s FROM documents
+            ), sh AS (
+              SELECT did, ('0x' || substring(md5(s), 1, 15))::BIGINT AS sh FROM sh0
+            ), sizes AS (
+              SELECT did, count(*) AS sz FROM sh GROUP BY did
+            ), inter AS (
+              SELECT l.did AS a, r.did AS b, count(*) AS inter
+              FROM sh l JOIN sh r ON l.sh = r.sh AND l.did < r.did
+              GROUP BY l.did, r.did
+            ), scored AS (
+              SELECT a, b, inter, sa.sz AS sza, sb.sz AS szb
+              FROM inter JOIN sizes sa ON sa.did = a JOIN sizes sb ON sb.did = b
+            ), bothdir AS (
+              SELECT a AS src, b AS dst, round(inter / sza, 6) AS containment FROM scored
+              UNION ALL
+              SELECT b AS src, a AS dst, round(inter / szb, 6) AS containment FROM scored
+            )
+            SELECT src, dst, containment FROM bothdir
+            WHERE containment >= 0.3 ORDER BY src, dst
+        """,
+        "langid_confusion": f"""
+            WITH h AS (SELECT doc_id, lang, {_lang_hits_cols()} FROM documents),
+            p AS (SELECT lang, {_lang_case()} AS pred_lang FROM h)
+            SELECT lang, pred_lang, count(*)::BIGINT AS n
+            FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+        """,
+        "jl_exact_ann": f"""
+            WITH m(mat) AS (SELECT {_jl_matrix_sql(64, 16, 42)}),
+            proj AS (
+              SELECT e.vec_id,
+                     list_transform(generate_series(1, 16),
+                       j -> round(list_sum(list_transform(generate_series(1, 64),
+                             i -> e.embedding[i]::DOUBLE * m.mat[i][j])), 6)) AS p
+              FROM embeddings e, m
+            ),
+            q AS (SELECT vec_id AS qid, p AS qp FROM proj WHERE vec_id < 8),
+            cand AS (
+              SELECT q.qid, c.vec_id,
+                     round(list_dot_product(c.p, q.qp) /
+                           (sqrt(list_dot_product(c.p, c.p)) * sqrt(list_dot_product(q.qp, q.qp))), 6) AS pscore
+              FROM proj c, q
+              WHERE list_dot_product(c.p, c.p) > 0 AND list_dot_product(q.qp, q.qp) > 0
+            ),
+            top20 AS (
+              SELECT qid, vec_id FROM cand
+              QUALIFY row_number() OVER (PARTITION BY qid ORDER BY pscore DESC, vec_id) <= 20
+            ),
+            rerank AS (
+              SELECT t.qid, t.vec_id, {_dk_cos('e.embedding', 'qe.embedding')} AS score
+              FROM top20 t
+              JOIN embeddings e ON e.vec_id = t.vec_id
+              JOIN embeddings qe ON qe.vec_id = t.qid
+            )
+            SELECT qid, vec_id, score FROM rerank
+            QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= 5
+            ORDER BY qid, score DESC, vec_id
         """,
         "session_pagination": """
             SELECT o_orderkey, o_orderdate FROM orders

@@ -179,6 +179,14 @@ HEADLINE = [
     "versioned_schema_evolution",
     "versioned_optimize_read",
     "versioned_cdf_refresh",
+    "quality_exact_quantiles",
+    "doc_quantile_buckets",
+    "events_value_histogram",
+    "weighted_doc_sample",
+    "events_pivot_matrix",
+    "ngram_containment",
+    "langid_confusion",
+    "jl_exact_ann",
     "semantic_decontaminate_blas",
 ]
 

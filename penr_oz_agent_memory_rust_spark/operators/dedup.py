@@ -327,6 +327,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    unit: str = "word",
+) -> DataFrame:
+    """DIRECTED n-gram containment over the same inverted shingle index as
+    ngram_jaccard_pairs: (src, dst, containment) where containment =
+    |shingles(src) ∩ shingles(dst)| / |shingles(src)| — the doc-inside-doc
+    detector Jaccard misses (a paragraph quoted whole inside a larger page
+    has low Jaccard but containment ≈ 1), which is what decontamination
+    and boilerplate-inclusion sweeps actually need. Both directions of
+    each colliding pair are scored; candidate volume is bounded by the
+    same posting-list join (plus the optional stop-shingle cap), so the
+    100 TB cost model is identical to the Jaccard path."""
+    if unit == "char":
+        sh = docs.select(
+            F.col(id_col).alias("did"),
+            F.explode(
+                F.array_distinct(hashing.char_ngrams(F.col(text_col), n))
+            ).alias("sh"),
+        )
+    else:
+        sh = hashing.word_shingle_rows(docs, id_col, text_col, n).withColumnRenamed(
+            id_col, "did"
+        )
+    sh = sh.select("did", hashing.md5_long(F.col("sh")).alias("sh")).persist()
+    if max_doc_freq is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_doc_freq).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy("did").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "sh")
+        .filter(F.col("l.did") < F.col("r.did"))
+        .groupBy(F.col("l.did").alias("a"), F.col("r.did").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = inter.join(
+        sizes.withColumnRenamed("did", "a").withColumnRenamed("sz", "sza"), "a"
+    ).join(sizes.withColumnRenamed("did", "b").withColumnRenamed("sz", "szb"), "b")
+    fwd = scored.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.round(F.col("inter") / F.col("sza"), 6).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("b").alias("src"),
+        F.col("a").alias("dst"),
+        F.round(F.col("inter") / F.col("szb"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:

@@ -25,7 +25,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def _proj_matrix(in_dim: int, out_dim: int, seed: int) -> np.ndarray:
@@ -36,6 +36,39 @@ def _proj_matrix(in_dim: int, out_dim: int, seed: int) -> np.ndarray:
     )
     # N(0, 1/d') entries: E[|Px|^2] = |x|^2, the distance-preserving scale
     return rng.normal(0.0, 1.0 / np.sqrt(out_dim), size=(in_dim, out_dim)).astype(np.float32)
+
+
+def project_embeddings_expr(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    seed: int = 42,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The JL projection as a PURE NATIVE EXPRESSION: each output
+    component is a left-to-right float64 fold of x·M[:,j] over literal
+    matrix columns — whole-stage codegen, no Python workers, and (with
+    round_dp set) bit-mirrorable in SQL, unlike the Arrow/BLAS twin
+    project_embeddings whose f32 matmul accumulation order is numpy's.
+    The matrix is the SAME seeded Gaussian as the Arrow path (in f32
+    literal values), so both paths project into the same space. Plan size
+    grows with in_dim × out_dim literals — right for candidate-generation
+    dims (≤ a few thousand products); use the Arrow path beyond that."""
+    P = _proj_matrix(in_dim, out_dim, seed)
+    comps = []
+    for j in range(out_dim):
+        mj = F.array(*[F.lit(float(P[i, j])) for i in range(in_dim)])
+        comp = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), mj, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if round_dp is not None:
+            comp = F.round(comp, round_dp)
+        comps.append(comp)
+    return df.withColumn(out_col, F.array(*comps))
 
 
 def project_embeddings(

@@ -57,3 +57,85 @@ def analyze_columns(
         entry(c, False) for c in string_cols
     ]
     return one.select(F.explode(F.array(*entries)).alias("st")).select("st.*")
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """EXACT per-group quantiles with linear interpolation (the
+    quantile_cont contract), long format: (*group_cols, p, quantile_value,
+    n_values). One sort-based aggregate per group — heavier than
+    approx_percentile's sketch but exact, which is what threshold-setting
+    pipelines (quality cuts, length caps) actually need; the group count
+    bounds what any task materializes, so the plan scales with groups,
+    not with the table. Feed INTEGER value columns when the result gates
+    an oracle/fixed threshold — interpolated values then carry ≤2 extra
+    decimals and never sit on a rounding boundary."""
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    agg = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(value_col).cast("double"), parr).alias("__q"),
+        F.count(value_col).alias("n_values"),
+    )
+    out = agg.select(
+        *group_cols, "n_values", F.posexplode("__q").alias("__i", "quantile_value")
+    ).withColumn("p", F.element_at(parr, F.col("__i") + 1))
+    qv = F.col("quantile_value")
+    if round_dp is not None:
+        qv = F.round(qv, round_dp)
+    return out.select(
+        *group_cols, "p", qv.alias("quantile_value"), F.col("n_values").cast("bigint").alias("n_values")
+    )
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram: bin = floor(value / width), counted per
+    (*group_cols, bin). Pure hash aggregate — one shuffle of (groups ×
+    bins) partial rows, integer counts, no sort anywhere; the monitoring
+    primitive drift/PSI baselines feed on at full-table scale."""
+    gcols = list(group_cols or [])
+    bin_col = F.floor(F.col(value_col).cast("double") / F.lit(float(width))).cast(
+        "bigint"
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, bin_col.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def quantile_bucket_stats(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Quantile binning WITHOUT a global window: bucket edges come from
+    one exact-percentile aggregate (n_buckets-1 scalars, broadcast as
+    literals in a second map-only pass), then per-bucket (n, mean).
+    The ntile() equivalent at scale — a global ntile sorts the whole
+    table through one partition; this is one bounded agg + one map.
+    Rows equal to an edge go DOWN (bucket = #edges strictly below x)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = df.agg(
+        F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(p) for p in probs]))
+    ).first()[0]
+    edges = [float(e) for e in edges_row]
+    x = F.col(value_col).cast("double")
+    bucket = sum((x > F.lit(e)).cast("int") for e in edges).cast("bigint")
+    mean = F.sum(x) / F.count("*")
+    if round_dp is not None:
+        mean = F.round(mean, round_dp)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), mean.alias("mean_value"))
+    )

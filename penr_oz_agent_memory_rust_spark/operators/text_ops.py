@@ -240,6 +240,34 @@ def deterministic_sample(
     return df.filter(bucket < percent)
 
 
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    expected_k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted Poisson/Bernoulli sampling with expected size `expected_k`:
+    row i survives iff u_i < expected_k * w_i / Σw, with u_i the portable
+    md5 uniform of (salt|id). Weight-proportional inclusion — the
+    importance-sampling primitive for training-data mixes — and FULLY
+    deterministic across engines and runs: Σw of an integer weight column
+    is exact (order-independent), u_i is a 60-bit hash ratio, and no
+    transcendental ever enters, unlike the Efraimidis–Spirakis u^(1/w)
+    key whose pow() last-ulps differ per libm. One exact aggregate for
+    Σw (a scalar broadcast as a literal), then one map-only pass."""
+    total_w = df.agg(F.sum(F.col(weight_col).cast("bigint"))).first()[0]
+    u = (
+        hashing.md5_long(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    p = (
+        F.lit(int(expected_k)) * F.col(weight_col).cast("double") / F.lit(float(total_w))
+    )
+    return df.filter(F.col(weight_col) > 0).filter(u < F.least(p, F.lit(1.0)))
+
+
 def analyze_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Full text-analysis projection over a documents table. Deliberately
     NOT cpu_rebalance()d: the profile is one exchange-free scan, and the
