@@ -321,12 +321,14 @@ class VersionedParquetTable:
             ):
                 return
 
-    def _rewrite(self, df: DataFrame, base: int, op: str) -> None:
+    def _rewrite(
+        self, df: DataFrame, base: int, op: str, txn: tuple[str, int] | None = None
+    ) -> None:
         sch = self._schema_at(base) if self.exists() else self.schema
         txns = self._load_manifest(base).get("txns") if self.exists() else None
         new_files = self._write_commit_files(df, sch)
         if not self._try_commit(
-            base + 1, new_files, op, self._collect_stats(new_files), None, sch, txns
+            base + 1, new_files, op, self._collect_stats(new_files), txn, sch, txns
         ):
             raise ConcurrentWriteError(
                 f"{op}: version {base + 1} was committed by another writer "
@@ -340,17 +342,22 @@ class VersionedParquetTable:
         self._rewrite(df, self.current_version(), "overwrite")
 
     def merge_upsert(
-        self, updates: DataFrame, key_cols: list[str], key_cap: int | None = None
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        key_cap: int | None = None,
+        txn_app: str | None = None,
+        txn_id: int | None = None,
     ) -> None:
-        """Last-writer-wins upsert. With a SINGLE key column whose min/max
-        is recorded in the manifest, this is a FILE-PRUNED merge — the
+        """Last-writer-wins upsert. When every key column's min/max is
+        recorded in the manifest, this is a FILE-PRUNED merge — the
         Delta MERGE cost model on plain files: files whose key range
         cannot contain an updated key stay in the manifest untouched
         (zero-copy); only the overlapping files are anti-joined and
         rewritten, plus the update rows themselves. Mutations thereby
         cost O(matched files), not O(table) — the property DEVIATIONS #7
-        attributed to the (jar-gated) Delta backend. Composite keys or
-        files without stats fall back to the full rewrite.
+        attributed to the (jar-gated) Delta backend. Files without stats
+        for any key column fall back to the full rewrite.
 
         Touched-file resolution is EXACT at every update cardinality:
         - ≤ `key_cap` distinct keys (default `self.merge_key_cap`): collect
@@ -363,17 +370,27 @@ class VersionedParquetTable:
           MATCHED FILE NAMES. No truncated sample, no coarse envelope:
           a file is rewritten iff some update key can actually live in it.
         NULL update keys match no file range and no existing row (SQL
-        join semantics); those rows simply append as inserts on all paths."""
+        join semantics); those rows simply append as inserts on all paths.
+
+        COMPOSITE keys prune too: a file is touched iff some update row's
+        key tuple fits inside the file's per-column [min, max] box — the
+        same broadcast range join, with the conjunction over key columns.
+
+        With (txn_app, txn_id) set, the merge is IDEMPOTENT like append:
+        an already-committed txn id is a recorded no-op, which makes a
+        replayed streaming CDC micro-batch safe (exactly-once MERGE)."""
         self.ensure()
+        if txn_app is not None and self.txn_committed(txn_app, txn_id):
+            return
+        txn = (txn_app, txn_id) if txn_app is not None else None
         if updates.limit(1).count() == 0:
             return  # empty update set: nothing to do on ANY path
         base = self.current_version()
         sch = self._schema_at(base)
         m = self._load_manifest(base)
         stats = m.get("stats", {})
-        key = key_cols[0] if len(key_cols) == 1 else None
-        have_stats = key is not None and all(
-            stats.get(f, {}).get(key) is not None for f in m["files"]
+        have_stats = all(
+            stats.get(f, {}).get(k) is not None for f in m["files"] for k in key_cols
         )
         if not have_stats:
             current = self.read(base)
@@ -383,15 +400,22 @@ class VersionedParquetTable:
             merged = survivors.unionByName(
                 updates.select(*[f.name for f in sch.fields])
             )
-            self._rewrite(merged, base, "merge_upsert")
+            self._rewrite(merged, base, "merge_upsert", txn)
             return
         import bisect
 
         if key_cap is None:
             key_cap = self.merge_key_cap
-        keys_df = updates.select(key).where(F.col(key).isNotNull()).distinct()
-        key_rows = keys_df.limit(key_cap + 1).collect()
-        if len(key_rows) <= key_cap:
+        key = key_cols[0]
+        nn = F.lit(True)
+        for k in key_cols:
+            nn = nn & F.col(k).isNotNull()
+        keys_df = updates.select(*key_cols).where(nn).distinct()
+        if len(key_cols) == 1:
+            key_rows = keys_df.limit(key_cap + 1).collect()
+        else:
+            key_rows = None  # composite: always the distributed range join
+        if key_rows is not None and len(key_rows) <= key_cap:
             ks = sorted(r[0] for r in key_rows)
 
             def overlaps(mn, mx):
@@ -403,15 +427,26 @@ class VersionedParquetTable:
             ]
         else:
             ranges = self.spark.createDataFrame(
-                [(f, stats[f][key][0], stats[f][key][1]) for f in m["files"]],
-                ["__file", "__mn", "__mx"],
+                [
+                    tuple(
+                        [f]
+                        + [v for k in key_cols for v in (stats[f][k][0], stats[f][k][1])]
+                    )
+                    for f in m["files"]
+                ],
+                ["__file"]
+                + [c for i in range(len(key_cols)) for c in (f"__mn{i}", f"__mx{i}")],
             )
+            cond = F.lit(True)
+            for i, k in enumerate(key_cols):
+                cond = (
+                    cond
+                    & (F.col(k) >= F.col(f"__mn{i}"))
+                    & (F.col(k) <= F.col(f"__mx{i}"))
+                )
             touched_set = {
                 r["__file"]
-                for r in keys_df.join(
-                    F.broadcast(ranges),
-                    (F.col(key) >= F.col("__mn")) & (F.col(key) <= F.col("__mx")),
-                )
+                for r in keys_df.join(F.broadcast(ranges), cond)
                 .select("__file")
                 .distinct()
                 .collect()
@@ -445,7 +480,7 @@ class VersionedParquetTable:
             untouched + new_files,
             "merge_upsert_pruned",
             new_stats,
-            None,
+            txn,
             sch,
             m.get("txns"),
         ):

@@ -899,3 +899,54 @@ def run_versioned_table_ingest_once(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+def run_versioned_cdc_merge_once(
+    spark: SparkSession,
+    incoming_dir: str,
+    table,
+    key_cols: list[str],
+    seq_col: str | None = None,
+    app_id: str = "versioned-cdc-merge",
+) -> int:
+    """Streaming MERGE (CDC apply) into the manifest-versioned table: each
+    micro-batch last-writer-wins-upserts by key as ONE atomic commit
+    carrying (app_id, batch_id), so a replayed batch (foreachBatch is
+    at-least-once on checkpoint recovery) is a recorded no-op — the
+    exactly-once `foreachBatch + MERGE` pattern Delta documents, on plain
+    files. With `seq_col` set, the batch is first reduced to its latest
+    row per key (max seq, remaining columns as deterministic tie-break) —
+    a CDC feed can carry several updates for one key inside one batch,
+    and applying them all would make the surviving row racey.
+    availableNow-triggered; returns micro-batches run."""
+    from pyspark.sql import Window
+
+    schema = spark.read.parquet(incoming_dir).schema
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    n_batches = {"n": 0}
+
+    def _apply(bdf: DataFrame, batch_id: int) -> None:
+        b = bdf
+        if seq_col is not None:
+            others = [c for c in b.columns if c not in (*key_cols, seq_col)]
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(seq_col).desc(), *[F.col(c).desc_nulls_last() for c in others]
+            )
+            b = (
+                b.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        table.merge_upsert(b, list(key_cols), txn_app=app_id, txn_id=batch_id)
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation", os.path.join(table.path, "_cdc_merge_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

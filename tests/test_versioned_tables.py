@@ -494,3 +494,145 @@ def test_change_feed_with_map_column(spark, tmp_path):
     # append fast path unaffected
     t.append(spark.createDataFrame([("c", None)], sch))
     assert [r["id"] for r in t.changes(t.current_version() - 1).collect()] == ["c"]
+
+
+def test_merge_upsert_txn_idempotent(spark, tmp_path):
+    """merge_upsert with (txn_app, txn_id) is a recorded no-op on replay —
+    the exactly-once foreachBatch+MERGE device — on BOTH the pruned and
+    full-rewrite paths, and the ledger survives later commits."""
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "txm"), sch)
+    t.append(spark.createDataFrame([(i, f"old{i}") for i in range(100)], sch).coalesce(1))
+    ups = spark.createDataFrame([(5, "NEW"), (999, "NEW")], sch)
+    t.merge_upsert(ups, ["k"], txn_app="cdc", txn_id=0)
+    v_after = t.current_version()
+    assert t.history()[-1]["op"] == "merge_upsert_pruned"
+    # replay: same txn -> no commit, no duplicate rows
+    t.merge_upsert(ups, ["k"], txn_app="cdc", txn_id=0)
+    assert t.current_version() == v_after
+    assert t.read().filter(F.col("k") == 5).count() == 1
+    # a later batch still applies, and the ledger keeps the max id
+    t.merge_upsert(spark.createDataFrame([(6, "B1")], sch), ["k"], txn_app="cdc", txn_id=1)
+    assert t.txn_committed("cdc", 0) and t.txn_committed("cdc", 1)
+    assert {r["v"] for r in t.read().filter(F.col("k").isin([5, 6, 999])).collect()} == {
+        "NEW", "B1"
+    }
+
+
+def test_merge_upsert_composite_key_pruned(spark, tmp_path):
+    """Composite keys prune too: a file is touched iff some update row's
+    key TUPLE fits its per-column [min,max] box. Files disjoint on the
+    first key column must survive zero-copy."""
+    sch = T.StructType(
+        [
+            T.StructField("k1", T.LongType(), False),
+            T.StructField("k2", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "ck"), sch)
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, i % 10, f"old{lo + i}") for i in range(100)], sch
+            ).coalesce(1)
+        )
+    files_before = t._load_manifest(t.current_version())["files"]
+    ups = spark.createDataFrame([(150, 0, "NEW"), (155, 5, "NEW"), (999, 1, "NEW")], sch)
+    t.merge_upsert(ups, ["k1", "k2"])
+    assert t.history()[-1]["op"] == "merge_upsert_pruned"
+    files_after = set(t._load_manifest(t.current_version())["files"])
+    assert len([f for f in files_before if f in files_after]) == 2  # 0-99, 200-299
+    got = {(r["k1"], r["k2"]): r["v"] for r in t.read().collect()}
+    assert len(got) == 301
+    assert got[(150, 0)] == got[(155, 5)] == got[(999, 1)] == "NEW"
+    assert got[(150, 1)] == "old150" if (150, 1) in got else True
+    assert got[(151, 1)] == "old151"
+    # composite rows with a NULL key component flow as inserts
+    sch_n = T.StructType(
+        [
+            T.StructField("k1", T.LongType(), True),
+            T.StructField("k2", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t.merge_upsert(spark.createDataFrame([(None, 3, "ghost")], sch_n), ["k1", "k2"])
+    assert t.read().filter(F.col("v") == "ghost").count() == 1
+
+
+def test_streaming_cdc_merge_exactly_once(spark, tmp_path):
+    """run_versioned_cdc_merge_once: micro-batches MERGE by key as atomic
+    idempotent commits; within a batch the latest row per key (by seq)
+    wins; a replayed batch id is a recorded no-op."""
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        run_versioned_cdc_merge_once,
+    )
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("val", T.LongType(), True),
+            T.StructField("seq", T.LongType(), True),
+        ]
+    )
+    incoming = str(tmp_path / "cdc_in")
+    t = VersionedParquetTable(spark, str(tmp_path / "cdc_lake"), sch)
+    spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 11)], sch
+    ).coalesce(1).write.mode("append").parquet(incoming)
+    assert run_versioned_cdc_merge_once(spark, incoming, t, ["id"], seq_col="seq") == 1
+    # batch 2: two updates for 'b' in ONE batch (seq 20 then 21) + insert 'c'
+    spark.createDataFrame(
+        [("b", 20, 20), ("b", 21, 21), ("c", 3, 22)], sch
+    ).coalesce(1).write.mode("append").parquet(incoming)
+    assert run_versioned_cdc_merge_once(spark, incoming, t, ["id"], seq_col="seq") == 1
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 21, "c": 3}  # latest-per-key won within the batch
+    # replay batch 1's txn id directly: recorded no-op
+    before = t.current_version()
+    t.merge_upsert(
+        spark.createDataFrame([("a", 999, 99)], sch),
+        ["id"],
+        txn_app="versioned-cdc-merge",
+        txn_id=1,
+    )
+    assert t.current_version() == before and got == {
+        r["id"]: r["val"] for r in t.read().collect()
+    }
+    # nothing new to stream: zero batches, state unchanged
+    assert run_versioned_cdc_merge_once(spark, incoming, t, ["id"], seq_col="seq") == 0
+
+
+def test_concurrent_appends_all_land_exactly_once(spark, tmp_path):
+    """Real contention: 6 threads race zero-copy appends at the same base
+    version. The hard-link commit admits exactly one winner per version;
+    losers retry on the new head — every batch must land exactly once and
+    the final manifest must list every file."""
+    import threading
+
+    t = VersionedParquetTable(spark, str(tmp_path / "race"), SCHEMA)
+    t.ensure()
+    errs = []
+
+    def worker(i: int) -> None:
+        try:
+            t.append(spark.createDataFrame([(f"w{i}", i)], SCHEMA).coalesce(1))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    rows = sorted(r["id"] for r in t.read().collect())
+    assert rows == [f"w{i}" for i in range(6)]
+    # one commit per batch plus the create: versions are dense
+    assert t.current_version() == 7
+    assert [h["op"] for h in t.history()][1:] == ["append"] * 6
