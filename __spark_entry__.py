@@ -4278,6 +4278,75 @@ def q_versioned_cdf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("token")
 
 
+def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ exactly-once streaming MERGE (CDC apply) end-to-end: orders rows
+    arrive as TWO availableNow micro-batches — the base set, then a CDC
+    batch carrying UPDATES (keys %7==3: price+1000, status 'U', twice per
+    key with increasing seq so only the LATEST survives) and INSERTS
+    (beyond-max keys, status 'N'). Each batch merge-upserts into the
+    versioned table as ONE atomic commit carrying (app, batch) txn ids
+    (streaming.run_versioned_cdc_merge_once); a dropped, duplicated, or
+    wrongly-ordered batch changes the final state. The oracle recomputes
+    the last-writer-wins result in pure SQL over orders."""
+    import shutil as _sh
+
+    from pyspark.sql import types as _T
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        run_versioned_cdc_merge_once,
+    )
+
+    work, marker = _gate_workdir(sf_dir, "stream_cdc_merge")
+    sch = _T.StructType(
+        [
+            _T.StructField("o_orderkey", _T.LongType(), True),
+            _T.StructField("o_custkey", _T.LongType(), True),
+            _T.StructField("o_totalprice", _T.DoubleType(), True),
+            _T.StructField("o_orderstatus", _T.StringType(), True),
+            _T.StructField("seq", _T.LongType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, os.path.join(work, "lake"), sch)
+    if not os.path.exists(marker):
+        if os.path.exists(work):
+            _sh.rmtree(work)
+        incoming = os.path.join(work, "incoming")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        mk = int(orders.agg(F.max("o_orderkey")).first()[0])
+        base = orders.withColumn("seq", F.lit(0).cast("long"))
+        base.coalesce(4).write.mode("append").parquet(incoming)
+        run_versioned_cdc_merge_once(spark, incoming, t, ["o_orderkey"], seq_col="seq")
+        upd_keys = orders.filter(F.col("o_orderkey") % 7 == 3)
+        stale = upd_keys.withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(500.0)
+        ).withColumn("o_orderstatus", F.lit("X")).withColumn("seq", F.lit(1).cast("long"))
+        fresh = upd_keys.withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        ).withColumn("o_orderstatus", F.lit("U")).withColumn("seq", F.lit(2).cast("long"))
+        ins = (
+            orders.filter(F.col("o_orderkey") % 419 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mk + 1))
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("seq", F.lit(1).cast("long"))
+        )
+        stale.unionByName(fresh).unionByName(ins).coalesce(2).write.mode(
+            "append"
+        ).parquet(incoming)
+        run_versioned_cdc_merge_once(spark, incoming, t, ["o_orderkey"], seq_col="seq")
+        with open(marker, "w") as f:
+            f.write("ok")
+    return (
+        t.read()
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
 def q_versioned_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ lakehouse mutation gate — the versioned table's file-pruned MERGE
     and key-addressed DELETE end-to-end (reference upsert-by-id
@@ -4568,6 +4637,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "versioned_schema_evolution": q_versioned_schema_evolution,
         "versioned_optimize_read": q_versioned_optimize_read,
         "versioned_cdf_refresh": q_versioned_cdf_refresh,
+        "stream_cdc_merge": q_stream_cdc_merge,
         "quality_exact_quantiles": q_quality_exact_quantiles,
         "doc_quantile_buckets": q_doc_quantile_buckets,
         "events_value_histogram": q_events_value_histogram,
@@ -5066,6 +5136,30 @@ def oracle_sql() -> dict[str, str]:
             tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM final)
             SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
             GROUP BY token ORDER BY token
+        """,
+        "stream_cdc_merge": """
+            WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+            upd AS (
+                SELECT o.o_orderkey, o.o_custkey,
+                       o.o_totalprice + 1000.0 AS o_totalprice,
+                       'U' AS o_orderstatus
+                FROM orders o WHERE o.o_orderkey % 7 = 3
+            ),
+            ins AS (
+                SELECT o.o_orderkey + mx.mk + 1 AS o_orderkey, o.o_custkey,
+                       o.o_totalprice, 'N' AS o_orderstatus
+                FROM orders o, mx WHERE o.o_orderkey % 419 = 0
+            ),
+            kept AS (
+                SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey % 7 <> 3
+            ),
+            merged AS (
+                SELECT * FROM kept UNION ALL SELECT * FROM upd
+                UNION ALL SELECT * FROM ins
+            )
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM merged ORDER BY o_orderkey
         """,
         "quality_exact_quantiles": """
             WITH qs AS (

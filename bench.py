@@ -179,6 +179,7 @@ HEADLINE = [
     "versioned_schema_evolution",
     "versioned_optimize_read",
     "versioned_cdf_refresh",
+    "stream_cdc_merge",
     "quality_exact_quantiles",
     "doc_quantile_buckets",
     "events_value_histogram",

@@ -61,9 +61,17 @@ class MemoryEngine:
         # engine mutates tables only via the seam interface, so swapping to
         # the manifest-versioned (or Delta) backend changes nothing else
         table_cls = self._table_cls(config.table_backend)
-        self.memories = table_cls(spark, memories_path, MEMORIES_SCHEMA)
+        # uuid ids make min/max skipping useless (every file spans the
+        # keyspace); the versioned backend's per-file blooms restore
+        # O(matching files) point deletes/upserts on the serving path
+        id_bloom = (
+            {"bloom_cols": ["id"]} if config.table_backend == "versioned" else {}
+        )
+        self.memories = table_cls(spark, memories_path, MEMORIES_SCHEMA, **id_bloom)
         self.points = (
-            table_cls(spark, config.vector_store.table_path, MEMORY_POINTS_SCHEMA)
+            table_cls(
+                spark, config.vector_store.table_path, MEMORY_POINTS_SCHEMA, **id_bloom
+            )
             if config.vector_store
             else None
         )

@@ -1148,6 +1148,88 @@ def lake_overcap_probe() -> None:
         spark.stop()
 
 
+def lake_bloom_probe() -> None:
+    """Uuid-keyed point-mutation probe (`python scale_probe.py lake_bloom`):
+    2M rows across 16 files keyed by uuid strings — every file's [min,max]
+    spans the whole keyspace, so range skipping degenerates to
+    rewrite-everything. The per-file bloom sidecars must bring a 5-key
+    point delete back to O(holding files), and the commit-time bloom
+    build cost must stay a small fraction of the write."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    spark = get_spark(app_name="poz-lake-bloom-probe")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("val", T.LongType(), True),
+        ]
+    )
+    n_per, n_commits = 125_000, 16
+    tmp = tempfile.mkdtemp(prefix="poz_lake_bloom_")
+    out = {"rows": n_per * n_commits, "files": n_commits}
+    try:
+        uuid_expr = F.expr(
+            "concat(lpad(hex(hash(id)), 8, '0'), '-', lpad(hex(id), 12, '0'))"
+        )
+        batches = [
+            spark.range(lo * n_per, (lo + 1) * n_per).select(
+                uuid_expr.alias("id"), F.col("id").alias("val")
+            )
+            for lo in range(n_commits)
+        ]
+        plain = VersionedParquetTable(spark, f"{tmp}/plain", schema)
+        t0 = time.time()
+        for b in batches:
+            plain.append(b.coalesce(1))
+        out["append_no_bloom_sec"] = round(time.time() - t0, 2)
+        lake = VersionedParquetTable(spark, f"{tmp}/lake", schema, bloom_cols=["id"])
+        t0 = time.time()
+        for b in batches:
+            lake.append(b.coalesce(1))
+        out["append_with_bloom_sec"] = round(time.time() - t0, 2)
+        # 5 point keys scattered across 3 of the 16 files
+        victims = [
+            r["id"]
+            for r in lake.read()
+            .filter(F.col("val").isin([7, 300_000, 300_001, 900_000, 1_900_000]))
+            .collect()
+        ]
+        keep, total = lake.prune_files_by_keys("id", victims)
+        out["files_matching_bloom"] = f"{len(keep)}/{total}"
+        t0 = time.time()
+        lake.delete_keys(victims, "id")
+        out["bloom_point_delete_sec"] = round(time.time() - t0, 2)
+        files_after = set(lake._load_manifest(lake.current_version())["files"])
+        out["files_rewritten_bloom"] = total - len(
+            [f for f in keep if f not in files_after]
+        )  # placeholder corrected below
+        out["files_untouched_bloom"] = len(
+            [f for f in lake._load_manifest(lake.current_version() - 1)["files"] if f in files_after]
+        )
+        t0 = time.time()
+        plain.delete_keys(victims, "id")
+        out["range_only_point_delete_sec"] = round(time.time() - t0, 2)
+        prev_plain = plain._load_manifest(plain.current_version() - 1)["files"]
+        cur_plain = set(plain._load_manifest(plain.current_version())["files"])
+        out["files_untouched_range_only"] = len(
+            [f for f in prev_plain if f in cur_plain]
+        )
+        assert lake.read().count() == plain.read().count() == n_per * n_commits - 5
+        del out["files_rewritten_bloom"]
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -1327,5 +1409,7 @@ if __name__ == "__main__":
         lake_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "lake_overcap":
         lake_overcap_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "lake_bloom":
+        lake_bloom_probe()
     else:
         main()

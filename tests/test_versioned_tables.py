@@ -636,3 +636,95 @@ def test_concurrent_appends_all_land_exactly_once(spark, tmp_path):
     # one commit per batch plus the create: versions are dense
     assert t.current_version() == 7
     assert [h["op"] for h in t.history()][1:] == ["append"] * 6
+
+
+def test_bloom_pruned_point_deletes_on_uuid_keys(spark, tmp_path):
+    """Per-file bloom sidecars make keyed mutations O(matching files)
+    when the key is uuid-grade: every file's [min,max] range spans the
+    whole keyspace (useless), but the bloom proves absence. A point
+    delete and a point upsert must rewrite ONLY the file that actually
+    holds the key."""
+    import uuid as _uuid
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("val", T.LongType(), True),
+        ]
+    )
+    t = VersionedParquetTable(
+        spark, str(tmp_path / "bloomed"), sch, bloom_cols=["id"]
+    )
+    rng_ids = [
+        [str(_uuid.UUID(int=f * 1000 + i)) for i in range(200)] for f in range(4)
+    ]
+    for f, ids in enumerate(rng_ids):
+        t.append(
+            spark.createDataFrame([(i, f) for i in ids], sch).coalesce(1)
+        )
+    total = len(t._load_manifest(t.current_version())["files"])
+    assert total == 4
+    # ranges are useless: every file overlaps a probe key's range test,
+    # but prune_files_by_keys narrows to the ONE holding file
+    target = rng_ids[2][50]
+    keep, tot = t.prune_files_by_keys("id", [target])
+    assert tot == 4 and len(keep) == 1
+    # point DELETE rewrites only that file
+    before = set(t._load_manifest(t.current_version())["files"])
+    t.delete_keys([target], "id")
+    assert t.history()[-1]["op"] == "delete_keys_pruned"
+    after = set(t._load_manifest(t.current_version())["files"])
+    assert len(before & after) == 3
+    assert t.read().filter(F.col("id") == target).count() == 0
+    assert t.read().count() == 799
+    # point UPSERT rewrites only the holding file (plus the new row)
+    target2 = rng_ids[0][7]
+    before = set(t._load_manifest(t.current_version())["files"])
+    t.merge_upsert(spark.createDataFrame([(target2, 999)], sch), ["id"])
+    assert t.history()[-1]["op"] == "merge_upsert_pruned"
+    after = set(t._load_manifest(t.current_version())["files"])
+    assert len(before & after) == 3
+    got = {r["id"]: r["val"] for r in t.read().filter(F.col("id") == target2).collect()}
+    assert got == {target2: 999}
+    # a key in NO file: bloom proves absence everywhere, delete is a no-op
+    v = t.current_version()
+    t.delete_keys([str(_uuid.UUID(int=10**9))], "id")
+    assert t.current_version() == v
+    # vacuum reclaims the dead files' bloom sidecars with them
+    import glob as _g
+
+    n_blooms_before = len(_g.glob(str(tmp_path / "bloomed" / "_blooms" / "*")))
+    t.vacuum(keep_last=1)
+    n_blooms_after = len(_g.glob(str(tmp_path / "bloomed" / "_blooms" / "*")))
+    assert n_blooms_after < n_blooms_before
+    # and the table still answers correctly
+    assert t.read().count() == 799
+
+
+def test_bloom_distributed_build_matches_driver_build(spark, tmp_path):
+    """Above the driver-build row threshold the bloom bitmaps are built
+    on EXECUTORS (one applyInPandas group per file); both paths share one
+    hash definition, so a table built either way must answer the same
+    membership queries."""
+    sch = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("val", T.LongType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "dbloom"), sch, bloom_cols=["id"])
+    t._BLOOM_DRIVER_BUILD_MAX_ROWS = 0  # force the executor path
+    for f in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(f"k{f}_{i}", f) for i in range(300)], sch
+            ).coalesce(1)
+        )
+    keep, tot = t.prune_files_by_keys("id", ["k1_250"])
+    assert tot == 3 and len(keep) == 1
+    before = set(t._load_manifest(t.current_version())["files"])
+    t.delete_keys(["k1_250"], "id")
+    after = set(t._load_manifest(t.current_version())["files"])
+    assert len(before & after) == 2
+    assert t.read().count() == 899
+    assert t.read().filter(F.col("id") == "k1_250").count() == 0
