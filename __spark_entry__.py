@@ -174,6 +174,59 @@ def _dk_norm_pos(a: str) -> str:
     return f"list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]) > 0"
 
 
+def _mmr_sql(k: int = 10, lam: float = 0.7, n_cand: int = 50) -> str:
+    """Greedy MMR unrolled as k MATERIALIZED CTE steps (playbook rule:
+    DuckDB inlines CTEs without MATERIALIZED and re-expands the
+    exponential dependency chain). Step 1 is the pure-relevance argmax;
+    step j takes the argmax of lam*rel − (1−lam)·max(0, sim to the j−1
+    already-selected) over the remainder, ties by id — exactly
+    operators/mmr.mmr_select's loop. Scores are compared UNROUNDED (as
+    the operator does) and rounded 6dp only at output; numpy's BLAS dot
+    and the SQL fold differ in last ulps, so a decision flip would need
+    two candidates within ~1e-15 — deterministic for fixed testdata."""
+    mu = 1.0 - lam
+
+    def dot(a, b):
+        return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+    head = f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cand AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding,
+                 {dot('e.embedding', 'q.qv')} /
+                 (sqrt({dot('e.embedding', 'e.embedding')}) * sqrt({dot('q.qv', 'q.qv')})) AS rel
+          FROM embeddings e, q
+          WHERE {dot('e.embedding', 'e.embedding')} > 0 AND {dot('q.qv', 'q.qv')} > 0
+          QUALIFY row_number() OVER (ORDER BY rel DESC, e.vec_id) <= {n_cand}
+        ),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 {dot('a.embedding', 'b.embedding')} /
+                 (sqrt({dot('a.embedding', 'a.embedding')}) * sqrt({dot('b.embedding', 'b.embedding')})) AS sim
+          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        ),
+        sel1 AS MATERIALIZED (
+          SELECT 1 AS rank, vec_id, round({lam} * rel, 6) AS mmr_score
+          FROM cand QUALIFY row_number() OVER (ORDER BY {lam} * rel DESC, vec_id) = 1
+        ),
+        all1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    steps = []
+    for j in range(2, k + 1):
+        steps.append(f""",
+        sel{j} AS MATERIALIZED (
+          SELECT {j} AS rank, c.vec_id,
+                 round({lam} * c.rel - {mu} * greatest(0, max(s.sim)), 6) AS mmr_score
+          FROM cand c JOIN sims s ON s.ia = c.vec_id
+          WHERE s.ib IN (SELECT vec_id FROM all{j - 1})
+            AND c.vec_id NOT IN (SELECT vec_id FROM all{j - 1})
+          GROUP BY c.vec_id, c.rel
+          QUALIFY row_number() OVER (
+            ORDER BY {lam} * c.rel - {mu} * greatest(0, max(s.sim)) DESC, c.vec_id) = 1
+        ),
+        all{j} AS MATERIALIZED (SELECT * FROM all{j - 1} UNION ALL SELECT * FROM sel{j})""")
+    return head + "".join(steps) + f"\n        SELECT rank, vec_id, mmr_score FROM all{k} ORDER BY rank"
+
+
 def _jl_matrix_sql(in_dim: int = 64, out_dim: int = 16, seed: int = 42) -> str:
     """The seeded JL projection matrix as a DuckDB DOUBLE[][] literal —
     regenerated from the same PCG64 stream the Spark expression path uses
@@ -816,9 +869,9 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ two-stage diverse retrieval: distributed top-50 cosine retrieval
     narrows the corpus, then MMR (lam=0.7) greedily diversifies the
-    bounded candidate set driver-side. No oracle: the greedy argmax is
-    iterative; ordering/diversity/guard semantics pinned in
-    tests/test_mmr.py."""
+    bounded candidate set driver-side. Oracle-checked since r5: the
+    greedy loop unrolls to 10 MATERIALIZED CTE argmax steps (_mmr_sql);
+    ordering/diversity/guard semantics also pinned in tests/test_mmr.py."""
     from penr_oz_agent_memory_rust_spark.operators import mmr as _mmr
     from penr_oz_agent_memory_rust_spark.operators.topk import top_k
 
@@ -4646,6 +4699,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_containment": q_ngram_containment,
         "langid_confusion": q_langid_confusion,
         "jl_exact_ann": q_jl_exact_ann,
+        "mmr_rerank": q_mmr_rerank,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_decontaminate_blas": q_semantic_decontaminate_blas,
@@ -4658,7 +4712,6 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivfpq_ann": q_ivfpq_ann,
         "kmeans_profile": q_kmeans_profile,
         "quality_classifier_train": q_quality_classifier_train,
-        "mmr_rerank": q_mmr_rerank,
         "jl_projected_ann": q_jl_projected_ann,
         "pca_projected_ann": q_pca_projected_ann,
         "knn_self_all_pairs": q_knn_self_all_pairs,
@@ -5161,6 +5214,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
             FROM merged ORDER BY o_orderkey
         """,
+        "mmr_rerank": _mmr_sql(10, 0.7, 50),
         "quality_exact_quantiles": """
             WITH qs AS (
                 SELECT lang, count(n_chars)::BIGINT AS n_values,

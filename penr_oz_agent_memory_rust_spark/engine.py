@@ -160,7 +160,13 @@ class MemoryEngine:
     def delete_memory(self, memory_id: str) -> bool:
         """DELETE /memory/{id} (reference src/routes.rs:460-471): True iff it
         existed (204 vs 404)."""
-        current = self.memories.read()
+        # the existence probe reads only the files whose stats/bloom can
+        # hold the id (point-lookup path); plain backends scan everything
+        current = (
+            self.memories.read_pruned_keys("id", [memory_id])
+            if hasattr(self.memories, "read_pruned_keys")
+            else self.memories.read()
+        )
         existed = current.filter(F.col("id") == memory_id).limit(1).count() > 0
         if existed:
             # seam mutation: plain parquet rewrites the table; the

@@ -370,6 +370,23 @@ class VersionedParquetTable:
             keep.append(f)
         return self._bloom_filter_files(keep, col, vals), len(m["files"])
 
+    def read_pruned_keys(
+        self, col: str, values: list, version: int | None = None
+    ) -> DataFrame:
+        """read() over only the files whose stats/bloom admit one of
+        `values` — the point-lookup read path (GET/DELETE by id). The
+        caller still applies the row filter; pruning is file-granular."""
+        keep, _ = self.prune_files_by_keys(col, values, version)
+        v = self.current_version() if version is None else version
+        sch = self._schema_at(v)
+        if not keep:
+            return self.spark.createDataFrame([], sch)
+        return (
+            self.spark.read.schema(sch)
+            .format(self.fmt)
+            .load([os.path.join(self.path, f) for f in keep])
+        )
+
     def _collect_stats(self, rel_files: list[str]) -> dict:
         """Per-file column min/max from the parquet footers (int/float/str
         leaves only) — the manifest-level data-skipping index, gathered at

@@ -728,3 +728,24 @@ def test_bloom_distributed_build_matches_driver_build(spark, tmp_path):
     assert len(before & after) == 2
     assert t.read().count() == 899
     assert t.read().filter(F.col("id") == "k1_250").count() == 0
+
+
+def test_read_pruned_keys_point_lookup(spark, tmp_path):
+    sch = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("val", T.LongType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "ptread"), sch, bloom_cols=["id"])
+    for f in range(3):
+        t.append(
+            spark.createDataFrame([(f"g{f}_{i}", f) for i in range(100)], sch).coalesce(1)
+        )
+    df = t.read_pruned_keys("id", ["g1_42"])
+    # only the holding file is scanned, and the row is found
+    assert len(df.inputFiles()) == 1
+    assert df.filter(F.col("id") == "g1_42").count() == 1
+    # absent key: bloom proves absence -> empty relation, zero files
+    df2 = t.read_pruned_keys("id", ["nope"])
+    assert df2.count() == 0
