@@ -405,7 +405,10 @@ class VersionedParquetTable:
                 md = pq.read_metadata(os.path.join(self.path, rel))
             except Exception:  # noqa: BLE001 — stats are an optimization only
                 continue
-            cols: dict[str, list] = {}
+            # "::rows" is a reserved per-file entry (":" cannot appear in a
+            # parquet leaf path): exact footer row count, summed by
+            # row_count() for an O(manifest) COUNT(*) with zero file reads
+            cols: dict[str, list] = {"::rows": md.num_rows}
             for g in range(md.num_row_groups):
                 rg = md.row_group(g)
                 for c in range(rg.num_columns):
@@ -489,6 +492,44 @@ class VersionedParquetTable:
             .format(self.fmt)
             .load([os.path.join(self.path, f) for f in keep])
         )
+
+    def row_count(self, version: int | None = None) -> int | None:
+        """Exact COUNT(*) from the manifest alone — every commit records
+        each new file's footer row count under the reserved "::rows"
+        stats entry, so the total is one manifest read, zero data/footer
+        I/O at query time (the Delta `stats.numRecords` fast path).
+        Returns None when any file predates the entry (caller falls back
+        to read().count())."""
+        self.ensure()
+        v = self.current_version() if version is None else version
+        m = self._load_manifest(v)
+        stats = m.get("stats", {})
+        total = 0
+        for f in m["files"]:
+            n = stats.get(f, {}).get("::rows")
+            if n is None:
+                return None
+            total += int(n)
+        return total
+
+    def count_rows(self, version: int | None = None) -> int:
+        """row_count() with the scan fallback — always exact."""
+        n = self.row_count(version)
+        return n if n is not None else self.read(version).count()
+
+    def auto_compact(self, max_files: int = 64, n_files: int | None = None) -> bool:
+        """Compact when the manifest lists more than `max_files` data
+        files — the small-files policy a streaming ingest needs (every
+        micro-batch commit adds files; scan cost grows with file count
+        even when the data doesn't). Just optimize() under a threshold,
+        so it is snapshot-isolated and time-travel-preserving like any
+        commit. Returns True iff a compaction committed."""
+        self.ensure()
+        m = self._load_manifest(self.current_version())
+        if len(m["files"]) <= max_files:
+            return False
+        self.optimize(n_files=n_files or max(1, max_files // 4))
+        return True
 
     def txn_committed(self, txn_app: str, txn_id: int) -> bool:
         """Has (txn_app, txn_id) already committed? The Delta idempotent-

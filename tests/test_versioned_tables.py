@@ -749,3 +749,36 @@ def test_read_pruned_keys_point_lookup(spark, tmp_path):
     # absent key: bloom proves absence -> empty relation, zero files
     df2 = t.read_pruned_keys("id", ["nope"])
     assert df2.count() == 0
+
+
+def test_row_count_from_manifest_and_auto_compact(spark, tmp_path):
+    """COUNT(*) answers from the manifest's per-file "::rows" entries
+    with zero data I/O, stays exact across append / pruned merge /
+    keyed delete / optimize; auto_compact fires only past the file
+    threshold and preserves contents."""
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "rc"), sch)
+    for lo in (0, 100, 200):
+        t.append(spark.createDataFrame([(lo + i, "x") for i in range(100)], sch).coalesce(2))
+    assert t.row_count() == 300 and t.count_rows() == 300
+    t.merge_upsert(spark.createDataFrame([(5, "N"), (999, "N")], sch), ["k"])
+    assert t.row_count() == 301
+    t.delete_keys([0, 1, 999], "k")
+    assert t.row_count() == 298 == t.read().count()
+    t.optimize()
+    assert t.row_count() == 298
+    # time travel: the count is per-version
+    assert t.row_count(version=2) == 100
+    # auto_compact: below threshold no-op, above it compacts
+    n_files = len(t._load_manifest(t.current_version())["files"])
+    assert t.auto_compact(max_files=64) is False
+    for i in range(6):
+        t.append(spark.createDataFrame([(5000 + i, "y")], sch).coalesce(1))
+    assert t.auto_compact(max_files=4, n_files=2) is True
+    assert len(t._load_manifest(t.current_version())["files"]) <= 2
+    assert t.row_count() == 304 == t.read().count()
