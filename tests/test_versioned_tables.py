@@ -782,3 +782,33 @@ def test_row_count_from_manifest_and_auto_compact(spark, tmp_path):
     assert t.auto_compact(max_files=4, n_files=2) is True
     assert len(t._load_manifest(t.current_version())["files"]) <= 2
     assert t.row_count() == 304 == t.read().count()
+
+
+def test_streaming_ingest_with_auto_compact_policy(spark, tmp_path):
+    """The lakehouse steady state: micro-batches accrete one file-set per
+    commit; auto_compact folds them once past the threshold, without
+    breaking exactly-once (txn ledger carries across the compaction) or
+    the manifest row count."""
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        run_versioned_table_ingest_once,
+    )
+
+    incoming = str(tmp_path / "in")
+    t = VersionedParquetTable(spark, str(tmp_path / "lk"), SCHEMA)
+    for b in range(5):
+        spark.createDataFrame([(f"b{b}_{i}", b) for i in range(20)], SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(incoming)
+        run_versioned_table_ingest_once(spark, incoming, t)
+    n_files_before = len(t._load_manifest(t.current_version())["files"])
+    assert n_files_before >= 5
+    assert t.auto_compact(max_files=3, n_files=1) is True
+    assert len(t._load_manifest(t.current_version())["files"]) == 1
+    assert t.row_count() == 100 == t.read().count()
+    # exactly-once survives the compaction: replaying an old batch id is
+    # still a no-op
+    v = t.current_version()
+    t.append(
+        spark.createDataFrame([("dup", 0)], SCHEMA), txn_app="versioned-ingest", txn_id=0
+    )
+    assert t.current_version() == v and t.row_count() == 100
