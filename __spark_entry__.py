@@ -3957,9 +3957,22 @@ def q_quality_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles (operators/stats.exact_group_quantiles)."""
     from penr_oz_agent_memory_rust_spark.operators import stats as _st
 
-    return _st.exact_group_quantiles(
-        _docs(spark, sf_dir), ["lang"], "n_chars", [0.25, 0.5, 0.75, 0.9]
-    ).orderBy("lang", "p")
+    d = _docs(spark, sf_dir)
+    probs = [0.25, 0.5, 0.75, 0.9]
+    cols = ["variant", "lang", "p", "quantile_value", "n_values"]
+    agg = (
+        _st.exact_group_quantiles(d, ["lang"], "n_chars", probs)
+        .withColumn("variant", F.lit("agg"))
+        .select(*cols)
+    )
+    # the 100 TB twin: same quantiles from bucketed global ranks — no
+    # per-group value buffering anywhere in the plan
+    ranked = (
+        _st.exact_group_quantiles_scalable(d, ["lang"], "n_chars", probs, n_buckets=64)
+        .withColumn("variant", F.lit("ranked"))
+        .select(*cols)
+    )
+    return agg.unionByName(ranked).orderBy("variant", "lang", "p")
 
 
 def q_doc_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5223,12 +5236,16 @@ def oracle_sql() -> dict[str, str]:
                        quantile_cont(n_chars, 0.75) AS q75,
                        quantile_cont(n_chars, 0.9)  AS q90
                 FROM documents GROUP BY lang
+            ),
+            longf AS (
+                SELECT lang, 0.25::DOUBLE AS p, round(q25, 6) AS quantile_value, n_values FROM qs
+                UNION ALL SELECT lang, 0.5::DOUBLE,  round(q50, 6), n_values FROM qs
+                UNION ALL SELECT lang, 0.75::DOUBLE, round(q75, 6), n_values FROM qs
+                UNION ALL SELECT lang, 0.9::DOUBLE,  round(q90, 6), n_values FROM qs
             )
-            SELECT lang, 0.25::DOUBLE AS p, round(q25, 6) AS quantile_value, n_values FROM qs
-            UNION ALL SELECT lang, 0.5::DOUBLE,  round(q50, 6), n_values FROM qs
-            UNION ALL SELECT lang, 0.75::DOUBLE, round(q75, 6), n_values FROM qs
-            UNION ALL SELECT lang, 0.9::DOUBLE,  round(q90, 6), n_values FROM qs
-            ORDER BY lang, p
+            SELECT v.variant, l.lang, l.p, l.quantile_value, l.n_values
+            FROM longf l, (VALUES ('agg'), ('ranked')) v(variant)
+            ORDER BY v.variant, l.lang, l.p
         """,
         "doc_quantile_buckets": """
             WITH e AS (

@@ -91,6 +91,82 @@ def exact_group_quantiles(
     )
 
 
+def exact_group_quantiles_scalable(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    n_buckets: int = 1024,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """The 100 TB form of exact_group_quantiles: Spark's `percentile`
+    aggregate BUFFERS every group's values in one task (OOM at scale),
+    so this computes the same interpolated quantiles from bucketed
+    global ranks instead — per-group fixed-width value buckets (edges
+    from one min/max agg), per-(group, bucket) counts folded into
+    broadcast rank offsets, a row_number only WITHIN each bucket (task
+    memory ~ group/n_buckets), then the two bracketing ranks per prob
+    interpolate exactly like quantile_cont. Two scans + one bucket-local
+    sort; driver holds groups × n_buckets counters, never values."""
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    spans = df.groupBy(*g).agg(
+        F.min(F.col(value_col).cast("double")).alias("__mn"),
+        F.max(F.col(value_col).cast("double")).alias("__mx"),
+        F.count(value_col).alias("__n"),
+    )
+    src = (
+        df.select(*g, F.col(value_col).cast("double").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .join(F.broadcast(spans), g)
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))
+    b = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("__v") - F.col("__mn")) / width),
+            F.lit(n_buckets - 1),
+        )
+    ).cast("int")
+    src = src.withColumn("__b", b)
+    counts = src.groupBy(*g, "__b").count().collect()
+    offsets, acc = [], {}
+    for r in sorted(counts, key=lambda r: (tuple(str(r[c]) for c in g), r["__b"])):
+        key = tuple(r[c] for c in g)
+        offsets.append((*key, r["__b"], acc.get(key, 0)))
+        acc[key] = acc.get(key, 0) + r["count"]
+    off_df = df.sparkSession.createDataFrame(
+        offsets, src.select(*g, "__b").schema.add("__offset", "long")
+    )
+    w = Window.partitionBy(*g, "__b").orderBy("__v")
+    ranked = (
+        src.join(F.broadcast(off_df), [*g, "__b"])
+        .withColumn("__rank", (F.col("__offset") + F.row_number().over(w) - 1))
+    )
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    h = (F.col("__n") - 1).cast("double") * F.col("p")
+    lo, hi = F.floor(h).cast("long"), F.ceil(h).cast("long")
+    picked = (
+        ranked.select(*g, "__v", "__rank", "__n", F.explode(parr).alias("p"))
+        .filter((F.col("__rank") == lo) | (F.col("__rank") == hi))
+    )
+    frac = h - F.floor(h)
+    agg = picked.groupBy(*g, "p").agg(
+        F.max(F.when(F.col("__rank") == lo, F.col("__v"))).alias("__lov"),
+        F.max(F.when(F.col("__rank") == hi, F.col("__v"))).alias("__hiv"),
+        F.first("__n").alias("__n"),
+    )
+    qv = F.col("__lov") + (F.col("__hiv") - F.col("__lov")) * (
+        (F.col("__n") - 1).cast("double") * F.col("p")
+        - F.floor((F.col("__n") - 1).cast("double") * F.col("p"))
+    )
+    if round_dp is not None:
+        qv = F.round(qv, round_dp)
+    return agg.select(
+        *g, "p", qv.alias("quantile_value"), F.col("__n").cast("bigint").alias("n_values")
+    )
+
+
 def fixed_width_histogram(
     df: DataFrame,
     value_col: str,

@@ -102,3 +102,38 @@ def test_project_embeddings_expr_matches_arrow_path(spark):
         assert len(pe) == len(pa) == 4
         # same projection space: f64-fold vs f32-BLAS agree to f32 precision
         assert all(abs(a - b) < 1e-4 for a, b in zip(pe, pa))
+
+
+def test_exact_group_quantiles_scalable_equals_percentile_path(spark):
+    """The bucketed-global-rank form must reproduce the percentile-agg
+    form EXACTLY (same quantile_cont interpolation) — including groups
+    smaller than a bucket, a constant-valued group, and n=1."""
+    import random
+
+    rng = random.Random(11)
+    rows = (
+        [("a", rng.randint(0, 10_000)) for _ in range(3000)]
+        + [("b", rng.randint(0, 50)) for _ in range(37)]
+        + [("c", 7) for _ in range(10)]
+        + [("d", 42)]
+    )
+    df = spark.createDataFrame(rows, "grp string, x bigint")
+    probs = [0.25, 0.5, 0.75, 0.9]
+    a = {
+        (r["grp"], r["p"]): (r["quantile_value"], r["n_values"])
+        for r in stats.exact_group_quantiles(df, ["grp"], "x", probs).collect()
+    }
+    b = {
+        (r["grp"], r["p"]): (r["quantile_value"], r["n_values"])
+        for r in stats.exact_group_quantiles_scalable(
+            df, ["grp"], "x", probs, n_buckets=16
+        ).collect()
+    }
+    assert a == b
+    # and no per-group value buffering: the only window sorts WITHIN a
+    # (group, bucket) cell
+    plan = (
+        stats.exact_group_quantiles_scalable(df, ["grp"], "x", probs, n_buckets=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "percentile" not in plan.lower()
