@@ -201,10 +201,18 @@ def quantile_bucket_stats(
     table through one partition; this is one bounded agg + one map.
     Rows equal to an edge go DOWN (bucket = #edges strictly below x)."""
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    edges_row = df.agg(
-        F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(p) for p in probs]))
-    ).first()[0]
-    edges = [float(e) for e in edges_row]
+    # edges via the bucketed-global-rank path, NOT the percentile
+    # aggregate: a global percentile buffers the entire column in one
+    # task, which is exactly the OOM this operator exists to avoid at
+    # scale. The ranked form collects only the n_buckets-1 edge scalars.
+    edge_rows = exact_group_quantiles_scalable(
+        df.select(F.lit(1).alias("__g"), F.col(value_col)),
+        ["__g"],
+        value_col,
+        probs,
+        round_dp=None,
+    ).collect()
+    edges = [float(r["quantile_value"]) for r in sorted(edge_rows, key=lambda r: r["p"])]
     x = F.col(value_col).cast("double")
     bucket = sum((x > F.lit(e)).cast("int") for e in edges).cast("bigint")
     mean = F.sum(x) / F.count("*")
