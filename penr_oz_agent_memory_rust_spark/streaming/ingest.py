@@ -950,3 +950,43 @@ def run_versioned_cdc_merge_once(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+def follow_versioned_changes(
+    table,
+    consumer_id: str,
+    apply_fn,
+) -> int:
+    """Incremental CDF follower — the generalized consumer of
+    VersionedParquetTable.changes(): reads the feed from the last version
+    this consumer PROCESSED (a tiny progress file under the table path),
+    hands the change DataFrame to `apply_fn(changes_df, from_v, to_v)`,
+    and advances the watermark only after apply_fn returns — so a crash
+    between apply and advance replays the same span (at-least-once for
+    arbitrary side effects; consumers writing into another versioned
+    table get exactly-once by passing the span as a txn id). Returns the
+    number of versions advanced; 0 when already caught up.
+
+    This is the derived-index refresh loop the agent demo runs by hand:
+    each derived table/index keeps its own consumer_id and never rescans
+    the base table."""
+    import json as _json
+
+    state_dir = os.path.join(table.path, "_consumers")
+    os.makedirs(state_dir, exist_ok=True)
+    state_path = os.path.join(state_dir, f"{consumer_id}.json")
+    table.ensure()
+    try:
+        with open(state_path) as f:
+            last = int(_json.load(f)["processed_version"])
+    except (OSError, ValueError, KeyError):
+        last = table._versions()[0]  # start of retained history
+    cur = table.current_version()
+    if cur <= last:
+        return 0
+    apply_fn(table.changes(last, cur), last, cur)
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"processed_version": cur}, f)
+    os.replace(tmp, state_path)
+    return cur - last

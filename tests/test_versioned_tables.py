@@ -812,3 +812,32 @@ def test_streaming_ingest_with_auto_compact_policy(spark, tmp_path):
         spark.createDataFrame([("dup", 0)], SCHEMA), txn_app="versioned-ingest", txn_id=0
     )
     assert t.current_version() == v and t.row_count() == 100
+
+
+def test_follow_versioned_changes_consumer(spark, tmp_path):
+    """The generalized CDF consumer: per-consumer progress watermark,
+    catch-up spans, no-op when current, and independent consumers."""
+    from pyspark.sql import functions as F
+
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        follow_versioned_changes,
+    )
+
+    t = VersionedParquetTable(spark, str(tmp_path / "follow"), SCHEMA)
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA))
+    seen: list[tuple[int, int, int]] = []
+
+    def apply(df, lo, hi):
+        seen.append((lo, hi, df.count()))
+
+    assert follow_versioned_changes(t, "idx1", apply) == 1  # v1 -> v2
+    assert follow_versioned_changes(t, "idx1", apply) == 0  # caught up
+    t.append(spark.createDataFrame([("c", 3)], SCHEMA))
+    t.delete_where(F.col("id") == "a")
+    # one catch-up span covering both commits (net: +c, -a)
+    assert follow_versioned_changes(t, "idx1", apply) == 2
+    assert seen[0] == (1, 2, 2) and seen[-1][2] == 2
+    # a second consumer starts from retained history independently
+    seen2 = []
+    assert follow_versioned_changes(t, "idx2", lambda d, lo, hi: seen2.append(d.count())) == 3
+    assert seen2 == [2]  # net state: b, c
