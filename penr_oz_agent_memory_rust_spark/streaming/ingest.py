@@ -981,6 +981,10 @@ def follow_versioned_changes(
             last = int(_json.load(f)["processed_version"])
     except (OSError, ValueError, KeyError):
         last = table._versions()[0]  # start of retained history
+    # a vacuum may have dropped manifests past a lagging consumer's
+    # watermark; clamp to retained history (the span then degrades to the
+    # row-diff fallback against the oldest kept snapshot — still correct)
+    last = max(last, table._versions()[0])
     cur = table.current_version()
     if cur <= last:
         return 0

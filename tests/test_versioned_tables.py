@@ -841,3 +841,24 @@ def test_follow_versioned_changes_consumer(spark, tmp_path):
     seen2 = []
     assert follow_versioned_changes(t, "idx2", lambda d, lo, hi: seen2.append(d.count())) == 3
     assert seen2 == [2]  # net state: b, c
+
+
+def test_follow_changes_survives_vacuum(spark, tmp_path):
+    """A lagging consumer whose watermark predates the vacuum window
+    clamps to retained history instead of crashing on a dropped
+    manifest."""
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        follow_versioned_changes,
+    )
+
+    t = VersionedParquetTable(spark, str(tmp_path / "fv"), SCHEMA)
+    t.append(spark.createDataFrame([("a", 1)], SCHEMA))
+    assert follow_versioned_changes(t, "lag", lambda d, lo, hi: None) == 1
+    t.append(spark.createDataFrame([("b", 2)], SCHEMA))
+    t.append(spark.createDataFrame([("c", 3)], SCHEMA))
+    t.vacuum(keep_last=1)  # drops every manifest the watermark points at
+    got = []
+    adv = follow_versioned_changes(t, "lag", lambda d, lo, hi: got.append(d.count()))
+    assert adv == 0 or got  # either clamped-current or a valid span
+    # and a fresh read still works
+    assert t.read().count() == 3
