@@ -669,7 +669,12 @@ class VersionedParquetTable:
         for k in key_cols:
             nn = nn & F.col(k).isNotNull()
         keys_df = updates.select(*key_cols).where(nn).distinct()
-        if len(key_cols) == 1:
+        if not m["files"]:
+            # empty table (first CDC batch): nothing to overlap — the
+            # range-join branch would otherwise build a zero-row ranges
+            # frame and die on schema inference
+            key_rows: list | None = []
+        elif len(key_cols) == 1:
             key_rows = keys_df.limit(key_cap + 1).collect()
         else:
             key_rows = None  # composite: always the distributed range join

@@ -862,3 +862,33 @@ def test_follow_changes_survives_vacuum(spark, tmp_path):
     assert adv == 0 or got  # either clamped-current or a valid span
     # and a fresh read still works
     assert t.read().count() == 3
+
+
+def test_merge_upsert_over_cap_into_empty_table(spark, tmp_path):
+    """r5 bench regression: the FIRST CDC batch can carry more distinct
+    keys than the collect cap while the table has zero files — the
+    over-cap branch must not build a zero-row ranges frame (schema
+    inference error); the whole batch just lands as inserts."""
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "em"), sch, merge_key_cap=5)
+    ups = spark.createDataFrame([(i, f"v{i}") for i in range(50)], sch)
+    t.merge_upsert(ups, ["k"])  # 50 distinct keys >> cap of 5, empty base
+    assert t.read().count() == 50
+    # composite keys into an empty table too
+    sch2 = T.StructType(
+        [
+            T.StructField("k1", T.LongType(), False),
+            T.StructField("k2", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t2 = VersionedParquetTable(spark, str(tmp_path / "em2"), sch2)
+    t2.merge_upsert(
+        spark.createDataFrame([(1, 2, "a"), (3, 4, "b")], sch2), ["k1", "k2"]
+    )
+    assert t2.read().count() == 2
