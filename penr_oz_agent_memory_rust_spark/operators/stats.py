@@ -214,7 +214,11 @@ def quantile_bucket_stats(
     ).collect()
     edges = [float(r["quantile_value"]) for r in sorted(edge_rows, key=lambda r: r["p"])]
     x = F.col(value_col).cast("double")
-    bucket = sum((x > F.lit(e)).cast("int") for e in edges).cast("bigint")
+    bucket = (
+        sum((x > F.lit(e)).cast("int") for e in edges).cast("bigint")
+        if edges
+        else F.lit(0).cast("bigint")  # empty input: no edges, no rows
+    )
     mean = F.sum(x) / F.count("*")
     if round_dp is not None:
         mean = F.round(mean, round_dp)

@@ -244,6 +244,16 @@ class VersionedParquetTable:
         µs/value single-threaded)."""
         if not self.bloom_cols or self.fmt != "parquet":
             return
+        # only string/integral keys: the driver build hashes raw Python
+        # values while the executor build hashes Spark's string cast, and
+        # float formatting differs between the two (repr(1e-07) vs
+        # "1.0E-7") — a mismatch would turn false positives into false
+        # NEGATIVES, i.e. silently lost rows on the pruned paths
+        safe = (T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        by_name = {f.name: f.dataType for f in self.current_schema().fields}
+        cols = [c for c in self.bloom_cols if isinstance(by_name.get(c), safe)]
+        if not cols:
+            return
         import pyarrow.parquet as pq
 
         os.makedirs(os.path.join(self.path, "_blooms"), exist_ok=True)
@@ -257,7 +267,7 @@ class VersionedParquetTable:
         if sum(known) <= self._BLOOM_DRIVER_BUILD_MAX_ROWS or len(known) != len(counts):
             for rel in rel_files:
                 try:
-                    for col in self.bloom_cols:
+                    for col in cols:
                         t = pq.read_table(os.path.join(self.path, rel), columns=[col])
                         vals = t.column(0).to_pylist()
                         m_bits = self._bloom_m_bits(
@@ -268,10 +278,10 @@ class VersionedParquetTable:
                 except Exception:  # noqa: BLE001 — blooms are an optimization only
                     continue
             return
-        self._build_blooms_distributed(rel_files, counts)
+        self._build_blooms_distributed(rel_files, counts, cols)
 
     def _build_blooms_distributed(
-        self, rel_files: list[str], counts: dict[str, int]
+        self, rel_files: list[str], counts: dict[str, int], cols: list[str]
     ) -> None:
         import pandas as pd
 
@@ -282,7 +292,7 @@ class VersionedParquetTable:
             rel: self._bloom_m_bits(counts[rel], bpr) for rel in rel_files
         }
         paths = [os.path.join(self.path, rel) for rel in rel_files]
-        for col in self.bloom_cols:
+        for col in cols:
             col_name = col
 
             def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -646,6 +656,14 @@ class VersionedParquetTable:
         base = self.current_version()
         sch = self._schema_at(base)
         m = self._load_manifest(base)
+        if txn is not None:
+            # re-check against the base we actually loaded: a racing
+            # writer carrying the SAME txn may have committed between the
+            # entry check and this read, and committing on top of it
+            # would duplicate the batch (same device as append's loop)
+            head_txns = m.get("txns") or {}
+            if txn_app in head_txns and int(head_txns[txn_app]) >= int(txn_id):
+                return
         stats = m.get("stats", {})
         have_stats = all(
             stats.get(f, {}).get(k) is not None for f in m["files"] for k in key_cols

@@ -892,3 +892,23 @@ def test_merge_upsert_over_cap_into_empty_table(spark, tmp_path):
         spark.createDataFrame([(1, 2, "a"), (3, 4, "b")], sch2), ["k1", "k2"]
     )
     assert t2.read().count() == 2
+
+
+def test_bloom_skips_unsafe_key_types(spark, tmp_path):
+    """Float keys are excluded from bloom builds: driver and executor
+    builds format values differently (repr vs Spark's string cast), and
+    a drifted hash would manifest as silently-lost rows. The table must
+    keep working with NO bloom (range path) rather than a wrong one."""
+    sch = T.StructType(
+        [
+            T.StructField("fk", T.DoubleType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "fb"), sch, bloom_cols=["fk"])
+    t.append(spark.createDataFrame([(1e-07, 1), (2.5, 2)], sch).coalesce(1))
+    import glob as _g
+
+    assert _g.glob(str(tmp_path / "fb" / "_blooms" / "*")) == []  # none built
+    t.delete_keys([1e-07], "fk")
+    assert {r["v"] for r in t.read().collect()} == {2}
