@@ -68,6 +68,13 @@ SHOWCASE = {
     "rolling_series_stats": "rolling stats: one bounded-frame window; mean/median/std fold over the frame's sorted array",
     "mutual_knn": "mutual kNN: edge list left-semi its own reverse; only (id,id,score) rows shuffle",
     "semantic_decontaminate": "embedding decontamination: broadcast test set; partial max -> id-sized shuffle",
+    "quality_exact_quantiles": "exact quantiles x2: percentile agg vs bucketed-global-rank (bucket-local window + broadcast offsets, no value buffering)",
+    "events_value_histogram": "fixed-width histogram: ONE hash aggregate, integer counts, no sort",
+    "weighted_doc_sample": "weighted Poisson sample: exact integer sum(w) broadcast as a literal; map-only inclusion test",
+    "ngram_containment": "directed containment: same inverted shingle index as jaccard; both directions from one scored join",
+    "jl_exact_ann": "expression JL: 16 codegen folds over the literal matrix -> broadcast query crossjoin -> WindowGroupLimit top-20 -> exact f64 rerank",
+    "events_pivot_matrix": "relational pivot: one hash aggregate with a CASE fan, no per-bucket scans",
+    "langid_confusion": "langid eval: marker-regex CASE chain + one (lang, pred) hash agg, zero exchanges beyond it",
 }
 
 SF = "/root/testdata/sf0.01"
