@@ -655,3 +655,55 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, tmp_path):
         conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_histogram_single_hash_aggregate_no_sort(spark, sf_dir):
+    """fixed_width_histogram must plan as hash aggregation with no sort
+    and no window — the monitoring primitive runs per-table at scale."""
+    from penr_oz_agent_memory_rust_spark.operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = explain.physical_plan(stats.fixed_width_histogram(ev, "value", 20.0, ["event_type"]))
+    assert "HashAggregate" in plan and "Window" not in plan
+    assert "SortAggregate" not in plan
+
+
+def test_weighted_sample_map_only_after_total(spark, sf_dir):
+    """weighted_bernoulli_sample's selection pass is map-only: the exact
+    integer total is a driver literal, so the corpus scan carries no
+    exchange at all."""
+    from penr_oz_agent_memory_rust_spark.operators.text_ops import (
+        weighted_bernoulli_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = explain.physical_plan(
+        weighted_bernoulli_sample(d, "doc_id", "n_chars", 100).select("doc_id")
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_jl_exact_ann_broadcasts_query_side(spark, sf_dir):
+    """The expression-JL candidate stage must broadcast the 8-row query
+    side — a shuffled join there would move the whole projected corpus."""
+    import __spark_entry__ as entrymod
+
+    plan = explain.physical_plan(entrymod.queries()["jl_exact_ann"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_quantiles_scalable_windows_only_within_buckets(spark, sf_dir):
+    """The ranked quantile form's only window partitions by (group,
+    bucket) — never an unpartitioned (single-task) window."""
+    from penr_oz_agent_memory_rust_spark.operators import stats
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = explain.physical_plan(
+        stats.exact_group_quantiles_scalable(d, ["lang"], "n_chars", [0.5], n_buckets=8)
+    )
+    assert "percentile" not in plan.lower()
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window found"
