@@ -791,11 +791,21 @@ class VersionedParquetTable:
     # ------------------------------------------------------- admin surface
 
     def history(self) -> list[dict]:
-        return [
-            {k: m[k] for k in ("version", "op", "committed_at")}
-            | {"n_files": len(m["files"])}
-            for m in (self._load_manifest(v) for v in self._versions())
-        ]
+        """One row per version: op, commit time, file count, and (when
+        every file carries the '::rows' stats entry) the exact row count
+        — the DESCRIBE HISTORY view, all from manifests, zero data I/O."""
+        out = []
+        for v in self._versions():
+            m = self._load_manifest(v)
+            row = {k: m[k] for k in ("version", "op", "committed_at")}
+            row["n_files"] = len(m["files"])
+            stats = m.get("stats", {})
+            counts = [stats.get(f, {}).get("::rows") for f in m["files"]]
+            row["n_rows"] = (
+                sum(int(c) for c in counts) if all(c is not None for c in counts) else None
+            )
+            out.append(row)
+        return out
 
     def rollback(self, version: int) -> None:
         """Restore `version`'s contents as a NEW commit (history preserved)."""

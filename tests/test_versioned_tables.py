@@ -912,3 +912,11 @@ def test_bloom_skips_unsafe_key_types(spark, tmp_path):
     assert _g.glob(str(tmp_path / "fb" / "_blooms" / "*")) == []  # none built
     t.delete_keys([1e-07], "fk")
     assert {r["v"] for r in t.read().collect()} == {2}
+
+
+def test_history_reports_row_counts(spark, table):
+    table.append(spark.createDataFrame([("c", 3)], SCHEMA))
+    table.delete_where(F.col("id") == "a")
+    h = table.history()
+    assert [r["n_rows"] for r in h] == [0, 2, 3, 2]
+    assert all("n_files" in r and "op" in r for r in h)
