@@ -1148,6 +1148,73 @@ def lake_overcap_probe() -> None:
         spark.stop()
 
 
+def lake_composite_probe() -> None:
+    """Composite-key box pruning (`python scale_probe.py lake_composite`):
+    8M rows keyed by (k1, k2); updates confined to one k1 stripe must
+    leave every other stripe's files untouched even though the k2
+    component spans its full range in every file — the per-column
+    [min,max] box test only needs ONE discriminating column."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    spark = get_spark(app_name="poz-lake-composite-probe")
+    schema = T.StructType(
+        [
+            T.StructField("k1", T.LongType(), False),
+            T.StructField("k2", T.LongType(), False),
+            T.StructField("payload", T.DoubleType(), True),
+        ]
+    )
+    n_per, n_commits = 1_000_000, 8
+    tmp = tempfile.mkdtemp(prefix="poz_lake_comp_")
+    out = {"rows": n_per * n_commits}
+    try:
+        lake = VersionedParquetTable(spark, f"{tmp}/lake", schema)
+        for lo in range(n_commits):  # k1 stripes, k2 full-range everywhere
+            lake.append(
+                spark.range(lo * n_per, (lo + 1) * n_per)
+                .select(
+                    F.col("id").alias("k1"),
+                    (F.col("id") % 1000).alias("k2"),
+                    (F.rand(lo) * 100).alias("payload"),
+                )
+                .coalesce(2)
+            )
+        total = len(lake._load_manifest(lake.current_version())["files"])
+        ups = (
+            spark.range(2_000_000, 2_050_000)
+            .select(
+                F.col("id").alias("k1"),
+                (F.col("id") % 1000).alias("k2"),
+                F.lit(-1.0).alias("payload"),
+            )
+        )
+        before = set(lake._load_manifest(lake.current_version())["files"])
+        t0 = time.time()
+        lake.merge_upsert(ups, ["k1", "k2"])
+        out["composite_pruned_merge_sec"] = round(time.time() - t0, 2)
+        out["merge_op"] = lake.history()[-1]["op"]
+        after = set(lake._load_manifest(lake.current_version())["files"])
+        out["files_untouched"] = f"{len(before & after)}/{total}"
+        n = lake.read().count()
+        assert n == n_per * n_commits, n
+        got = lake.read().filter(
+            (F.col("k1") >= 2_000_000) & (F.col("k1") < 2_050_000)
+        ).agg(F.min("payload"), F.max("payload")).first()
+        assert got[0] == got[1] == -1.0, got
+        out["updates_applied"] = True
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def lake_bloom_probe() -> None:
     """Uuid-keyed point-mutation probe (`python scale_probe.py lake_bloom`):
     2M rows across 16 files keyed by uuid strings — every file's [min,max]
@@ -1411,5 +1478,7 @@ if __name__ == "__main__":
         lake_overcap_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "lake_bloom":
         lake_bloom_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "lake_composite":
+        lake_composite_probe()
     else:
         main()
