@@ -292,6 +292,10 @@ class VersionedParquetTable:
             rel: self._bloom_m_bits(counts[rel], bpr) for rel in rel_files
         }
         paths = [os.path.join(self.path, rel) for rel in rel_files]
+        n_subgroups = 16  # bound per-task pandas memory: a group is one
+        # (file, hash-subgroup) slice, not a whole post-OPTIMIZE file;
+        # partial bitmaps OR together on the driver (bloom bits are a
+        # union — order-free, merge-safe)
         for col in cols:
             col_name = col
 
@@ -317,13 +321,25 @@ class VersionedParquetTable:
                         F.input_file_name().alias("__f"),
                         F.col(col).cast("string").alias("__v"),
                     )
-                    .groupBy("__f")
+                    .withColumn(
+                        "__sg", F.pmod(F.xxhash64("__v"), F.lit(n_subgroups))
+                    )
+                    .groupBy("__f", "__sg")
                     .applyInPandas(build, "__f string, __bits binary")
                     .collect()
                 )
+                import numpy as np
+
+                merged: dict[str, "np.ndarray"] = {}
                 for r in rows:
-                    with open(self._bloom_path(r["__f"], col), "wb") as f:
-                        f.write(bytes(r["__bits"]))
+                    part = np.frombuffer(bytes(r["__bits"]), dtype=np.uint8)
+                    if r["__f"] in merged:
+                        merged[r["__f"]] = np.bitwise_or(merged[r["__f"]], part)
+                    else:
+                        merged[r["__f"]] = part
+                for rel, bits in merged.items():
+                    with open(self._bloom_path(rel, col), "wb") as f:
+                        f.write(bits.tobytes())
             except Exception:  # noqa: BLE001 — blooms are an optimization only
                 continue
 
