@@ -5269,7 +5269,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type, bin ORDER BY event_type, bin
         """,
         "weighted_doc_sample": """
-            WITH tot AS (SELECT sum(n_chars) AS w FROM documents)
+            WITH tot AS (SELECT sum(n_chars) AS w FROM documents WHERE n_chars > 0)
             SELECT doc_id, lang, n_chars
             FROM documents, tot
             WHERE n_chars > 0

@@ -255,8 +255,19 @@ def weighted_bernoulli_sample(
     is exact (order-independent), u_i is a 60-bit hash ratio, and no
     transcendental ever enters, unlike the Efraimidis–Spirakis u^(1/w)
     key whose pow() last-ulps differ per libm. One exact aggregate for
-    Σw (a scalar broadcast as a literal), then one map-only pass."""
-    total_w = df.agg(F.sum(F.col(weight_col).cast("bigint"))).first()[0]
+    Σw (a scalar broadcast as a literal), then one map-only pass.
+
+    Σw sums only weight > 0 rows — the same rows eligible for output —
+    so zero/negative weights (excluded from the sample) don't deflate
+    every survivor's inclusion probability. An empty or all-nonpositive
+    input returns an empty frame instead of dividing by a null Σw."""
+    total_w = (
+        df.filter(F.col(weight_col) > 0)
+        .agg(F.sum(F.col(weight_col).cast("bigint")))
+        .first()[0]
+    )
+    if not total_w:
+        return df.limit(0)
     u = (
         hashing.md5_long(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
         .cast("double")

@@ -55,6 +55,16 @@ class ConcurrentWriteError(RuntimeError):
 _BLOOM_K = 4
 
 
+def _require_txn_pair(txn_app: str | None, txn_id: int | None) -> None:
+    """txn_app and txn_id are one identity — half of it is always a bug
+    (txn_committed would int(None) deep inside a scan otherwise)."""
+    if (txn_app is None) != (txn_id is None):
+        raise ValueError(
+            "txn_app and txn_id must be provided together "
+            f"(got txn_app={txn_app!r}, txn_id={txn_id!r})"
+        )
+
+
 def _bloom_positions(col: str, value, m_bits: int) -> list[int]:
     """k bit positions for `value` in a column's bloom — md5-hex slices,
     module-level so driver membership tests and executor-side builds share
@@ -227,6 +237,22 @@ class VersionedParquetTable:
             self.path, "_blooms", f"{hashlib.md5(rel.encode()).hexdigest()}.{col}"
         )
 
+    def _write_bloom_atomic(self, rel: str, col: str, payload: bytes) -> None:
+        """Sidecar writes are tmp + os.replace: lookups derive m_bits from
+        the file LENGTH, so a crash/disk-full-truncated sidecar would hash
+        to the wrong positions and return false NEGATIVES (silently
+        skipped files on the pruned mutation paths). Atomic rename makes a
+        partial sidecar unobservable."""
+        dst = self._bloom_path(rel, col)
+        tmp = f"{dst}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, dst)
+        except OSError:
+            with contextlib_suppress(OSError):
+                os.unlink(tmp)
+
     @staticmethod
     def _bloom_m_bits(n_rows: int, bits_per_row: int) -> int:
         m = max(1024, n_rows * bits_per_row)
@@ -273,8 +299,7 @@ class VersionedParquetTable:
                         m_bits = self._bloom_m_bits(
                             counts[rel] or len(vals), self.bloom_bits_per_row
                         )
-                        with open(self._bloom_path(rel, col), "wb") as f:
-                            f.write(_bloom_bitmap(col, vals, m_bits))
+                        self._write_bloom_atomic(rel, col, _bloom_bitmap(col, vals, m_bits))
                 except Exception:  # noqa: BLE001 — blooms are an optimization only
                     continue
             return
@@ -338,8 +363,7 @@ class VersionedParquetTable:
                     else:
                         merged[r["__f"]] = part
                 for rel, bits in merged.items():
-                    with open(self._bloom_path(rel, col), "wb") as f:
-                        f.write(bits.tobytes())
+                    self._write_bloom_atomic(rel, col, bits.tobytes())
             except Exception:  # noqa: BLE001 — blooms are an optimization only
                 continue
 
@@ -348,7 +372,11 @@ class VersionedParquetTable:
         if key not in self._bloom_cache:
             try:
                 with open(self._bloom_path(rel, col), "rb") as f:
-                    self._bloom_cache[key] = f.read()
+                    raw = f.read()
+                # _bloom_m_bits floors at 1024 bits = 128 bytes; anything
+                # shorter is a truncated/corrupt sidecar — treat as absent
+                # (safe: lookups answer True) rather than mis-hash
+                self._bloom_cache[key] = raw if len(raw) >= 128 else None
             except OSError:
                 self._bloom_cache[key] = None
         return self._bloom_cache[key]
@@ -582,6 +610,7 @@ class VersionedParquetTable:
         txn_id: int | None = None,
     ) -> None:
         self.ensure()
+        _require_txn_pair(txn_app, txn_id)
         if txn_app is not None and self.txn_committed(txn_app, txn_id):
             return  # replayed batch: already committed, exactly-once holds
         sch = self.current_schema()
@@ -664,6 +693,7 @@ class VersionedParquetTable:
         an already-committed txn id is a recorded no-op, which makes a
         replayed streaming CDC micro-batch safe (exactly-once MERGE)."""
         self.ensure()
+        _require_txn_pair(txn_app, txn_id)
         if txn_app is not None and self.txn_committed(txn_app, txn_id):
             return
         txn = (txn_app, txn_id) if txn_app is not None else None

@@ -952,10 +952,19 @@ def run_versioned_cdc_merge_once(
     return n_batches["n"]
 
 
+class ChangeFeedGapError(RuntimeError):
+    """A CDF consumer's watermark predates retained history (vacuum
+    dropped the manifests it needs): the changes in (watermark, oldest]
+    are unrecoverable, so an incremental catch-up would silently lose
+    them. Mirrors Delta CDF, which errors when the requested range is
+    beyond retention. Recover with on_gap="resync"."""
+
+
 def follow_versioned_changes(
     table,
     consumer_id: str,
     apply_fn,
+    on_gap: str = "error",
 ) -> int:
     """Incremental CDF follower — the generalized consumer of
     VersionedParquetTable.changes(): reads the feed from the last version
@@ -967,30 +976,81 @@ def follow_versioned_changes(
     table get exactly-once by passing the span as a txn id). Returns the
     number of versions advanced; 0 when already caught up.
 
+    A FRESH consumer bootstraps from the oldest retained snapshot: it
+    receives snapshot(oldest)-as-inserts unioned with changes(oldest,
+    cur), so a consumer created after a vacuum still sees every live row
+    (on a never-vacuumed table the oldest snapshot is the empty genesis
+    and this degrades to the plain change feed).
+
+    A LAGGING consumer whose watermark predates retained history hit a
+    real gap — the changes between its watermark and the oldest kept
+    manifest are gone, and clamping forward would silently drop them
+    (Delta CDF raises here too). `on_gap` picks the recovery:
+      "error"  (default) raise ChangeFeedGapError — the caller decides.
+      "resync" discard-and-rebuild protocol: apply_fn is called with
+               (full current snapshot as inserts, None, cur); from_v is
+               None to signal "drop derived state, this is the whole
+               table", then the watermark jumps to cur.
+
     This is the derived-index refresh loop the agent demo runs by hand:
     each derived table/index keeps its own consumer_id and never rescans
     the base table."""
     import json as _json
 
+    if on_gap not in ("error", "resync"):
+        raise ValueError(f"on_gap must be 'error' or 'resync', got {on_gap!r}")
     state_dir = os.path.join(table.path, "_consumers")
     os.makedirs(state_dir, exist_ok=True)
     state_path = os.path.join(state_dir, f"{consumer_id}.json")
     table.ensure()
+    fresh = False
     try:
         with open(state_path) as f:
             last = int(_json.load(f)["processed_version"])
     except (OSError, ValueError, KeyError):
+        fresh = True
         last = table._versions()[0]  # start of retained history
-    # a vacuum may have dropped manifests past a lagging consumer's
-    # watermark; clamp to retained history (the span then degrades to the
-    # row-diff fallback against the oldest kept snapshot — still correct)
-    last = max(last, table._versions()[0])
+    oldest = table._versions()[0]
     cur = table.current_version()
+
+    def _advance() -> None:
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"processed_version": cur}, f)
+        os.replace(tmp, state_path)
+
+    def _snapshot_as_inserts(version: int):
+        snap = table.read(version)
+        sch = table._schema_at(cur)
+        missing = [f for f in sch.fields if f.name not in set(snap.columns)]
+        for fld in missing:
+            snap = snap.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        return snap.select(*[f.name for f in sch.fields]).withColumn(
+            "_change_type", F.lit("insert")
+        )
+
+    if not fresh and last < oldest:
+        if on_gap == "error":
+            raise ChangeFeedGapError(
+                f"consumer {consumer_id!r} watermark v{last} predates retained "
+                f"history (oldest manifest v{oldest}): changes in "
+                f"(v{last}, v{oldest}] were vacuumed and cannot be replayed. "
+                'Pass on_gap="resync" to rebuild from the current snapshot.'
+            )
+        apply_fn(_snapshot_as_inserts(cur), None, cur)
+        _advance()
+        return cur - last
+    if fresh and table._load_manifest(oldest).get("files"):
+        # bootstrap: the oldest retained snapshot's rows (non-empty only
+        # after a vacuum dropped the genesis) never appear in
+        # changes(oldest, ...) — deliver them as inserts alongside the feed
+        boot = _snapshot_as_inserts(oldest)
+        feed = boot if cur == last else boot.unionByName(table.changes(last, cur))
+        apply_fn(feed, last, cur)
+        _advance()
+        return max(cur - last, 1)
     if cur <= last:
         return 0
     apply_fn(table.changes(last, cur), last, cur)
-    tmp = state_path + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump({"processed_version": cur}, f)
-    os.replace(tmp, state_path)
+    _advance()
     return cur - last

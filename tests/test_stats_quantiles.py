@@ -67,6 +67,24 @@ def test_weighted_bernoulli_sample_deterministic_and_weighted(spark):
     assert [r["id"] for r in weighted_bernoulli_sample(z, "id", "w", 1).collect()] != [1]
 
 
+def test_weighted_bernoulli_sample_degenerate_inputs(spark):
+    """Empty / all-nonpositive inputs return empty (no None/zero division),
+    and Σw counts only weight>0 rows so negative weights don't deflate
+    survivors' inclusion probabilities."""
+    empty = spark.createDataFrame([], "id bigint, w bigint")
+    assert weighted_bernoulli_sample(empty, "id", "w", 10).count() == 0
+    nonpos = spark.createDataFrame([(1, 0), (2, -5)], "id bigint, w bigint")
+    assert weighted_bernoulli_sample(nonpos, "id", "w", 10).count() == 0
+    # a huge negative weight must not shrink the positive rows' Σw:
+    # with expected_k=2 and Σw(positive)=2, every positive row has p=1
+    mixed = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, -1_000_000)], "id bigint, w bigint"
+    )
+    assert sorted(
+        r["id"] for r in weighted_bernoulli_sample(mixed, "id", "w", 2).collect()
+    ) == [1, 2]
+
+
 def test_ngram_containment_directed(spark):
     small = "alpha beta gamma delta epsilon"
     big = small + " zeta eta theta iota kappa lam mu nu xi omicron pi rho sigma"

@@ -751,6 +751,59 @@ def test_read_pruned_keys_point_lookup(spark, tmp_path):
     assert df2.count() == 0
 
 
+def test_truncated_bloom_sidecar_is_ignored(spark, tmp_path):
+    """A crash/disk-full-truncated sidecar must never produce a false
+    NEGATIVE: lookups treat any sidecar shorter than the 128-byte floor
+    as absent (answer True), so pruned mutations still visit the file."""
+    sch = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("val", T.LongType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "tb"), sch, bloom_cols=["id"])
+    t.append(spark.createDataFrame([(f"k{i}", i) for i in range(50)], sch).coalesce(1))
+    rel = t._load_manifest(t.current_version())["files"][0]
+    with open(t._bloom_path(rel, "id"), "wb") as f:
+        f.write(b"\x00" * 7)  # simulate a torn write (pre-atomic-rename era)
+    t._bloom_cache.clear()
+    assert t._bloom_may_contain_any(rel, "id", ["k7"]) is True
+    df = t.read_pruned_keys("id", ["k7"])
+    assert df.filter(F.col("id") == "k7").count() == 1
+    # and no stray .tmp files linger from the atomic writer
+    import glob as _g
+
+    assert not _g.glob(str(tmp_path / "tb" / "_blooms" / "*.tmp.*"))
+
+
+def test_txn_pair_must_be_complete(spark, tmp_path):
+    """txn_app without txn_id (or vice versa) is always a caller bug:
+    fail fast with ValueError instead of a TypeError deep in
+    txn_committed's manifest scan."""
+    import pytest
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = VersionedParquetTable(spark, str(tmp_path / "txnp"), sch)
+    df = spark.createDataFrame([(1, "a")], sch)
+    with pytest.raises(ValueError, match="together"):
+        t.append(df, txn_app="app")
+    with pytest.raises(ValueError, match="together"):
+        t.append(df, txn_id=7)
+    with pytest.raises(ValueError, match="together"):
+        t.merge_upsert(df, ["k"], txn_app="app")
+    with pytest.raises(ValueError, match="together"):
+        t.merge_upsert(df, ["k"], txn_id=7)
+    # complete pairs still work on both paths
+    t.append(df, txn_app="app", txn_id=1)
+    t.merge_upsert(spark.createDataFrame([(1, "b")], sch), ["k"], txn_app="app", txn_id=2)
+    assert t.read().count() == 1
+
+
 def test_row_count_from_manifest_and_auto_compact(spark, tmp_path):
     """COUNT(*) answers from the manifest's per-file "::rows" entries
     with zero data I/O, stays exact across append / pruned merge /
@@ -843,11 +896,15 @@ def test_follow_versioned_changes_consumer(spark, tmp_path):
     assert seen2 == [2]  # net state: b, c
 
 
-def test_follow_changes_survives_vacuum(spark, tmp_path):
-    """A lagging consumer whose watermark predates the vacuum window
-    clamps to retained history instead of crashing on a dropped
-    manifest."""
+def test_follow_changes_gap_raises_and_resyncs(spark, tmp_path):
+    """A lagging consumer whose watermark predates the vacuum window hit
+    an unrecoverable gap: the default raises (no silent loss — Delta CDF
+    semantics), and on_gap="resync" rebuilds from the full snapshot with
+    from_v=None signalling discard-and-rebuild."""
+    import pytest
+
     from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        ChangeFeedGapError,
         follow_versioned_changes,
     )
 
@@ -857,11 +914,41 @@ def test_follow_changes_survives_vacuum(spark, tmp_path):
     t.append(spark.createDataFrame([("b", 2)], SCHEMA))
     t.append(spark.createDataFrame([("c", 3)], SCHEMA))
     t.vacuum(keep_last=1)  # drops every manifest the watermark points at
+    with pytest.raises(ChangeFeedGapError):
+        follow_versioned_changes(t, "lag", lambda d, lo, hi: None)
+    # resync: full snapshot as inserts, from_v=None, watermark advances
     got = []
-    adv = follow_versioned_changes(t, "lag", lambda d, lo, hi: got.append(d.count()))
-    assert adv == 0 or got  # either clamped-current or a valid span
-    # and a fresh read still works
-    assert t.read().count() == 3
+    adv = follow_versioned_changes(
+        t,
+        "lag",
+        lambda d, lo, hi: got.append((lo, hi, d.count(), d.filter("_change_type = 'insert'").count())),
+        on_gap="resync",
+    )
+    assert adv > 0
+    assert got == [(None, t.current_version(), 3, 3)]
+    # caught up afterwards — no replay, no second rebuild
+    assert follow_versioned_changes(t, "lag", lambda d, lo, hi: None) == 0
+
+
+def test_follow_changes_fresh_consumer_after_vacuum(spark, tmp_path):
+    """A consumer CREATED after a vacuum must see the base snapshot's rows
+    (they never appear in changes(oldest, ...)): the bootstrap unions
+    snapshot(oldest)-as-inserts with the live change feed."""
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        follow_versioned_changes,
+    )
+
+    t = VersionedParquetTable(spark, str(tmp_path / "fvf"), SCHEMA)
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA))
+    t.vacuum(keep_last=1)  # oldest retained snapshot now holds a, b
+    t.append(spark.createDataFrame([("c", 3)], SCHEMA))
+    got = []
+    adv = follow_versioned_changes(
+        t, "newidx", lambda d, lo, hi: got.append(sorted(r["id"] for r in d.collect()))
+    )
+    assert adv >= 1
+    assert got == [["a", "b", "c"]]
+    assert follow_versioned_changes(t, "newidx", lambda d, lo, hi: None) == 0
 
 
 def test_merge_upsert_over_cap_into_empty_table(spark, tmp_path):
