@@ -4501,6 +4501,55 @@ def q_versioned_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Unicode text normalization end-to-end: every doc's text gets a
+    deterministic "messy" suffix (tab, DECOMPOSED e+U+0301 grapheme,
+    double space, BEL control char) and the normalizer must strip
+    controls, canonicalize to precomposed NFC, and collapse whitespace —
+    proven byte-for-byte via md5 against DuckDB's nfc_normalize (both
+    implement the same Unicode canonical-composition algorithm)
+    (operators/text_ops.normalize_text)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\tcafe\u0301  \x07!")).alias("text"),
+    )
+    n = text_ops.normalize_text(d, "text", form="NFC", out_col="norm")
+    return n.select(
+        "doc_id",
+        F.length("text").alias("n_raw"),
+        F.length("norm").alias("n_norm"),
+        F.md5(F.col("norm")).alias("norm_md5"),
+    ).orderBy("doc_id")
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ incremental near-dup ingestion: corpus docs (doc_id % 10 < 7)
+    are ALREADY indexed as stored (id, band-bucket) rows; the arriving
+    batch (doc_id % 10 >= 7) computes minhash bands for ITS docs only and
+    equi-joins the stored index — candidate pairs (a = indexed or earlier
+    batch doc, b = batch doc) without ever repaying the corpus-side
+    shingle+minhash work. The 100 TB shape of "dedup the daily crawl
+    against the whole corpus" (operators/dedup.lsh_band_rows +
+    minhash_lsh_incremental)."""
+    docs = _docs(spark, sf_dir)
+    idx_bands = dedup.lsh_band_rows(docs.filter(F.col("doc_id") % 10 < 7))
+    batch = docs.filter(F.col("doc_id") % 10 >= 7)
+    return dedup.minhash_lsh_incremental(batch, idx_bands).orderBy("a", "b")
+
+
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ leakage-safe 5-fold assignment: fold = md5 of the minhash
+    near-dup COMPONENT representative mod 5, so a doc and all its
+    near-duplicates always share a fold — cross-validation stays honest
+    under near-dup contamination
+    (operators/components.leakage_safe_kfold)."""
+    from penr_oz_agent_memory_rust_spark.operators import components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=12, bands=4)
+    return components.leakage_safe_kfold(docs, pairs, k=5, salt="kf").orderBy("doc_id")
+
+
 # prefix (~50) of this dict, so slots 1-50 hold one oracle-checked gate
 # per §2 operator and per flagship ★ pipeline (merged q_* gates bundle
 # sibling variants). Slots beyond the window hold the standalone variants
@@ -4713,6 +4762,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "langid_confusion": q_langid_confusion,
         "jl_exact_ann": q_jl_exact_ann,
         "mmr_rerank": q_mmr_rerank,
+        # --- r6: normalization / incremental LSH index / k-fold hygiene
+        "text_normalize": q_text_normalize,
+        "incremental_neardup": q_incremental_neardup,
+        "kfold_split": q_kfold_split,
         # --- LAST: intentionally no-oracle (approximate / f32 BLAS /
         #     sketch algorithms; accuracy pinned in tests/)
         "semantic_decontaminate_blas": q_semantic_decontaminate_blas,
@@ -4806,6 +4859,42 @@ WITH sh AS (
 )
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bands l JOIN bands r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def _minhash_incr_sql(n_hashes: int = 12, bands: int = 4) -> str:
+    """DuckDB mirror of q_incremental_neardup: identical shingle/minhash/
+    band pipeline over ALL documents, then the index-side (doc_id%10<7)
+    ∪ batch-side rows join the batch-side bands — the same pair predicate
+    as minhash_lsh_incremental (idx×new unordered-distinct, new×new a<b)."""
+    rows = n_hashes // bands
+    sig_cols = ", ".join(
+        f"min(substring(md5('{j // 6}|' || sh), {1 + 5 * (j % 6)}, 5)) AS h{j}"
+        for j in range(n_hashes)
+    )
+    band_exprs = ", ".join(
+        "'" + str(b) + ":' || " + " || ".join(f"h{b * rows + r}" for r in range(rows))
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_DK_SHINGLES3})) AS sh FROM documents
+), sig AS (
+  SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS bucket FROM sig
+), lft AS (
+  SELECT doc_id, bucket,
+         CASE WHEN doc_id % 10 < 7 THEN 'idx' ELSE 'new' END AS side
+  FROM bands
+), nb AS (
+  SELECT doc_id, bucket FROM bands WHERE doc_id % 10 >= 7
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM lft l JOIN nb r ON l.bucket = r.bucket
+WHERE (l.side = 'idx' AND l.doc_id != r.doc_id)
+   OR (l.side = 'new' AND l.doc_id < r.doc_id)
+ORDER BY a, b
 """
 
 
@@ -5861,6 +5950,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT min_v AS component, count(*) AS cluster_size FROM (
               SELECT u, min(v) AS min_v FROM reach GROUP BY u
             ) GROUP BY min_v
+        """,
+        "text_normalize": r"""
+            WITH messy AS (
+              SELECT doc_id,
+                     text || chr(9) || 'cafe' || chr(769) || '  ' || chr(7) || '!' AS t
+              FROM documents
+            ), step AS (
+              SELECT doc_id, t,
+                     trim(regexp_replace(nfc_normalize(
+                       regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+                       '\s+', ' ', 'g')) AS norm
+              FROM messy
+            )
+            SELECT doc_id, length(t) AS n_raw, length(norm) AS n_norm,
+                   md5(norm) AS norm_md5
+            FROM step ORDER BY doc_id
+        """,
+        "incremental_neardup": _minhash_incr_sql(12, 4),
+        "kfold_split": _minhash_reach_cte() + """,
+            comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS rep,
+                   CAST((('0x' || substring(md5('kf|' ||
+                          coalesce(c.component, d.doc_id)::VARCHAR), 1, 15))::BIGINT
+                          % 5) AS INT) AS fold
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+            ORDER BY d.doc_id
         """,
         "leakage_safe_split": _minhash_reach_cte() + """,
             comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)

@@ -188,6 +188,9 @@ HEADLINE = [
     "ngram_containment",
     "langid_confusion",
     "jl_exact_ann",
+    "text_normalize",
+    "incremental_neardup",
+    "kfold_split",
     "semantic_decontaminate_blas",
 ]
 

@@ -248,3 +248,36 @@ def leakage_safe_split(
             .alias("split"),
         )
     )
+
+
+def leakage_safe_kfold(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "kfold",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """★ leakage-safe k-fold assignment: fold = portable-md5(salt|component
+    representative) mod k, so a document and ALL its near-duplicates share
+    one fold — cross-validation's exchangeability assumption survives
+    near-dup contamination (the k-fold generalization of
+    leakage_safe_split; same scale shape: components over pairs, one left
+    join, pure-expression bucketing). Deterministic across engines and
+    runs. Output: (id, rep, fold) with fold in [0, k)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from penr_oz_agent_memory_rust_spark.functions import hashing
+
+    comp = connected_components(pairs, a_col, b_col, max_iterations).withColumnRenamed(
+        "node", id_col
+    )
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    fold = hashing.md5_long(F.concat(F.lit(f"{salt}|"), rep.cast("string"))) % k
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(id_col, rep.alias("rep"), fold.cast("int").alias("fold"))
+    )

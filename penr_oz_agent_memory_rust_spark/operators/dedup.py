@@ -188,6 +188,29 @@ def minhash_band_members(
     array. Exposed so the scale probe can study bucket-size distributions
     (the thing `max_bucket` bounds) without expanding any pairs.
     Output: (bucket, ids)."""
+    stacked = lsh_band_rows(docs, id_col, text_col, n_hashes, bands, shingle_words)
+    return (
+        stacked.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
+def lsh_band_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """The STORABLE payload of an LSH near-dup index: one (id, bucket) row
+    per document per band, where bucket = "band_idx:" + the ":"-joined
+    band slice of the MinHash signature. Persisting these rows (e.g. in a
+    VersionedParquetTable keyed by id) is what makes near-dup detection
+    INCREMENTAL at 100 TB: each new batch computes bands for ITS documents
+    only and equi-joins the stored index — the corpus-side shingle+minhash
+    work is never repaid. Output: (id_col, bucket)."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_words)
@@ -199,7 +222,7 @@ def minhash_band_members(
         for b in range(bands)
     ]
     banded = sigs.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -210,11 +233,54 @@ def minhash_band_members(
             )
         ).alias("bucket"),
     )
-    return (
-        stacked.groupBy("bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_words: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup candidates for a NEW batch against
+    an already-indexed corpus: (a, b) where b is a batch document and a is
+    an indexed document (a may equal any corpus id) or an earlier batch
+    document (a < b). `index_bands` is the stored (id, bucket) index —
+    exactly `lsh_band_rows` output, typically read back from a versioned
+    table so ingestion appends the batch's band rows afterwards.
+
+    Cost model at scale: shingle → minhash → band runs over the BATCH
+    only; the corpus contributes a pre-computed equi-join side partitioned
+    by bucket. `max_bucket` drops degenerate buckets (boilerplate band
+    values) counted over index ∪ batch, the same stop-bucket bound as
+    minhash_lsh_pairs. Candidates only — verify with ngram_jaccard or
+    embedding cosine downstream, same as the full-corpus path."""
+    nb = lsh_band_rows(new_docs, id_col, text_col, n_hashes, bands, shingle_words)
+    idx = index_bands.select(F.col(id_col).alias("__a"), "bucket").withColumn(
+        "__side", F.lit("idx")
     )
+    batch_left = nb.select(F.col(id_col).alias("__a"), "bucket").withColumn(
+        "__side", F.lit("new")
+    )
+    left = idx.unionByName(batch_left)
+    if max_bucket is not None:
+        hot = (
+            left.groupBy("bucket")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("bucket")
+        )
+        left = left.join(F.broadcast(hot), "bucket", "left_anti")
+        nb = nb.join(F.broadcast(hot), "bucket", "left_anti")
+    right = nb.select(F.col(id_col).alias("__b"), "bucket")
+    pairs = left.join(right, "bucket").filter(
+        ((F.col("__side") == "idx") & (F.col("__a") != F.col("__b")))
+        | ((F.col("__side") == "new") & (F.col("__a") < F.col("__b")))
+    )
+    return pairs.select(F.col("__a").alias("a"), F.col("__b").alias("b")).distinct()
 
 
 def minhash_lsh_pairs(

@@ -7,6 +7,7 @@ oracle-expressible in DuckDB SQL.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from penr_oz_agent_memory_rust_spark.functions import hashing
@@ -227,6 +228,47 @@ def cdc_chunk_documents(
         F.col("chunk_len").cast("bigint").alias("chunk_len"),
         F.md5(F.expr("substring(__norm, chunk_start, chunk_len)")).alias("chunk_fp"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_control: bool = True,
+    collapse_ws: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """★ Unicode text normalization — the first stage of any multilingual
+    corpus pipeline (scrapes mix precomposed and combining-mark encodings
+    of the SAME grapheme, so dedup fingerprints and shingles diverge on
+    visually identical text until canonicalized). Three passes:
+
+      1. strip C0/C1 control chars (native regexp_replace, JVM-side)
+      2. Unicode normalization to `form` (NFC/NFKC/NFD/NFKD) — the one
+         step with no Spark builtin, done as an Arrow-batched pandas UDF
+         over Python's unicodedata (same canonical algorithm DuckDB's
+         nfc_normalize implements, so the oracle matches byte-for-byte)
+      3. collapse whitespace runs to one space and trim (JVM-side)
+
+    Map-only: no shuffle, no state — at 100 TB this pipelines inside the
+    ingest scan. Replaces `text_col` in place unless `out_col` is given."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+    dst = out_col or text_col
+    c: Column = F.col(text_col)
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None else unicodedata.normalize(form, t))
+
+    c = _norm(c)
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(dst, c)
 
 
 def deterministic_sample(

@@ -37,6 +37,59 @@ def test_minhash_lsh_finds_near_duplicates(spark, docs):
     assert (1, 6) not in pairs and (4, 6) not in pairs
 
 
+def test_incremental_lsh_matches_full_rebuild(spark, docs):
+    """minhash_lsh_incremental over a stored band index must find exactly
+    the full-corpus LSH pairs that touch the batch — the incremental
+    ingest loses nothing and invents nothing."""
+    idx_docs = docs.filter(F.col("doc_id") <= 4)
+    batch = docs.filter(F.col("doc_id") > 4)
+    idx_bands = dedup.lsh_band_rows(idx_docs, n_hashes=12, bands=6)
+    inc = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in dedup.minhash_lsh_incremental(
+            batch, idx_bands, n_hashes=12, bands=6
+        ).collect()
+    }
+    full = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_pairs(docs, n_hashes=12, bands=6).collect()
+    }
+    batch_ids = {5, 6}
+    full_touching_batch = {p for p in full if p[0] in batch_ids or p[1] in batch_ids}
+    assert inc == full_touching_batch
+    assert (4, 5) in inc  # cross index/batch near-dup found
+
+
+def test_incremental_lsh_band_index_roundtrips_storage(spark, tmp_path, docs):
+    """The (id, bucket) band rows survive a write/read cycle (the stored-
+    index contract) and max_bucket drops degenerate buckets on both
+    sides of the incremental join."""
+    idx_docs = docs.filter(F.col("doc_id") <= 4)
+    bands_path = str(tmp_path / "bands")
+    dedup.lsh_band_rows(idx_docs, n_hashes=12, bands=6).write.parquet(bands_path)
+    stored = spark.read.parquet(bands_path)
+    batch = docs.filter(F.col("doc_id") > 4)
+    via_stored = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in dedup.minhash_lsh_incremental(
+            batch, stored, n_hashes=12, bands=6
+        ).collect()
+    }
+    direct = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in dedup.minhash_lsh_incremental(
+            batch, dedup.lsh_band_rows(idx_docs, n_hashes=12, bands=6),
+            n_hashes=12, bands=6,
+        ).collect()
+    }
+    assert via_stored == direct
+    # max_bucket=0 drops every bucket -> no candidates at all
+    none = dedup.minhash_lsh_incremental(
+        batch, stored, n_hashes=12, bands=6, max_bucket=1
+    ).collect()
+    assert none == []
+
+
 def test_ngram_jaccard_scores(spark, docs):
     out = {(r["a"], r["b"]): r["jaccard"] for r in
            dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
@@ -442,6 +495,30 @@ def test_leakage_safe_split_singletons_are_their_own_rep(spark):
     assert out[1]["rep"] == 1 and out[2]["rep"] == 1
     assert out[3]["rep"] == 3
     assert out[1]["split"] == out[2]["split"]
+
+
+def test_leakage_safe_kfold_near_dups_share_fold(spark, sf_dir):
+    """The k-fold generalization: every near-dup pair shares a fold, folds
+    cover [0, k), assignment is deterministic, and k < 2 is rejected."""
+    from penr_oz_agent_memory_rust_spark.operators import components
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=12, bands=4)
+    out = components.leakage_safe_kfold(docs, pairs, k=5)
+    fold = {r["doc_id"]: r["fold"] for r in out.collect()}
+    assert len(fold) == docs.count()
+    assert set(fold.values()) <= set(range(5))
+    assert len(set(fold.values())) == 5  # all folds populated over ~500 docs
+    for r in pairs.collect():
+        assert fold[r["a"]] == fold[r["b"]], (r, fold[r["a"]], fold[r["b"]])
+    again = {r["doc_id"]: r["fold"] for r in
+             components.leakage_safe_kfold(docs, pairs, k=5).collect()}
+    assert again == fold
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        components.leakage_safe_kfold(docs, pairs, k=1)
 
 
 def test_source_overlap_counts_and_jaccard(spark):

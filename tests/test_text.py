@@ -239,3 +239,34 @@ def test_strip_markup_plain_text_passthrough(spark):
         strip_markup(F.col("t")).alias("s")
     )
     assert df.collect()[0].s == "just plain text"
+
+
+def test_normalize_text_nfc_controls_and_whitespace(spark):
+    rows = [
+        (1, "cafe\u0301 au  lait"),     # decomposed e + COMBINING ACUTE
+        (2, "caf\u00e9 au lait"),             # precomposed — must converge to #1
+        (3, "a\x00b\x07c\td\ne"),             # controls stripped, ws collapsed
+        (4, None),                             # null passes through
+        (5, "  edge  \t spaces  "),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    out = {r["id"]: r["text"] for r in
+           text_ops.normalize_text(df, "text").collect()}
+    assert out[1] == out[2] == "caf\u00e9 au lait"
+    assert len(out[1]) == 12  # precomposed single codepoint
+    assert out[3] == "abc d e"
+    assert out[4] is None
+    assert out[5] == "edge spaces"
+
+
+def test_normalize_text_forms_and_flags(spark):
+    df = spark.createDataFrame([(1, "caf\u00e9  x")], "id bigint, text string")
+    nfd = text_ops.normalize_text(df, "text", form="NFD", collapse_ws=False)
+    assert nfd.collect()[0]["text"] == "cafe\u0301  x"
+    keep = text_ops.normalize_text(df, "text", out_col="norm")
+    row = keep.collect()[0]
+    assert row["text"] == "caf\u00e9  x" and row["norm"] == "caf\u00e9 x"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="form must be"):
+        text_ops.normalize_text(df, "text", form="NFX")
