@@ -2373,12 +2373,12 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """★ character-5-gram Jaccard dedup: the pure-native-expression shingle
-    path (no Python anywhere in the plan), robust to tokenization changes
+    """★ character-5-gram Jaccard dedup, robust to tokenization changes
     that defeat word shingles. max_doc_freq=50 is load-bearing: this
-    corpus's tiny vocabulary makes most 5-grams near-universal, and
-    without the stop-gram cap the posting-list self-join goes quadratic
-    (240+ s at sf0.1 vs ~7 s capped)."""
+    corpus's tiny vocabulary makes most 5-grams near-universal (1,797 of
+    2,041 distinct grams exceed the cap at sf0.1), and without the
+    stop-gram cap the posting-list pair expansion goes quadratic
+    (240+ s at sf0.1 vs seconds capped)."""
     return dedup.ngram_jaccard_pairs(
         _docs(spark, sf_dir), n=5, threshold=0.3, unit="char", max_doc_freq=50
     )

@@ -60,8 +60,10 @@ def cpu_rebalance(df):
     return df
 
 
-def word_shingle_rows(docs, id_col: str, text_col: str, n: int = 3, rebalance: bool = True):
-    """Exploded (id, shingle) rows via an Arrow-batched pandas UDF.
+def word_shingle_arrays(docs, id_col: str, text_col: str, n: int = 3, rebalance: bool = True):
+    """(id, shs) rows where shs is the DISTINCT n-word shingle strings of
+    the text as an array — the pre-explode form of word_shingle_rows, via
+    an Arrow-batched pandas UDF.
 
     Produces exactly the distinct shingle STRINGS of `word_shingles` (so any
     oracle mirroring the expression form still agrees), but ~4-5× faster:
@@ -74,8 +76,12 @@ def word_shingle_rows(docs, id_col: str, text_col: str, n: int = 3, rebalance: b
     the opposite, so always interleave when re-measuring). Pass
     rebalance=False when the downstream work per shingle is light (e.g. a
     broadcast-probe like decontaminate, where the extra exchange measured
-    slower than the single-task scan). NULL text yields no rows (matching
-    explode-of-null semantics).
+    slower than the single-task scan). NULL text yields a NULL array (so a
+    downstream explode drops the row).
+
+    The array form exists so set-similarity operators can read the per-doc
+    shingle-set SIZE as `size(shs)` before exploding — saving a whole
+    groupBy(id) exchange that recomputing the size post-explode would cost.
     """
     if rebalance:
         docs = cpu_rebalance(docs)
@@ -91,8 +97,15 @@ def word_shingle_rows(docs, id_col: str, text_col: str, n: int = 3, rebalance: b
 
         return texts.map(sh)
 
-    return docs.select(
-        F.col(id_col), F.explode(_shingles(F.col(text_col))).alias("sh")
+    return docs.select(F.col(id_col), _shingles(F.col(text_col)).alias("shs"))
+
+
+def word_shingle_rows(docs, id_col: str, text_col: str, n: int = 3, rebalance: bool = True):
+    """Exploded (id, shingle) rows — see word_shingle_arrays for the UDF
+    rationale and A/B numbers. NULL text yields no rows (explode-of-null
+    semantics)."""
+    return word_shingle_arrays(docs, id_col, text_col, n, rebalance=rebalance).select(
+        F.col(id_col), F.explode(F.col("shs")).alias("sh")
     )
 
 
@@ -114,9 +127,41 @@ def char_ngrams(col: Column, n: int = 5) -> Column:
     DuckDB equivalent:
       list_transform(generate_series(1, greatest(1, length(s)-n+1)),
                      i -> substring(s, i, n))
+
+    NOTE this expression form is the SEMANTIC SPEC (it is what the DuckDB
+    oracles mirror), but Catalyst evaluates higher-order lambdas
+    interpreted per element — measured 4.7 s just to explode ~1M grams at
+    sf0.1. Hot paths use char_shingle_arrays (Arrow-batched, identical
+    distinct-gram sets, 3.8× faster) instead.
     """
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(col) - F.lit(n - 1)))
     return F.transform(idx, lambda i: col.substr(i, F.lit(n)))
+
+
+def char_shingle_arrays(docs, id_col: str, text_col: str, n: int = 5, rebalance: bool = True):
+    """(id, shs) rows with the DISTINCT character n-grams of the text as an
+    array — the char-unit twin of word_shingle_arrays (same Arrow-batch
+    rationale and the same rebalance default; see its docstring). Produces
+    exactly the distinct gram STRINGS of array_distinct(char_ngrams(s, n))
+    — whole string when shorter than n, NULL array for NULL text — so
+    oracles keep mirroring the expression form. Measured at sf0.1
+    (~1M grams): explode+hash 5.15 s via the interpreted transform lambda
+    vs 1.36 s via this UDF."""
+    if rebalance:
+        docs = cpu_rebalance(docs)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _grams(texts: pd.Series) -> pd.Series:
+        def g(t):
+            if t is None:
+                return None
+            if len(t) <= n:
+                return [t]
+            return list({t[i : i + n] for i in range(len(t) - n + 1)})
+
+        return texts.map(g)
+
+    return docs.select(F.col(id_col), _grams(F.col(text_col)).alias("shs"))
 
 
 def normalized_text(col: Column) -> Column:
