@@ -191,6 +191,7 @@ HEADLINE = [
     "text_normalize",
     "incremental_neardup",
     "kfold_split",
+    "kfold_balance",
     "semantic_decontaminate_blas",
 ]
 

@@ -91,6 +91,60 @@ def test_incremental_lsh_band_index_roundtrips_storage(spark, tmp_path, docs):
     assert none == []
 
 
+def test_incremental_lsh_counts_path_matches_recount(spark, docs):
+    """With the stored (bucket, cnt) companion supplied, the O(batch) hot
+    list must drop EXACTLY the buckets the O(corpus) recount drops — the
+    two max_bucket paths are equivalent by construction, pinned here."""
+    idx_docs = docs.filter(F.col("doc_id") <= 4)
+    batch = docs.filter(F.col("doc_id") > 4)
+    idx_bands = dedup.lsh_band_rows(idx_docs, n_hashes=12, bands=6)
+    counts = dedup.lsh_bucket_counts(idx_bands)
+    for cap in (1, 2, 3):
+        recount = {
+            (r["a"], r["b"])
+            for r in dedup.minhash_lsh_incremental(
+                batch, idx_bands, n_hashes=12, bands=6, max_bucket=cap
+            ).collect()
+        }
+        via_counts = {
+            (r["a"], r["b"])
+            for r in dedup.minhash_lsh_incremental(
+                batch, idx_bands, n_hashes=12, bands=6, max_bucket=cap,
+                index_counts=counts,
+            ).collect()
+        }
+        assert via_counts == recount, f"cap={cap}"
+
+
+def test_merge_bucket_counts_accumulates_batches(spark, docs):
+    """Counts maintained incrementally across two appends equal a fresh
+    lsh_bucket_counts over the full index — the append-path contract."""
+    b1 = dedup.lsh_band_rows(docs.filter(F.col("doc_id") <= 3), n_hashes=12, bands=6)
+    b2 = dedup.lsh_band_rows(docs.filter(F.col("doc_id") > 3), n_hashes=12, bands=6)
+    merged = dedup.merge_bucket_counts(
+        dedup.lsh_bucket_counts(b1), dedup.lsh_bucket_counts(b2)
+    )
+    fresh = dedup.lsh_bucket_counts(b1.unionByName(b2))
+    assert {(r["bucket"], r["cnt"]) for r in merged.collect()} == {
+        (r["bucket"], r["cnt"]) for r in fresh.collect()
+    }
+
+
+def test_incremental_lsh_reingested_doc_pairs_are_unordered_distinct(spark, docs):
+    """A doc id present in BOTH the stored index and the new batch (a
+    re-ingest) must not emit the same unordered pair twice — pairs are
+    least/greatest-normalized before the distinct (r6 advisor)."""
+    idx_bands = dedup.lsh_band_rows(
+        docs.filter(F.col("doc_id") <= 5), n_hashes=12, bands=6
+    )
+    batch = docs.filter(F.col("doc_id") >= 4)  # ids 4,5 on both sides
+    rows = dedup.minhash_lsh_incremental(batch, idx_bands, n_hashes=12, bands=6).collect()
+    pairs = [(r["a"], r["b"]) for r in rows]
+    assert all(a < b for a, b in pairs)
+    assert len(pairs) == len(set(pairs))
+    assert (4, 5) in set(pairs)  # the byte-identical 4/5 dup still found
+
+
 def test_ngram_jaccard_scores(spark, docs):
     out = {(r["a"], r["b"]): r["jaccard"] for r in
            dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
@@ -138,12 +192,14 @@ def test_ngram_shingle_persist_is_scoped(spark, docs, op):
     allowed = 1 if op == "jaccard_capped" else 0
     assert len(leftover) <= allowed, f"shingle persist leaked: {leftover}"
     del out
-    for _ in range(40):
+    # ContextCleaner collection is async (py4j detach -> JVM GC -> weak-ref
+    # queue); poll generously — under load the sweep has taken >10 s
+    for _ in range(120):
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         if not (_persistent_rdd_ids(spark) - before):
             break
-        time.sleep(0.25)
+        time.sleep(0.5)
     assert not (_persistent_rdd_ids(spark) - before), "shingle checkpoint never released"
 
 
@@ -557,6 +613,29 @@ def test_leakage_safe_kfold_near_dups_share_fold(spark, sf_dir):
 
     with _pt.raises(ValueError, match="k must be"):
         components.leakage_safe_kfold(docs, pairs, k=1)
+
+
+@pytest.mark.parametrize("k", [2, 5, 10])
+def test_leakage_safe_kfold_balance_property(spark, sf_dir, k):
+    """Fold balance holds for every practical k: all k folds populated and
+    each within [0.6, 1.5]× of the uniform share (the md5 fold hash is
+    uniform over component reps; deterministic per dataset, so this pins
+    a property, not a coin flip). Complements the kfold_balance oracle
+    gate, which value-checks the k=5 counts against DuckDB."""
+    from penr_oz_agent_memory_rust_spark.operators import components
+    from penr_oz_agent_memory_rust_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=12, bands=4)
+    rows = (
+        components.leakage_safe_kfold(docs, pairs, k=k)
+        .groupBy("fold").count().collect()
+    )
+    n = sum(r["count"] for r in rows)
+    assert len(rows) == k
+    for r in rows:
+        share = r["count"] / (n / k)
+        assert 0.6 <= share <= 1.5, (k, r["fold"], share)
 
 
 def test_source_overlap_counts_and_jaccard(spark):
