@@ -252,8 +252,6 @@ def normalize_text(
 
     Map-only: no shuffle, no state — at 100 TB this pipelines inside the
     ingest scan. Replaces `text_col` in place unless `out_col` is given."""
-    import unicodedata
-
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
     dst = out_col or text_col
@@ -263,7 +261,13 @@ def normalize_text(
 
     @F.pandas_udf("string")
     def _norm(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: None if t is None else unicodedata.normalize(form, t))
+        # vectorized: pandas' Series.str.normalize wraps the same
+        # unicodedata algorithm and propagates nulls (r6 advisor nit).
+        # Byte-equal to the per-element s.map(lambda) form (verified at
+        # sf0.1); wall time there is within VM noise (min 0.63 s both —
+        # the fixture docs are short ASCII) — the win is avoiding a
+        # Python-level lambda per row as strings grow.
+        return s.str.normalize(form)
 
     c = _norm(c)
     if collapse_ws:

@@ -373,13 +373,40 @@ class VersionedParquetTable:
             try:
                 with open(self._bloom_path(rel, col), "rb") as f:
                     raw = f.read()
-                # _bloom_m_bits floors at 1024 bits = 128 bytes; anything
-                # shorter is a truncated/corrupt sidecar — treat as absent
-                # (safe: lookups answer True) rather than mis-hash
-                self._bloom_cache[key] = raw if len(raw) >= 128 else None
+                # lookups derive m_bits from the file LENGTH, so the length
+                # must match the size the writer derived from the data
+                # file's row count — a sidecar truncated ANYWHERE (not just
+                # below the 128-byte floor) would hash to the wrong
+                # positions and return false NEGATIVES (silently skipped
+                # files on the pruned mutation paths). Validate against the
+                # expected m_bits from the immutable parquet footer; any
+                # mismatch (torn legacy write, partial copy/restore, or a
+                # handle opened with a different bits_per_row) treats the
+                # bloom as absent, which is safe: lookups answer True
+                # (r6 advisor).
+                self._bloom_cache[key] = (
+                    raw if len(raw) * 8 == self._expected_bloom_bits(rel) else None
+                )
             except OSError:
                 self._bloom_cache[key] = None
         return self._bloom_cache[key]
+
+    def _expected_bloom_bits(self, rel: str) -> int | None:
+        """m_bits a well-formed sidecar for `rel` must have, from the data
+        file's row count (footer-only read, cached); None if unreadable."""
+        if not hasattr(self, "_bloom_rows_cache"):
+            self._bloom_rows_cache: dict[str, int | None] = {}
+        if rel not in self._bloom_rows_cache:
+            try:
+                import pyarrow.parquet as pq
+
+                n = pq.read_metadata(os.path.join(self.path, rel)).num_rows
+                self._bloom_rows_cache[rel] = self._bloom_m_bits(
+                    n, self.bloom_bits_per_row
+                )
+            except Exception:  # noqa: BLE001 — blooms are an optimization only
+                self._bloom_rows_cache[rel] = None
+        return self._bloom_rows_cache[rel]
 
     def _bloom_may_contain_any(self, rel: str, col: str, values: list) -> bool:
         """False ONLY when the file provably holds none of `values`

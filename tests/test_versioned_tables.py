@@ -762,8 +762,11 @@ def test_truncated_bloom_sidecar_is_ignored(spark, tmp_path):
         ]
     )
     t = VersionedParquetTable(spark, str(tmp_path / "tb"), sch, bloom_cols=["id"])
-    t.append(spark.createDataFrame([(f"k{i}", i) for i in range(50)], sch).coalesce(1))
+    # 200 rows * 16 bits/row = 400 bytes — safely above the 128-byte floor,
+    # so the over-floor truncation case below is meaningful
+    t.append(spark.createDataFrame([(f"k{i}", i) for i in range(200)], sch).coalesce(1))
     rel = t._load_manifest(t.current_version())["files"][0]
+    good = open(t._bloom_path(rel, "id"), "rb").read()  # intact sidecar
     with open(t._bloom_path(rel, "id"), "wb") as f:
         f.write(b"\x00" * 7)  # simulate a torn write (pre-atomic-rename era)
     t._bloom_cache.clear()
@@ -774,6 +777,23 @@ def test_truncated_bloom_sidecar_is_ignored(spark, tmp_path):
     import glob as _g
 
     assert not _g.glob(str(tmp_path / "tb" / "_blooms" / "*.tmp.*"))
+    # a sidecar truncated ABOVE the 128-byte floor (legacy torn write,
+    # partial copy/restore) must also read as absent: the byte length is
+    # validated against the m_bits the data file's row count implies, so
+    # a wrong-length bloom can never mis-hash into a false negative
+    # (r6 advisor)
+    assert len(good) >= 256
+    with open(t._bloom_path(rel, "id"), "wb") as f:
+        f.write(good[: len(good) // 2])  # >=128 bytes, wrong length
+    t._bloom_cache.clear()
+    assert t._bloom_bytes(rel, "id") is None
+    assert t._bloom_may_contain_any(rel, "id", ["k7"]) is True
+    assert t.read_pruned_keys("id", ["k7"]).filter(F.col("id") == "k7").count() == 1
+    # restore the intact sidecar: the exact expected length is accepted
+    with open(t._bloom_path(rel, "id"), "wb") as f:
+        f.write(good)
+    t._bloom_cache.clear()
+    assert t._bloom_bytes(rel, "id") is not None
 
 
 def test_txn_pair_must_be_complete(spark, tmp_path):
