@@ -192,6 +192,8 @@ HEADLINE = [
     "incremental_neardup",
     "kfold_split",
     "kfold_balance",
+    "diversity_sample_seeded",
+    "knn_self_all_pairs_expr",
     "semantic_decontaminate_blas",
 ]
 

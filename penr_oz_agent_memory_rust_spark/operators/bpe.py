@@ -10,9 +10,11 @@ encoding broadcasts the merge table and runs per Arrow batch with a
 word -> pieces memo (Zipf makes the memo hit rate ~ corpus token count /
 distinct words).
 
-Not SQL-expressible (iterative merge learning, greedy ranked merging) =>
-rows-only driver check; determinism, piece-partition and compression
-invariants pinned in tests/test_bpe.py.
+Oracle-checked since r7: both loops replay in DuckDB as recursive CTEs
+(the trainer's per-iteration argmax as aggregation over the recursive
+reference, the encoder's ranked merging as per-word list-state steps —
+see _bpe_sql in __spark_entry__.py); determinism, piece-partition and
+compression invariants additionally pinned in tests/test_bpe.py.
 """
 
 from __future__ import annotations

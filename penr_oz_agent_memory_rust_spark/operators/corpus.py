@@ -723,6 +723,7 @@ def diversity_sample(
     vec_col: str = "embedding",
     seed: int = 42,
     salt: str = "",
+    centroids=None,
 ) -> DataFrame:
     """★ cluster-balanced (semantic-diversity) sampling: k-means cells over
     the embedding space, then a deterministic per-cell quota — the
@@ -733,15 +734,25 @@ def diversity_sample(
     collect, knn.train_ivf_centroids); cell assignment is a pure codegen
     expression usable as a partition column; the quota is one shuffle on
     the cell id with WindowGroupLimit pruning. Output: (id, cell).
+
+    Pass `centroids` (an ndarray) to skip training and assign with the
+    6dp-rounded l2 argmin (kmeans.kmeans_assign_expr) — with data-defined
+    centroid rows this makes the WHOLE sampler SQL-replayable, which is
+    how the diversity_sample_seeded gate oracle-checks the quota logic
+    (the default trained path stays rows-only: Lloyd's is iterative).
     """
     from penr_oz_agent_memory_rust_spark.operators import knn
 
-    cents = knn.train_ivf_centroids(
-        emb, vec_col=vec_col, n_centroids=n_clusters, seed=seed
-    )
-    assigned = emb.select(
-        F.col(id_col), knn.ivf_assign_expr(F.col(vec_col), cents).alias("cell")
-    )
+    if centroids is None:
+        cents = knn.train_ivf_centroids(
+            emb, vec_col=vec_col, n_centroids=n_clusters, seed=seed
+        )
+        cell = knn.ivf_assign_expr(F.col(vec_col), cents)
+    else:
+        from penr_oz_agent_memory_rust_spark.operators import kmeans as _km
+
+        cell = _km.kmeans_assign_expr(F.col(vec_col), centroids, round_dp=6)
+    assigned = emb.select(F.col(id_col), cell.alias("cell"))
     order_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     w = Window.partitionBy("cell").orderBy(order_key, F.col(id_col))
     return (

@@ -19,9 +19,12 @@ parallelizes perfectly: `n_buckets` tasks, each holding corpus/n_buckets
 docs. At 100 TB raise n_buckets so a bucket's (id, n_tokens) pairs fit a
 task — the payload text never enters the packer, only the token counts.
 
-Not SQL-expressible (stateful greedy loop) => rows-only driver check;
-the invariants (budget respected, every doc packed exactly once,
-determinism) are pinned in tests/test_packing.py.
+Oracle-checked since r7: the per-bucket greedy loop replays in DuckDB as
+a recursive CTE whose per-bucket row carries the remaining-capacity list
+and advances one doc per step (see the `sequence_packing` oracle in
+__spark_entry__.py); the invariants (budget respected, every doc packed
+exactly once, determinism) are additionally pinned in
+tests/test_packing.py.
 """
 
 from __future__ import annotations

@@ -992,6 +992,15 @@ def follow_versioned_changes(
                None to signal "drop derived state, this is the whole
                table", then the watermark jumps to cur.
 
+    CONSUMER CONTRACT for resync: from_v=None means the frame is NOT a
+    delta — apply it as truncate-and-load (or idempotent upsert keyed on
+    the table's key), never additively, or rows deleted inside the
+    vacuumed gap survive in the derived state forever. The cost is a
+    full-table replay into apply_fn (probed at 8M rows: 54× the rows of
+    the equivalent incremental catch-up — PLANS.md "CDF resync probe"),
+    which is why lagging past retention ERRORS by default instead of
+    resyncing silently.
+
     This is the derived-index refresh loop the agent demo runs by hand:
     each derived table/index keeps its own consumer_id and never rescans
     the base table."""

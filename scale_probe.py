@@ -538,6 +538,92 @@ def incr_dedup_probe() -> None:
     spark.stop()
 
 
+def cdf_resync_probe() -> None:
+    """Change-feed recovery cost at 8M rows (`python scale_probe.py
+    cdf_resync`; SCALE_CDF_ROWS overrides N): what does on_gap="resync"
+    actually cost vs an incremental catch-up, and what must the consumer
+    do with it?
+
+    The consumer CONTRACT (streaming/ingest.follow_versioned_changes):
+    an incremental call hands apply_fn only the span's change rows — the
+    consumer may apply them as deltas. A RESYNC call hands the FULL
+    current snapshot as inserts with from_v=None — the consumer must
+    treat it as "drop derived state and rebuild" (truncate-and-load /
+    idempotent upsert), never as additive inserts, or rows deleted
+    during the vacuumed gap survive in the derived state forever.
+
+    Probe: an 8M-row versioned table takes three 50k-row delta commits.
+    Consumer `inc` catches up incrementally (receives 150k change rows);
+    then vacuum drops history and consumer `lag` (watermark at genesis)
+    must resync (receives the full 8.15M-row snapshot). Recorded in
+    PLANS.md ("CDF resync probe") — the ratio is the price of letting a
+    consumer lag past retention, and why the default is to ERROR."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+    from penr_oz_agent_memory_rust_spark.streaming.ingest import (
+        follow_versioned_changes,
+    )
+
+    n_rows = int(os.environ.get("SCALE_CDF_ROWS", "8000000"))
+    spark = get_spark(app_name="poz-cdf-resync-probe")
+    sch = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    root = tempfile.mkdtemp(prefix="cdfresync-")
+    t = VersionedParquetTable(spark, os.path.join(root, "base"), sch)
+    t.append(spark.range(n_rows).selectExpr("id", "id % 997 AS v"))
+    genesis_done = t.current_version()
+    # pin both consumers' watermarks at the post-genesis version
+    for cid in ("inc", "lag"):
+        follow_versioned_changes(t, cid, lambda df, a, b: df.count())
+    report: dict = {"base_rows": n_rows}
+    for i in range(3):
+        t.append(
+            spark.range(50_000).selectExpr(
+                f"id + {n_rows + i * 50_000} AS id", "id % 31 AS v"
+            )
+        )
+    t0 = time.time()
+    got: dict = {}
+
+    def apply_count(df, from_v, to_v):
+        got["rows"] = df.count()
+        got["from_v"] = from_v
+
+    follow_versioned_changes(t, "inc", apply_count)
+    report["incremental"] = {
+        "delta_commits": 3,
+        "change_rows": got["rows"],
+        "from_v": got["from_v"],
+        "sec": round(time.time() - t0, 2),
+    }
+    # vacuum away the history the lagging consumer needs
+    t.vacuum(keep_last=1)
+    try:
+        follow_versioned_changes(t, "lag", apply_count)
+        raise AssertionError("expected ChangeFeedGapError")
+    except Exception as e:  # noqa: BLE001
+        report["gap_error"] = type(e).__name__
+    t0 = time.time()
+    follow_versioned_changes(t, "lag", apply_count, on_gap="resync")
+    report["resync"] = {
+        "snapshot_rows": got["rows"],
+        "from_v_is_none": got["from_v"] is None,
+        "sec": round(time.time() - t0, 2),
+    }
+    report["resync_vs_incremental_rows"] = round(
+        report["resync"]["snapshot_rows"] / max(1, report["incremental"]["change_rows"]), 1
+    )
+    report["genesis_version"] = genesis_done
+    print(json.dumps(report))
+    spark.stop()
+
+
 def pca_probe() -> None:
     """PCA probes (`python scale_probe.py pca`):
 
@@ -1584,5 +1670,7 @@ if __name__ == "__main__":
         lake_composite_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "incr":
         incr_dedup_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "cdf_resync":
+        cdf_resync_probe()
     else:
         main()
