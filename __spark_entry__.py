@@ -2023,6 +2023,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.dedup_clusters(pairs)
 
 
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ near-dup canonicalization: each MinHash-candidate cluster keeps
+    only its highest-quality member (ties to smallest id); singletons
+    survive as themselves. The step that turns a candidate-pair list into
+    an actual deduplicated corpus, scored by the same quality expression
+    the filtering gates use."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=12, bands=4)
+    return dedup.neardup_keep_best(
+        docs, pairs, text_ops.quality_score_expr(F.col("text"))
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation surface: event counts by (type, user bucket) with
     subtotal and grand-total rows."""
@@ -3385,6 +3398,15 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_profile(_docs(spark, sf_dir))
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Gopher rule-based quality filter (Rae et al. 2021, §A1.1): the
+    word/line-level heuristics — word-count bounds, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alpha-word fraction,
+    stop-list hits — one map-only scan, thresholds on 6dp-rounded
+    metrics so the oracle agrees at the boundaries."""
+    return text_ops.gopher_quality_rules(_docs(spark, sf_dir))
+
+
 def q_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 —
     the MOSS algorithm): per-window min gram hash, rightmost on ties, as
@@ -4670,13 +4692,13 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "text_normalize": q_text_normalize,
         "text_profile": q_text_profile,
         "repetition_profile": q_repetition_profile,
+        "gopher_rules": q_gopher_rules,
         "winnowing_fps": q_winnowing_fps,
         "decontaminate_ngram": q_decontaminate_ngram,
         "word_freq_topk": q_word_freq_topk,
         "pii_scan": q_pii_scan,
         "sampling_suite": q_sampling_suite,
         "quality_quantile_filter": q_quality_quantile_filter,
-        "zscore_events": q_zscore_events,
         "doc_chunking": q_doc_chunking,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # --- window: ★ multimodal plumbing
@@ -4711,7 +4733,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     session_touch / json_metadata_extract / projection_validate
         #     rotated out of the window in r7 (unchanged + green since r2)
         #     to make room for the three r6 flagships — still gated by the
-        #     full local verify harness every round
+        #     full local verify harness every round; zscore_events rotated
+        #     out for gopher_rules on the same basis
+        "zscore_events": q_zscore_events,
+        "neardup_keep_best": q_neardup_keep_best,
         "session_touch": q_session_touch,
         "json_metadata_extract": q_json_metadata_extract,
         "projection_validate": q_projection_validate,
@@ -6207,6 +6232,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT u, min(v) AS min_v FROM reach GROUP BY u
             ) GROUP BY min_v
         """,
+        "neardup_keep_best": _minhash_reach_cte() + f""",
+            comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+            scored AS (
+              SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+                     {_DK_QUALITY} AS q
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+            )
+            SELECT doc_id, component, cluster_size, q AS score FROM (
+              SELECT doc_id, component, q,
+                     count(*) OVER (PARTITION BY component) AS cluster_size,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY q DESC, doc_id) AS rn
+              FROM scored
+            ) WHERE rn = 1
+        """,
         "text_normalize": r"""
             WITH messy AS (
               SELECT doc_id,
@@ -6625,6 +6665,72 @@ def oracle_sql() -> dict[str, str]:
                     AND coalesce(round(top_bigram * 1.0 / n_bigrams, 6) <= 0.18, TRUE)
                    ) AS repetition_ok
             FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        """,
+        "gopher_rules": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 w -> w <> '') AS words,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> trim(l) <> '') AS lines,
+                     length(text) - length(replace(text, '#', ''))
+                       AS hash_cnt,
+                     (length(text) - length(replace(text, '...', ''))) // 3
+                       + (length(text) - length(replace(text, '…', '')))
+                       AS ell_cnt
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     CAST(len(lines) AS BIGINT) AS n_lines,
+                     coalesce(list_sum(list_transform(words,
+                                                      w -> length(w))), 0)
+                       AS sum_len,
+                     len(list_filter(words,
+                                     w -> regexp_matches(w, '[a-z]')))
+                       AS alpha_words,
+                     len(list_filter(lines,
+                                     l -> regexp_matches(trim(l),
+                                                         '^[-*•]')))
+                       AS bullet_lines,
+                     len(list_filter(lines,
+                                     l -> regexp_matches(rtrim(l),
+                                                         '(\\.\\.\\.|…)$')))
+                       AS ellipsis_lines,
+                     CAST(len(list_intersect(list_distinct(words),
+                         ['the','be','to','of','and','that','have','with']))
+                       AS BIGINT) AS stopword_hits,
+                     hash_cnt, ell_cnt
+              FROM base
+            ), r AS (
+              SELECT doc_id, n_words,
+                     CASE WHEN n_words > 0
+                          THEN round(sum_len * 1.0 / n_words, 6)
+                     END AS mean_word_len,
+                     CASE WHEN n_words > 0
+                          THEN round((hash_cnt + ell_cnt) * 1.0 / n_words, 6)
+                     END AS symbol_word_ratio,
+                     CASE WHEN n_lines > 0
+                          THEN round(bullet_lines * 1.0 / n_lines, 6)
+                     END AS bullet_line_frac,
+                     CASE WHEN n_lines > 0
+                          THEN round(ellipsis_lines * 1.0 / n_lines, 6)
+                     END AS ellipsis_line_frac,
+                     CASE WHEN n_words > 0
+                          THEN round(alpha_words * 1.0 / n_words, 6)
+                     END AS alpha_word_frac,
+                     stopword_hits
+              FROM m
+            )
+            SELECT *, coalesce(
+                     n_words BETWEEN 50 AND 100000
+                     AND mean_word_len BETWEEN 3 AND 10
+                     AND symbol_word_ratio <= 0.1
+                     AND bullet_line_frac <= 0.9
+                     AND ellipsis_line_frac <= 0.3
+                     AND alpha_word_frac >= 0.8
+                     AND stopword_hits >= 2, FALSE) AS gopher_ok
+            FROM r
         """,
         "winnowing_fps": f"""
             WITH norm AS (

@@ -1179,6 +1179,50 @@ def exact_dedup_keep_best(
     return best.select(id_col, "fp", "dup_count", "score")
 
 
+def neardup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_expr: Column,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """★ near-dup canonicalization: collapse each NEAR-duplicate cluster
+    (connected component of candidate `pairs`, e.g. minhash_lsh_pairs
+    output) to its single best member by `score_expr` (ties to smallest
+    id) — the near-dup analogue of exact_dedup_keep_best, and the step
+    that turns a pair list into an actual deduplicated corpus. Docs in no
+    pair are their own singleton cluster and always survive. Output:
+    (doc_id, component, cluster_size, score) — one row per KEPT doc.
+
+    Shape: components over the pair list (pairs-sized, never
+    corpus-sized), one left join docs←components on id (broadcastable:
+    the pair list is the small side after dedup), then the same
+    min_by-struct argmax as exact_dedup_keep_best — HashAggregate, no
+    window. At 100 TB the corpus-side work is one scan + one shuffle on
+    component; everything else scales with the candidate pairs."""
+    from penr_oz_agent_memory_rust_spark.operators import components as _c
+
+    comp = _c.connected_components(pairs, a_col=a_col, b_col=b_col).select(
+        F.col("node").alias(id_col), "component"
+    )
+    labeled = (
+        docs.select(F.col(id_col), score_expr.alias("__s"))
+        .join(comp, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    tiebreak = F.struct((-F.col("__s")).alias("__ns"), F.col(id_col).alias("__id"))
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.min_by(F.col(id_col), tiebreak).alias(id_col),
+            F.max("__s").alias("score"),
+            F.count("*").alias("cluster_size"),
+        )
+        .select(id_col, "component", "cluster_size", "score")
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     text_col: str = "text",

@@ -414,6 +414,101 @@ def repetition_profile(
     )
 
 
+# Gopher's rule-based quality filter checks for the presence of a tiny
+# English stop list (Rae et al. 2021, §A1.1: "the, be, to, of, and, that,
+# have, with") — a cheap "is this prose at all" signal.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """★ Gopher rule-based quality filter (Rae et al. 2021, §A1.1 "quality
+    filtering" — public paper): the line- and word-level heuristics that
+    complement `repetition_profile` (which covers the same appendix's
+    repetition rules). Per doc:
+
+      n_words             whitespace token count (empty tokens dropped)
+      mean_word_len       mean characters per word; Gopher keeps [3, 10]
+      symbol_word_ratio   ('#' + ellipsis occurrences) / n_words; <= 0.1
+      bullet_line_frac    non-empty lines starting with a bullet
+                          (-, *, •) / lines; <= 0.9
+      ellipsis_line_frac  non-empty lines ending with ... or …; <= 0.3
+      alpha_word_frac     words containing an alphabetic char; >= 0.8
+      stopword_hits       distinct GOPHER_STOPWORDS present; >= 2
+      gopher_ok           all thresholds hold (null-safe: degenerate
+                          docs fail closed)
+
+    Thresholds compare the 6dp-ROUNDED metrics so the Spark plan and the
+    SQL oracle agree at the boundaries. All metrics are pure higher-order
+    array expressions over one split — a single map-only scan with no
+    exchange, no UDF, nothing that changes shape at 100 TB; the filter
+    pipelines into the ingest scan exactly like `quality_score_expr`.
+    """
+    t = F.col(text_col)
+    # any-whitespace split (NOT hashing.word_tokens' single-space split):
+    # line rules imply multi-line docs, where newline-joined tokens must
+    # count as separate words; identical on single-space corpora
+    words = F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda line: F.trim(line) != F.lit(""))
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    hash_cnt = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipsis_cnt = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    ).cast("long")
+    bullet_lines = F.size(
+        F.filter(lines, lambda line: F.trim(line).rlike("^[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda line: F.rtrim(line).rlike("(\\.\\.\\.|…)$"))
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stopword_hits = F.size(
+        F.array_intersect(F.array_distinct(words), stop_arr)
+    ).cast("long")
+    frac = lambda num, den: F.when(den > 0, F.round(num / den, 6))  # noqa: E731
+    profiled = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        frac(sum_word_len, n_words).alias("mean_word_len"),
+        frac(hash_cnt + ellipsis_cnt, n_words).alias("symbol_word_ratio"),
+        frac(bullet_lines, n_lines).alias("bullet_line_frac"),
+        frac(ellipsis_lines, n_lines).alias("ellipsis_line_frac"),
+        frac(alpha_words, n_words).alias("alpha_word_frac"),
+        stopword_hits.alias("stopword_hits"),
+    )
+    ok = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return profiled.withColumn("gopher_ok", F.coalesce(ok, F.lit(False)))
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -654,3 +654,31 @@ def test_source_overlap_counts_and_jaccard(spark):
     assert ab["jaccard"] == round(2 / (4 + 4 - 2), 6)
     # c shares nothing with anyone -> its pairs are absent (inner join)
     assert ("a", "c") not in out and ("b", "c") not in out
+
+
+def test_neardup_keep_best_clusters_singletons_and_ties(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aa"),        # cluster {1,2,3}: 3 wins on length
+            (2, "bbbb"),
+            (3, "cccccc"),
+            (4, "dddd"),      # cluster {4,5}: equal length -> smaller id
+            (5, "eeee"),
+            (6, "f"),         # no pair: singleton survives
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a bigint, b bigint"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.neardup_keep_best(
+            docs, pairs, F.length("text").cast("double")
+        ).collect()
+    }
+    assert set(out) == {3, 4, 6}
+    assert out[3]["component"] == 1 and out[3]["cluster_size"] == 3
+    assert out[3]["score"] == 6.0
+    assert out[4]["component"] == 4 and out[4]["cluster_size"] == 2
+    assert out[6]["component"] == 6 and out[6]["cluster_size"] == 1

@@ -270,3 +270,53 @@ def test_normalize_text_forms_and_flags(spark):
 
     with _pt.raises(ValueError, match="form must be"):
         text_ops.normalize_text(df, "text", form="NFX")
+
+
+def _gopher_rows(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    return {r["doc_id"]: r.asDict()
+            for r in text_ops.gopher_quality_rules(df).collect()}
+
+
+def test_gopher_rules_passing_prose(spark):
+    prose = " ".join(["the quick brown fox jumps over that lazy dog and"] * 6)
+    out = _gopher_rows(spark, [prose])[0]
+    assert out["n_words"] == 60
+    assert out["mean_word_len"] == 3.9
+    assert out["alpha_word_frac"] == 1.0
+    assert out["symbol_word_ratio"] == 0.0
+    assert out["bullet_line_frac"] == 0.0
+    assert out["ellipsis_line_frac"] == 0.0
+    assert out["stopword_hits"] == 3  # the, that, and
+    assert out["gopher_ok"] is True
+
+
+def test_gopher_rules_line_metrics(spark):
+    bullets = "- one\n* two\n• three\nplain line\n\n"
+    ellipses = "abc...\ndef …\nghi"
+    out = _gopher_rows(spark, [bullets, ellipses])
+    assert out[0]["bullet_line_frac"] == 0.75  # empty line dropped
+    assert out[0]["gopher_ok"] is False  # fails word count (and bullets < 0.9)
+    assert out[1]["ellipsis_line_frac"] == 0.666667
+    assert out[1]["n_words"] == 4  # abc... / def / … / ghi
+
+
+def test_gopher_rules_symbol_ratio_and_alpha(spark):
+    hashes = "# tag # tag2 #"
+    dots = "so... yes...."  # '...' occurs twice non-overlapping, no '…'
+    out = _gopher_rows(spark, [hashes, dots])
+    assert out[0]["symbol_word_ratio"] == 0.6  # 3 hashes / 5 words
+    assert out[0]["alpha_word_frac"] == 0.4  # tag, tag2 of 5
+    assert out[0]["mean_word_len"] == 2.0  # (1+3+1+4+1)/5
+    assert out[1]["symbol_word_ratio"] == 1.0  # 2 ellipses / 2 words
+
+
+def test_gopher_rules_degenerate_docs_fail_closed(spark):
+    out = _gopher_rows(spark, ["", "   ", None])
+    for i in range(3):
+        assert out[i]["n_words"] in (0, None)
+        assert out[i]["mean_word_len"] is None
+        assert out[i]["bullet_line_frac"] is None
+        assert out[i]["gopher_ok"] is False
