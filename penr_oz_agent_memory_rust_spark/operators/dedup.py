@@ -521,6 +521,56 @@ def _ngram_pair_stats(
     max_bucket.
     """
     arr = _shingle_arrays(docs, id_col, text_col, n, unit, rebalance=rebalance)
+    id_type = docs.schema[id_col].dataType.typeName()
+    if max_doc_freq is None and id_type in ("byte", "short", "integer", "long"):
+        # packed posting lists: (did, sz) ride in ONE bigint k = did*2^31+sz,
+        # so the per-gram sort and the pair expansion run on flat longs
+        # instead of struct arrays — A/B at sf0.1 (5 warm interleaved
+        # rounds): packed min 1.51 s vs struct 1.74 s, packed won 4/5.
+        # did-major packing preserves the a < b order (a doc appears at
+        # most once per gram, so ties are impossible). The bound guard is
+        # per-doc (computed BEFORE the explode) and codegen-cheap; it
+        # raises instead of silently corrupting when an id >= 2^31 or a
+        # doc has >= 2^31 distinct shingles (string ids and unbounded
+        # longs use the struct path below).
+        pk = 1 << 31
+        did, sz = F.col("did").cast("long"), F.size("shs").cast("long")
+        guard = F.assert_true(
+            (did >= 0) & (did < pk) & (sz < pk),
+            F.lit(f"ngram packing bound exceeded: {id_col} or shingle-set "
+                  f"size >= 2^31"),
+        )
+        k = F.when(guard.isNull(), did * pk + sz)
+        sh = arr.select(k.alias("k"), F.explode("shs").alias("s")).select(
+            "k", hashing.md5_long(F.col("s")).alias("sh")
+        )
+        members = (
+            sh.groupBy("sh")
+            .agg(F.sort_array(F.collect_list("k")).alias("ms"))
+            .filter(F.size("ms") > 1)
+        )
+        pairs = members.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                    "y -> struct(x AS ka, y AS kb))))"
+                )
+            ).alias("p")
+        )
+        return (
+            pairs.groupBy(F.col("p.ka").alias("ka"), F.col("p.kb").alias("kb"))
+            .agg(F.count("*").alias("inter"))
+            .select(
+                # shiftright, NOT `/`: float division loses low bits for
+                # keys past double's 53-bit mantissa
+                F.shiftright(F.col("ka"), 31).cast(id_type).alias("a"),
+                F.shiftright(F.col("kb"), 31).cast(id_type).alias("b"),
+                (F.col("ka") % pk).alias("sza"),
+                (F.col("kb") % pk).alias("szb"),
+                "inter",
+            )
+        )
     sh = arr.select(
         "did", F.size("shs").alias("sz"), F.explode("shs").alias("s")
     ).select("did", "sz", hashing.md5_long(F.col("s")).alias("sh"))
