@@ -3792,6 +3792,70 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "score")
 
 
+def q_jsonl_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ JSONL ingest with corrupt-line quarantine (sources.tables.
+    read_jsonl_rescued): the documents table is serialized to JSON lines
+    with DETERMINISTIC corruption — every doc with doc_id % 7 == 3 has
+    its line truncated by 5 chars, which is always-invalid JSON (the
+    opening brace never closes) — then read back PERMISSIVE. Parsed rows
+    keep their values; quarantined rows recover doc_id from the RAW
+    preserved line (regexp over the quarantine bytes, proving nothing was
+    dropped) and lose the typed fields (NULL n_chars). The oracle needs
+    no file: corruption is a pure function of doc_id, so DuckDB replays
+    it from the documents table directly."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from penr_oz_agent_memory_rust_spark.sources.tables import read_jsonl_rescued
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"jsonl|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = f"jsonl|{sf_dir}"
+    path = os.path.join(
+        _tf.gettempdir(), f"__jsonl_rescue_{_hl.md5(ident.encode()).hexdigest()[:12]}"
+    )
+    marker = os.path.join(path, "_WRITTEN_OK")
+    data = os.path.join(path, "data")
+    if not os.path.exists(marker):
+        if os.path.exists(path):  # partial state from an interrupted run
+            _sh.rmtree(path)
+        line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+        (
+            _docs(spark, sf_dir)
+            .select("doc_id", line.alias("j"))
+            .select(
+                F.when(
+                    F.col("doc_id") % 7 == 3,
+                    F.expr("substring(j, 1, length(j) - 5)"),
+                )
+                .otherwise(F.col("j"))
+                .alias("value")
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .text(data)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    df = read_jsonl_rescued(
+        spark, data, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    return df.select(
+        F.coalesce(
+            F.col("doc_id"),
+            F.regexp_extract(F.col("_corrupt_record"), '"doc_id":(\\d+)', 1).cast("bigint"),
+        ).alias("doc_id"),
+        F.col("n_chars"),
+        F.when(F.col("_corrupt_record").isNull(), F.lit("parsed"))
+        .otherwise(F.lit("quarantined"))
+        .alias("status"),
+    )
+
+
 def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ user-journey Markov transitions: P(next event type | current) from
     per-user lead() over (ts, event_id) order — one shuffle on user for the
@@ -4737,6 +4801,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     out for gopher_rules on the same basis
         "zscore_events": q_zscore_events,
         "neardup_keep_best": q_neardup_keep_best,
+        "jsonl_rescue": q_jsonl_rescue,
         "session_touch": q_session_touch,
         "json_metadata_extract": q_json_metadata_extract,
         "projection_validate": q_projection_validate,
@@ -6231,6 +6296,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT min_v AS component, count(*) AS cluster_size FROM (
               SELECT u, min(v) AS min_v FROM reach GROUP BY u
             ) GROUP BY min_v
+        """,
+        "jsonl_rescue": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n_chars END AS n_chars,
+                   CASE WHEN doc_id % 7 = 3 THEN 'quarantined'
+                        ELSE 'parsed' END AS status
+            FROM documents
         """,
         "neardup_keep_best": _minhash_reach_cte() + f""",
             comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),

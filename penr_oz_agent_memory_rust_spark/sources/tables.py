@@ -65,6 +65,39 @@ def read_memories_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_jsonl_rescued(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """★ JSONL ingest with corrupt-line QUARANTINE: PERMISSIVE parse where
+    a malformed line yields a row with every schema field NULL and the raw
+    line preserved in `corrupt_col` — instead of silently dropping it
+    (DROPMALFORMED) or failing the 100 TB job on one bad crawl record
+    (FAILFAST). The standard big-ingest contract: parse what parses,
+    quarantine the rest for offline triage, lose nothing.
+
+    Schema is declared, never inferred (inference is a full extra pass of
+    the input at scale, and schema drift must be an explicit decision).
+    Spark caveat: a plan whose REQUIRED schema is only the corrupt column
+    is disallowed by the JSON relation (the parser would have nothing to
+    fail on) — always project at least one data column alongside it;
+    `coalesce(data_col, f(corrupt_col))` patterns satisfy this naturally.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"corrupt_col {corrupt_col!r} collides with a schema field")
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def read_memories_csv(spark: SparkSession, path: str) -> DataFrame:
     """CSV ingest variant (id,text,session header expected); metadata is not
     representable in flat CSV and comes back NULL."""

@@ -265,3 +265,44 @@ def test_python_datasource_streaming_incremental(spark, tmp_path):
     rows = {r.id: r for r in spark.read.parquet(str(out)).collect()}
     assert set(rows) == {"1", "2", "3"}  # no duplicates from re-reading a.jsonl
     assert rows["3"].session == "s1"
+
+
+def test_read_jsonl_rescued_quarantines_corrupt_lines(spark, tmp_path):
+    from penr_oz_agent_memory_rust_spark.sources.tables import read_jsonl_rescued
+
+    jl = tmp_path / "crawl.jsonl"
+    jl.write_text(
+        '{"doc_id": 1, "text": "good one", "n": 8}\n'
+        '{"doc_id": 2, "text": "truncated\n'          # corrupt: unclosed
+        'not json at all\n'                            # corrupt: garbage
+        '{"doc_id": 4, "text": null, "n": 0}\n'        # parses, null field
+    )
+    df = read_jsonl_rescued(spark, str(jl), "doc_id bigint, text string, n bigint")
+    # projecting a data column alongside the corrupt column (the Spark
+    # requirement the docstring documents)
+    rows = sorted(
+        df.select("doc_id", "text", "n", "_corrupt_record").collect(),
+        key=lambda r: (r["doc_id"] is None, r["doc_id"] or 0, r["_corrupt_record"] or ""),
+    )
+    parsed = [r for r in rows if r["_corrupt_record"] is None]
+    quarantined = [r for r in rows if r["_corrupt_record"] is not None]
+    assert [(r["doc_id"], r["text"], r["n"]) for r in parsed] == [
+        (1, "good one", 8),
+        (4, None, 0),
+    ]
+    # corrupt rows: every schema field NULL, raw line preserved verbatim
+    assert len(quarantined) == 2
+    assert all(r["doc_id"] is None and r["text"] is None for r in quarantined)
+    assert {r["_corrupt_record"] for r in quarantined} == {
+        '{"doc_id": 2, "text": "truncated',
+        "not json at all",
+    }
+
+
+def test_read_jsonl_rescued_rejects_colliding_corrupt_col(spark, tmp_path):
+    from penr_oz_agent_memory_rust_spark.sources.tables import read_jsonl_rescued
+
+    jl = tmp_path / "x.jsonl"
+    jl.write_text('{"a": 1}\n')
+    with pytest.raises(ValueError, match="collides"):
+        read_jsonl_rescued(spark, str(jl), "a bigint", corrupt_col="a")
