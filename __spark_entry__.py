@@ -2036,6 +2036,25 @@ def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ end-to-end curation pipeline composing the two r7 operators:
+    Gopher rule-filter (thresholds tuned to this corpus: min_words=40,
+    min_stopword_hits=1 — the synthetic vocabulary has only 'the' from
+    the stop list) -> MinHash candidate pairs over the SURVIVORS only ->
+    near-dup canonicalization keeping each cluster's best-quality member.
+    The filter runs BEFORE pair generation, so the expensive shingle
+    pipeline never sees rejected docs — the ordering that matters at
+    100 TB."""
+    docs = _docs(spark, sf_dir)
+    g = text_ops.gopher_quality_rules(docs, min_words=40, min_stopword_hits=1)
+    keep = g.filter("gopher_ok").select("doc_id")
+    survivors = docs.join(keep, "doc_id", "semi")
+    pairs = dedup.minhash_lsh_pairs(survivors, n_hashes=12, bands=4)
+    return dedup.neardup_keep_best(
+        survivors, pairs, text_ops.quality_score_expr(F.col("text"))
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation surface: event counts by (type, user bucket) with
     subtotal and grand-total rows."""
@@ -4802,6 +4821,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "zscore_events": q_zscore_events,
         "neardup_keep_best": q_neardup_keep_best,
         "jsonl_rescue": q_jsonl_rescue,
+        "pipeline_curate_corpus": q_pipeline_curate_corpus,
         "session_touch": q_session_touch,
         "json_metadata_extract": q_json_metadata_extract,
         "projection_validate": q_projection_validate,
@@ -5270,11 +5290,90 @@ def _semantic_dedup_sql(threshold: float = 0.4, n_planes: int = 4, seed: int = 1
         FROM p WHERE score >= {threshold} GROUP BY b"""
 
 
-def _minhash_reach_cte() -> str:
+def _gopher_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopword_hits: int = 2,
+) -> str:
+    """DuckDB mirror of text_ops.gopher_quality_rules, parameterized on the
+    thresholds the gates vary (word bounds + stop-list hits); the metric
+    definitions are fixed to match the Spark expressions exactly."""
+    return f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 w -> w <> '') AS words,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> trim(l) <> '') AS lines,
+                     length(text) - length(replace(text, '#', ''))
+                       AS hash_cnt,
+                     (length(text) - length(replace(text, '...', ''))) // 3
+                       + (length(text) - length(replace(text, '…', '')))
+                       AS ell_cnt
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     CAST(len(lines) AS BIGINT) AS n_lines,
+                     coalesce(list_sum(list_transform(words,
+                                                      w -> length(w))), 0)
+                       AS sum_len,
+                     len(list_filter(words,
+                                     w -> regexp_matches(w, '[a-z]')))
+                       AS alpha_words,
+                     len(list_filter(lines,
+                                     l -> regexp_matches(trim(l),
+                                                         '^[-*•]')))
+                       AS bullet_lines,
+                     len(list_filter(lines,
+                                     l -> regexp_matches(rtrim(l),
+                                                         '(\\.\\.\\.|…)$')))
+                       AS ellipsis_lines,
+                     CAST(len(list_intersect(list_distinct(words),
+                         ['the','be','to','of','and','that','have','with']))
+                       AS BIGINT) AS stopword_hits,
+                     hash_cnt, ell_cnt
+              FROM base
+            ), r AS (
+              SELECT doc_id, n_words,
+                     CASE WHEN n_words > 0
+                          THEN round(sum_len * 1.0 / n_words, 6)
+                     END AS mean_word_len,
+                     CASE WHEN n_words > 0
+                          THEN round((hash_cnt + ell_cnt) * 1.0 / n_words, 6)
+                     END AS symbol_word_ratio,
+                     CASE WHEN n_lines > 0
+                          THEN round(bullet_lines * 1.0 / n_lines, 6)
+                     END AS bullet_line_frac,
+                     CASE WHEN n_lines > 0
+                          THEN round(ellipsis_lines * 1.0 / n_lines, 6)
+                     END AS ellipsis_line_frac,
+                     CASE WHEN n_words > 0
+                          THEN round(alpha_words * 1.0 / n_words, 6)
+                     END AS alpha_word_frac,
+                     stopword_hits
+              FROM m
+            )
+            SELECT *, coalesce(
+                     n_words BETWEEN {min_words} AND {max_words}
+                     AND mean_word_len BETWEEN 3 AND 10
+                     AND symbol_word_ratio <= 0.1
+                     AND bullet_line_frac <= 0.9
+                     AND ellipsis_line_frac <= 0.3
+                     AND alpha_word_frac >= 0.8
+                     AND stopword_hits >= {min_stopword_hits}, FALSE) AS gopher_ok
+            FROM r
+        """
+
+
+def _minhash_reach_cte(pre: str = "", where: str = "") -> str:
     """Shared WITH-RECURSIVE prefix: minhash band candidate pairs over
     documents and their transitive closure `reach(u, v)` — the oracle twin
     of minhash_lsh_pairs + connected_components, composed by
-    dedup_clusters and leakage_safe_split."""
+    dedup_clusters and leakage_safe_split. `pre` injects extra
+    (non-recursive) CTEs ahead of the pipeline and `where` filters the
+    documents feeding it — the hooks pipeline_curate_corpus uses to run
+    the closure over the quality-filtered subset only."""
     sig_cols = ", ".join(
         f"min(substring(md5('{j // 6}|' || s), {1 + 5 * (j % 6)}, 5)) AS h{j}"
         for j in range(12)
@@ -5284,8 +5383,9 @@ def _minhash_reach_cte() -> str:
         for b in range(4)
     )
     return f"""
-            WITH RECURSIVE sigsh AS (
-              SELECT doc_id, unnest(list_distinct({_DK_SHINGLES3})) AS s FROM documents
+            WITH RECURSIVE {pre}sigsh AS (
+              SELECT doc_id, unnest(list_distinct({_DK_SHINGLES3})) AS s
+              FROM documents {where}
             ), sig AS (
               SELECT doc_id, {sig_cols}
               FROM sigsh GROUP BY doc_id
@@ -6304,6 +6404,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'parsed' END AS status
             FROM documents
         """,
+        "pipeline_curate_corpus": _minhash_reach_cte(
+            pre=f"g AS ({_gopher_sql(min_words=40, min_stopword_hits=1)}), "
+                "gkeep AS (SELECT doc_id FROM g WHERE gopher_ok), ",
+            where="WHERE doc_id IN (SELECT doc_id FROM gkeep)",
+        ) + f""",
+            comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+            scored AS (
+              SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+                     {_DK_QUALITY} AS q
+              FROM documents d
+              JOIN gkeep USING (doc_id)
+              LEFT JOIN comp c ON d.doc_id = c.doc_id
+            )
+            SELECT doc_id, component, cluster_size, q AS score FROM (
+              SELECT doc_id, component, q,
+                     count(*) OVER (PARTITION BY component) AS cluster_size,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY q DESC, doc_id) AS rn
+              FROM scored
+            ) WHERE rn = 1
+        """,
         "neardup_keep_best": _minhash_reach_cte() + f""",
             comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
             scored AS (
@@ -6738,72 +6859,7 @@ def oracle_sql() -> dict[str, str]:
                    ) AS repetition_ok
             FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
         """,
-        "gopher_rules": """
-            WITH base AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'),
-                                 w -> w <> '') AS words,
-                     list_filter(string_split(text, chr(10)),
-                                 l -> trim(l) <> '') AS lines,
-                     length(text) - length(replace(text, '#', ''))
-                       AS hash_cnt,
-                     (length(text) - length(replace(text, '...', ''))) // 3
-                       + (length(text) - length(replace(text, '…', '')))
-                       AS ell_cnt
-              FROM documents
-            ), m AS (
-              SELECT doc_id,
-                     CAST(len(words) AS BIGINT) AS n_words,
-                     CAST(len(lines) AS BIGINT) AS n_lines,
-                     coalesce(list_sum(list_transform(words,
-                                                      w -> length(w))), 0)
-                       AS sum_len,
-                     len(list_filter(words,
-                                     w -> regexp_matches(w, '[a-z]')))
-                       AS alpha_words,
-                     len(list_filter(lines,
-                                     l -> regexp_matches(trim(l),
-                                                         '^[-*•]')))
-                       AS bullet_lines,
-                     len(list_filter(lines,
-                                     l -> regexp_matches(rtrim(l),
-                                                         '(\\.\\.\\.|…)$')))
-                       AS ellipsis_lines,
-                     CAST(len(list_intersect(list_distinct(words),
-                         ['the','be','to','of','and','that','have','with']))
-                       AS BIGINT) AS stopword_hits,
-                     hash_cnt, ell_cnt
-              FROM base
-            ), r AS (
-              SELECT doc_id, n_words,
-                     CASE WHEN n_words > 0
-                          THEN round(sum_len * 1.0 / n_words, 6)
-                     END AS mean_word_len,
-                     CASE WHEN n_words > 0
-                          THEN round((hash_cnt + ell_cnt) * 1.0 / n_words, 6)
-                     END AS symbol_word_ratio,
-                     CASE WHEN n_lines > 0
-                          THEN round(bullet_lines * 1.0 / n_lines, 6)
-                     END AS bullet_line_frac,
-                     CASE WHEN n_lines > 0
-                          THEN round(ellipsis_lines * 1.0 / n_lines, 6)
-                     END AS ellipsis_line_frac,
-                     CASE WHEN n_words > 0
-                          THEN round(alpha_words * 1.0 / n_words, 6)
-                     END AS alpha_word_frac,
-                     stopword_hits
-              FROM m
-            )
-            SELECT *, coalesce(
-                     n_words BETWEEN 50 AND 100000
-                     AND mean_word_len BETWEEN 3 AND 10
-                     AND symbol_word_ratio <= 0.1
-                     AND bullet_line_frac <= 0.9
-                     AND ellipsis_line_frac <= 0.3
-                     AND alpha_word_frac >= 0.8
-                     AND stopword_hits >= 2, FALSE) AS gopher_ok
-            FROM r
-        """,
+        "gopher_rules": _gopher_sql(),
         "winnowing_fps": f"""
             WITH norm AS (
               SELECT doc_id, {_DK_NORM} AS t FROM documents

@@ -191,6 +191,10 @@ HEADLINE = [
     "text_normalize",
     "incremental_neardup",
     "kfold_split",
+    "gopher_rules",
+    "neardup_keep_best",
+    "jsonl_rescue",
+    "pipeline_curate_corpus",
     "kfold_balance",
     "diversity_sample_seeded",
     "knn_self_all_pairs_expr",
