@@ -707,3 +707,39 @@ def test_exact_quantiles_scalable_windows_only_within_buckets(spark, sf_dir):
 
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert m.group(1).strip(), "unpartitioned Window found"
+
+
+def test_gopher_rules_is_one_exchange_free_scan(spark, sf_dir):
+    """gopher_quality_rules is pure per-row array expressions: the plan
+    must contain NO Exchange and NO Python evaluation — at 100 TB the
+    filter pipelines into the ingest scan."""
+    from penr_oz_agent_memory_rust_spark.operators import text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = explain.physical_plan(text_ops.gopher_quality_rules(d))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_gopher_rules_prunes_to_id_and_text(spark, sf_dir):
+    """The metric expressions need only (doc_id, text): the scan must not
+    read the other document columns."""
+    from penr_oz_agent_memory_rust_spark.operators import text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = explain.physical_plan(text_ops.gopher_quality_rules(d))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "source" not in read_schema, read_schema
+
+
+def test_curate_pipeline_broadcasts_keep_list(spark, sf_dir):
+    """pipeline_curate_corpus: the gopher keep-list semi-join must
+    broadcast (the keep list is ids-only) — shuffling the corpus to
+    filter it would defeat running the filter first."""
+    import __spark_entry__ as entrymod
+
+    plan = explain.physical_plan(
+        entrymod.queries()["pipeline_curate_corpus"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
