@@ -4755,6 +4755,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
         "incremental_neardup": q_incremental_neardup,
+        "neardup_keep_best": q_neardup_keep_best,
         # --- window: ★ search / ranking
         "knn_suite": q_knn_suite,
         "bm25_search": q_bm25_search,
@@ -4774,16 +4775,15 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- window: ★ text / corpus pipeline
         "text_normalize": q_text_normalize,
         "text_profile": q_text_profile,
-        "repetition_profile": q_repetition_profile,
         "gopher_rules": q_gopher_rules,
         "winnowing_fps": q_winnowing_fps,
         "decontaminate_ngram": q_decontaminate_ngram,
-        "word_freq_topk": q_word_freq_topk,
-        "pii_scan": q_pii_scan,
+        "jsonl_rescue": q_jsonl_rescue,
         "sampling_suite": q_sampling_suite,
         "quality_quantile_filter": q_quality_quantile_filter,
         "doc_chunking": q_doc_chunking,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "pipeline_curate_corpus": q_pipeline_curate_corpus,
         # --- window: ★ multimodal plumbing
         "multimodal_features": q_multimodal_features,
         "multimodal_pipeline": q_multimodal_pipeline,
@@ -4816,12 +4816,14 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     session_touch / json_metadata_extract / projection_validate
         #     rotated out of the window in r7 (unchanged + green since r2)
         #     to make room for the three r6 flagships — still gated by the
-        #     full local verify harness every round; zscore_events rotated
-        #     out for gopher_rules on the same basis
+        #     full local verify harness every round; zscore_events /
+        #     repetition_profile / word_freq_topk / pii_scan rotated out on
+        #     the same basis for the four r7 gates (gopher_rules,
+        #     neardup_keep_best, jsonl_rescue, pipeline_curate_corpus)
         "zscore_events": q_zscore_events,
-        "neardup_keep_best": q_neardup_keep_best,
-        "jsonl_rescue": q_jsonl_rescue,
-        "pipeline_curate_corpus": q_pipeline_curate_corpus,
+        "repetition_profile": q_repetition_profile,
+        "word_freq_topk": q_word_freq_topk,
+        "pii_scan": q_pii_scan,
         "session_touch": q_session_touch,
         "json_metadata_extract": q_json_metadata_extract,
         "projection_validate": q_projection_validate,
