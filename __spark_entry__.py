@@ -2044,11 +2044,15 @@ def q_pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup canonicalization keeping each cluster's best-quality member.
     The filter runs BEFORE pair generation, so the expensive shingle
     pipeline never sees rejected docs — the ordering that matters at
-    100 TB."""
+    100 TB. It is applied as the INLINE predicate gopher_ok_expr, not a
+    keep-list semi-join: the join-back form adds a corpus-sized shuffle
+    once the id list outgrows the broadcast threshold, while the
+    predicate filters in the scan stage with zero joins (plan-pinned;
+    probe numbers in PLANS.md "Filter-first curation probe")."""
     docs = _docs(spark, sf_dir)
-    g = text_ops.gopher_quality_rules(docs, min_words=40, min_stopword_hits=1)
-    keep = g.filter("gopher_ok").select("doc_id")
-    survivors = docs.join(keep, "doc_id", "semi")
+    survivors = docs.filter(
+        text_ops.gopher_ok_expr(F.col("text"), min_words=40, min_stopword_hits=1)
+    )
     pairs = dedup.minhash_lsh_pairs(survivors, n_hashes=12, bands=4)
     return dedup.neardup_keep_best(
         survivors, pairs, text_ops.quality_score_expr(F.col("text"))

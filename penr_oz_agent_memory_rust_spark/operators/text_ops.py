@@ -459,7 +459,26 @@ def gopher_quality_rules(
     exchange, no UDF, nothing that changes shape at 100 TB; the filter
     pipelines into the ingest scan exactly like `quality_score_expr`.
     """
-    t = F.col(text_col)
+    m = _gopher_metrics(F.col(text_col))
+    profiled = docs.select(
+        F.col(id_col), *[expr.alias(name) for name, expr in m.items()]
+    )
+    ok = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return profiled.withColumn("gopher_ok", F.coalesce(ok, F.lit(False)))
+
+
+def _gopher_metrics(t: Column) -> dict[str, Column]:
+    """The gopher metric expressions keyed by output name — shared by the
+    profiling projection (gopher_quality_rules) and the inline predicate
+    (gopher_ok_expr)."""
     # any-whitespace split (NOT hashing.word_tokens' single-space split):
     # line rules imply multi-line docs, where newline-joined tokens must
     # count as separate words; identical on single-space corpora
@@ -487,26 +506,55 @@ def gopher_quality_rules(
         F.array_intersect(F.array_distinct(words), stop_arr)
     ).cast("long")
     frac = lambda num, den: F.when(den > 0, F.round(num / den, 6))  # noqa: E731
-    profiled = docs.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        frac(sum_word_len, n_words).alias("mean_word_len"),
-        frac(hash_cnt + ellipsis_cnt, n_words).alias("symbol_word_ratio"),
-        frac(bullet_lines, n_lines).alias("bullet_line_frac"),
-        frac(ellipsis_lines, n_lines).alias("ellipsis_line_frac"),
-        frac(alpha_words, n_words).alias("alpha_word_frac"),
-        stopword_hits.alias("stopword_hits"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": frac(sum_word_len, n_words),
+        "symbol_word_ratio": frac(hash_cnt + ellipsis_cnt, n_words),
+        "bullet_line_frac": frac(bullet_lines, n_lines),
+        "ellipsis_line_frac": frac(ellipsis_lines, n_lines),
+        "alpha_word_frac": frac(alpha_words, n_words),
+        "stopword_hits": stopword_hits,
+    }
+
+
+def gopher_ok_expr(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """★ gopher_quality_rules' pass/fail verdict as a single inline
+    PREDICATE — `docs.filter(gopher_ok_expr(F.col("text")))` — for
+    pipelines that only need the verdict, not the metric columns.
+
+    This form matters at scale: materializing a keep-list and semi-joining
+    it back adds a corpus-sized sort-merge shuffle once the id list
+    outgrows the broadcast threshold — cost that grows with the table —
+    while the inline predicate evaluates in the scan stage with zero
+    joins and zero exchanges (plan-pinned). At 2M docs locally the two
+    tie (the shuffle is still cheap there) and filter-first saves ~15% of
+    the downstream pair stage either way; the structural win is the
+    deleted exchange (PLANS.md "Filter-first curation probe"). Same
+    6dp-rounded threshold semantics as gopher_quality_rules (equivalence
+    test-pinned); degenerate docs fail closed."""
+    m = _gopher_metrics(text)
     ok = (
-        F.col("n_words").between(min_words, max_words)
-        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
-        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
-        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
-        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
-        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
-        & (F.col("stopword_hits") >= min_stopword_hits)
+        m["n_words"].between(min_words, max_words)
+        & m["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (m["symbol_word_ratio"] <= max_symbol_word_ratio)
+        & (m["bullet_line_frac"] <= max_bullet_line_frac)
+        & (m["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+        & (m["alpha_word_frac"] >= min_alpha_word_frac)
+        & (m["stopword_hits"] >= min_stopword_hits)
     )
-    return profiled.withColumn("gopher_ok", F.coalesce(ok, F.lit(False)))
+    return F.coalesce(ok, F.lit(False))
 
 
 def winnowing_fingerprints(

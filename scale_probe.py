@@ -1485,6 +1485,78 @@ def lake_bloom_probe() -> None:
         spark.stop()
 
 
+def curate_probe() -> None:
+    """Filter-first ordering probe (`python scale_probe.py curate`;
+    SCALE_CURATE_DOCS overrides N, default 2M): pipeline_curate_corpus
+    runs the Gopher rule-filter BEFORE MinHash pair generation, so the
+    shingle/signature pipeline never sees rejected docs. This probe
+    quantifies that claim: the skewed synthetic corpus gets a stop-word
+    tail on 60% of docs (so the REAL gopher stop-list rule drives
+    rejection), then times
+
+      - gopher scan alone (map-only, the cheap pre-filter),
+      - minhash pairs over ALL docs (filter-last ordering),
+      - gopher + minhash over the 60% survivors (filter-first).
+
+    Expected shape: the filter scan is a small constant, and the pair
+    stage cost tracks survivor count — at 100 TB the saving is the
+    rejected fraction of the dominant stage, bought for one cheap scan.
+    """
+    from penr_oz_agent_memory_rust_spark.operators import text_ops
+
+    n_docs = int(os.environ.get("SCALE_CURATE_DOCS", "2000000"))
+    spark = get_spark(app_name="poz-curate-probe")
+    import tempfile
+
+    # materialize the corpus to parquet first — the operators' real input
+    # is a stored table, and leaving the synthetic md5 text generation
+    # in-plan would re-run it once per consumer, charging corpus synthesis
+    # to whichever path has more consumers instead of measuring the
+    # operators
+    root = tempfile.mkdtemp(prefix="curateprobe-")
+    _synth_skewed_corpus(spark, n_docs).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) < 6,
+            F.concat(F.col("text"), F.lit(" the and that have with")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).write.mode("overwrite").parquet(f"{root}/docs")
+    docs = spark.read.parquet(f"{root}/docs")
+    report: dict = {"n_docs": n_docs}
+
+    def run(name, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        report[name] = round(time.time() - t0, 3)
+
+    g = text_ops.gopher_quality_rules(docs, min_words=1, min_stopword_hits=2)
+    run("gopher_scan_sec", g)
+    # the join-back (keep-list semi-join) form vs the inline predicate:
+    # past the broadcast threshold the keep list forces a corpus shuffle,
+    # the predicate filters inside the scan
+    keep = g.filter("gopher_ok").select("doc_id")
+    joined = docs.join(keep, "doc_id", "semi")
+    pred = docs.filter(
+        text_ops.gopher_ok_expr(F.col("text"), min_words=1, min_stopword_hits=2)
+    )
+    report["survivor_frac"] = round(pred.count() / n_docs, 4)
+    run(
+        "pairs_all_sec",
+        dedup.minhash_lsh_pairs(docs, n_hashes=12, bands=4, max_bucket=200),
+    )
+    run(
+        "pairs_joinback_sec",
+        dedup.minhash_lsh_pairs(joined, n_hashes=12, bands=4, max_bucket=200),
+    )
+    run(
+        "pairs_predicate_sec",
+        dedup.minhash_lsh_pairs(pred, n_hashes=12, bands=4, max_bucket=200),
+    )
+    print(json.dumps(report))
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -1672,5 +1744,7 @@ if __name__ == "__main__":
         incr_dedup_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "cdf_resync":
         cdf_resync_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "curate":
+        curate_probe()
     else:
         main()

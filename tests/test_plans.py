@@ -732,14 +732,15 @@ def test_gopher_rules_prunes_to_id_and_text(spark, sf_dir):
     assert "text" in read_schema and "source" not in read_schema, read_schema
 
 
-def test_curate_pipeline_broadcasts_keep_list(spark, sf_dir):
-    """pipeline_curate_corpus: the gopher keep-list semi-join must
-    broadcast (the keep list is ids-only) — shuffling the corpus to
-    filter it would defeat running the filter first."""
+def test_curate_pipeline_filters_inline_without_join(spark, sf_dir):
+    """pipeline_curate_corpus: the gopher filter is an inline predicate in
+    the scan stage — no SortMergeJoin anywhere (the keep-list join-back
+    shape adds a corpus shuffle once the id list outgrows broadcast; the
+    predicate form has no join to grow)."""
     import __spark_entry__ as entrymod
 
     plan = explain.physical_plan(
         entrymod.queries()["pipeline_curate_corpus"](spark, sf_dir)
     )
-    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan

@@ -320,3 +320,31 @@ def test_gopher_rules_degenerate_docs_fail_closed(spark):
         assert out[i]["mean_word_len"] is None
         assert out[i]["bullet_line_frac"] is None
         assert out[i]["gopher_ok"] is False
+
+
+def test_gopher_ok_expr_matches_profiling_form(spark):
+    texts = [
+        " ".join(["the quick brown fox jumps over that lazy dog and"] * 6),
+        "- one\n* two\n• three\nplain line",
+        "# tag # tag2 #",
+        "so... yes....",
+        "",
+        None,
+        "short",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    kw = dict(min_words=10, min_stopword_hits=1)
+    via_profile = {
+        r["doc_id"]
+        for r in text_ops.gopher_quality_rules(df, **kw).collect()
+        if r["gopher_ok"]
+    }
+    via_expr = {
+        r["doc_id"]
+        for r in df.filter(
+            text_ops.gopher_ok_expr(F.col("text"), **kw)
+        ).collect()
+    }
+    assert via_profile == via_expr
