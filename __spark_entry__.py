@@ -3879,6 +3879,51 @@ def q_jsonl_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ WebDataset export/read roundtrip: the documents table written as
+    loader-ready tar shards (two members per sample, canonicalized tar
+    metadata — operators/export.write_webdataset_shards), read back
+    through the binaryFile + mapInPandas reader, and reassembled into
+    (doc_id, text, n_chars) — text from the .txt member, n_chars parsed
+    out of the .json metadata member. The write runs fresh on every call
+    (the writer IS part of what this gate measures); the oracle is the
+    original table, so any dropped/duplicated/reordered-into-the-wrong-
+    sample member fails the value hash."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from penr_oz_agent_memory_rust_spark.operators import export as _exp
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"wds|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = f"wds|{sf_dir}"
+    path = os.path.join(
+        _tf.gettempdir(), f"__wds_{_hl.md5(ident.encode()).hexdigest()[:12]}"
+    )
+    if os.path.exists(path):
+        _sh.rmtree(path)
+    manifest = _exp.write_webdataset_shards(
+        _docs(spark, sf_dir), path, "doc_id", rows_per_shard=128, salt="wds"
+    ).collect()  # materializes the write; one row per tar, ~N/128 rows
+    assert manifest, "webdataset write produced no shards"
+    members = _exp.read_webdataset_shards(spark, path)
+    did = F.split(F.col("key"), "_").getItem(1).cast("bigint").alias("doc_id")
+    txt = members.filter(F.col("ext") == "txt").select(
+        did, F.col("data").cast("string").alias("text")
+    )
+    meta = members.filter(F.col("ext") == "json").select(
+        did,
+        F.get_json_object(F.col("data").cast("string"), "$.n_chars")
+        .cast("bigint")
+        .alias("n_chars"),
+    )
+    return txt.join(meta, "doc_id")
+
+
 def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ user-journey Markov transitions: P(next event type | current) from
     per-user lead() over (ts, event_id) order — one shuffle on user for the
@@ -4824,6 +4869,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     repetition_profile / word_freq_topk / pii_scan rotated out on
         #     the same basis for the four r7 gates (gopher_rules,
         #     neardup_keep_best, jsonl_rescue, pipeline_curate_corpus)
+        "webdataset_roundtrip": q_webdataset_roundtrip,
         "zscore_events": q_zscore_events,
         "repetition_profile": q_repetition_profile,
         "word_freq_topk": q_word_freq_topk,
@@ -6402,6 +6448,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT min_v AS component, count(*) AS cluster_size FROM (
               SELECT u, min(v) AS min_v FROM reach GROUP BY u
             ) GROUP BY min_v
+        """,
+        "webdataset_roundtrip": """
+            SELECT doc_id, text, n_chars FROM documents
         """,
         "jsonl_rescue": """
             SELECT doc_id,

@@ -195,6 +195,7 @@ HEADLINE = [
     "neardup_keep_best",
     "jsonl_rescue",
     "pipeline_curate_corpus",
+    "webdataset_roundtrip",
     "kfold_balance",
     "diversity_sample_seeded",
     "knn_self_all_pairs_expr",

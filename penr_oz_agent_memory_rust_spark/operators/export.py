@@ -188,3 +188,146 @@ def write_training_shards(
         return n_shards
     finally:
         sharded.unpersist(blocking=False)
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    rows_per_shard: int,
+    salt: str = "",
+    text_col: str = "text",
+) -> DataFrame:
+    """★ WebDataset export: the corpus as `path/shard-%06d.tar`, each
+    sample two consecutive tar members `{key}.txt` (the text) and
+    `{key}.json` (every other column as JSON) — the loader-ready format
+    multimodal training stacks stream (public WebDataset convention:
+    samples are grouped by member-name prefix, read sequentially).
+
+    Layout and determinism contract:
+      - shard/pos assignment is assign_shards' salt-parameterized global
+        shuffle (same salt => identical shards on any cluster size);
+      - member key = `{pos_in_shard:09d}_{id}`, so members are ordered and
+        sample keys are unique;
+      - tar metadata is canonicalized (mtime=0, uid/gid=0, empty
+        uname/gname, mode 0644) — the same corpus + salt yields
+        byte-identical shards, so shard md5s are reproducible artifacts
+        (test-pinned).
+
+    Scale shape: one groupBy(shard) via applyInPandas — each task
+    materializes ONE shard in memory and writes it atomically (tmp +
+    rename). Size `rows_per_shard` so a shard fits an executor (the
+    normal WebDataset 100 MB–1 GB shard sizing); the write path assumes a
+    shared/posix-visible filesystem, the same assumption the versioned
+    table layer documents. Returns the manifest as a DataFrame:
+    (shard, n_rows, n_bytes, md5) — one row per written tar."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    sharded = assign_shards(df, id_col, rows_per_shard, salt)
+    other_cols = [c for c in df.columns if c not in (text_col,)]
+    out_schema = "shard int, n_rows long, n_bytes long, md5 string"
+
+    def _write(pdf):
+        import hashlib
+        import io
+        import json as _json
+        import os as _os
+        import tarfile
+
+        import pandas as _pd
+
+        if pdf.empty:
+            return _pd.DataFrame(columns=["shard", "n_rows", "n_bytes", "md5"])
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("pos_in_shard")
+        # the closure captures `path` from the driver; workers see the
+        # same shared filesystem (documented assumption)
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                key = f"{int(d['pos_in_shard']):09d}_{d[id_col]}"
+                text = d.get(text_col)
+                meta = {
+                    c: d[c]
+                    for c in other_cols
+                    if c not in ("shard", "pos_in_shard", SHUFFLE_KEY)
+                }
+                for name, payload in (
+                    (f"{key}.txt", ("" if text is None else str(text)).encode()),
+                    (f"{key}.json", _json.dumps(meta, sort_keys=True, default=str).encode()),
+                ):
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(payload)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    info.mode = 0o644
+                    tar.addfile(info, io.BytesIO(payload))
+        blob = buf.getvalue()
+        final = _os.path.join(path, f"shard-{shard:06d}.tar")
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        _os.replace(tmp, final)
+        return _pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "n_rows": len(pdf),
+                    "n_bytes": len(blob),
+                    "md5": hashlib.md5(blob).hexdigest(),
+                }
+            ]
+        )
+
+    return sharded.groupBy("shard").applyInPandas(_write, out_schema)
+
+
+def read_webdataset_shards(spark, path: str) -> DataFrame:
+    """★ WebDataset reader (the writer's loader-parity twin): lists
+    `path/*.tar` through the binaryFile source and explodes every tar into
+    (shard, key, ext, data) member rows via one Arrow pass — mapInPandas,
+    no Python per-row overhead beyond the tar walk itself. Rebuilding
+    samples is a pivot on key (`.txt` carries text, `.json` the metadata);
+    the roundtrip gate pins write->read == original corpus against the
+    DuckDB oracle."""
+    from pyspark.sql import functions as _F
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select(_F.col("path"), _F.col("content"))
+    )
+
+    def _explode(batches):
+        import io
+        import os as _os
+        import re
+        import tarfile
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                m = re.search(r"shard-(\d+)\.tar$", _os.path.basename(row.path))
+                shard = int(m.group(1)) if m else -1
+                with tarfile.open(fileobj=io.BytesIO(row.content)) as tar:
+                    for info in tar:
+                        if not info.isfile():
+                            continue
+                        key, ext = _os.path.splitext(info.name)
+                        out.append(
+                            {
+                                "shard": shard,
+                                "key": key,
+                                "ext": ext.lstrip("."),
+                                "data": tar.extractfile(info).read(),
+                            }
+                        )
+            yield _pd.DataFrame(out, columns=["shard", "key", "ext", "data"])
+
+    return files.mapInPandas(_explode, "shard int, key string, ext string, data binary")

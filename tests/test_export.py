@@ -141,3 +141,54 @@ def test_jsonl_shards_roundtrip(spark, tmp_path):
         for r in spark.read.format("json").option("basePath", js_path).load(js_path).collect()
     }
     assert js_rows == pq_rows
+
+
+def test_webdataset_shards_deterministic_and_ordered(spark, tmp_path):
+    from penr_oz_agent_memory_rust_spark.operators import export
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", i * 10) for i in range(10)],
+        "doc_id bigint, text string, n bigint",
+    )
+    p1, p2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    m1 = {r["shard"]: r.asDict() for r in
+          export.write_webdataset_shards(docs, p1, "doc_id", 4, salt="s").collect()}
+    m2 = {r["shard"]: r.asDict() for r in
+          export.write_webdataset_shards(docs, p2, "doc_id", 4, salt="s").collect()}
+    # 10 rows / 4 per shard -> shards 0,1 full + shard 2 short
+    assert sorted(m1) == [0, 1, 2]
+    assert [m1[s]["n_rows"] for s in (0, 1, 2)] == [4, 4, 2]
+    # same corpus + salt => byte-identical tars (canonicalized metadata)
+    assert {s: m["md5"] for s, m in m1.items()} == {s: m["md5"] for s, m in m2.items()}
+
+    import tarfile
+
+    with tarfile.open(f"{p1}/shard-000000.tar") as tar:
+        names = [i.name for i in tar]
+        infos = list(tar)
+    # members arrive in sample order (pos-prefixed keys non-decreasing,
+    # both members of a sample consecutive, .txt first)
+    keys = [n.rsplit(".", 1)[0] for n in names]
+    assert keys == sorted(keys) and keys[0::2] == keys[1::2]
+    assert [n.split(".")[-1] for n in names] == ["txt", "json"] * 4
+    assert all(i.mtime == 0 and i.uid == 0 and i.uname == "" for i in infos)
+
+
+def test_webdataset_roundtrip_values(spark, tmp_path):
+    from penr_oz_agent_memory_rust_spark.operators import export
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i}", i % 3) for i in range(9)],
+        "doc_id bigint, text string, grp bigint",
+    )
+    p = str(tmp_path / "wds")
+    export.write_webdataset_shards(docs, p, "doc_id", 3, salt="x").collect()
+    members = export.read_webdataset_shards(spark, p)
+    txt = {r["key"].split("_")[1]: r["data"].decode() for r in
+           members.filter(F.col("ext") == "txt").collect()}
+    assert txt == {str(i): f"doc body {i}" for i in range(9)}
+    import json
+
+    meta = {r["key"].split("_")[1]: json.loads(r["data"]) for r in
+            members.filter(F.col("ext") == "json").collect()}
+    assert meta["4"] == {"doc_id": 4, "grp": 1}
