@@ -3879,6 +3879,29 @@ def q_jsonl_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ pre-flight skew diagnostic over the events fact, on both key
+    shapes that matter: the low-cardinality categorical (event_type — a
+    handful of heavy values) and the high-cardinality id (user_id). One
+    partial-aggregated count per key + a broadcast 1-row stats join + a
+    TakeOrderedAndProject top-10 each; the skew_factor column is the
+    salt-or-not decision input for a planned join."""
+    from penr_oz_agent_memory_rust_spark.operators import skew as _skew
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def tagged(key: str) -> DataFrame:
+        return _skew.skew_report(ev, key, 10).select(
+            F.lit(key).alias("key_name"),
+            F.col(key).cast("string").alias("key"),
+            "cnt",
+            "frac",
+            "skew_factor",
+        )
+
+    return tagged("event_type").unionByName(tagged("user_id"))
+
+
 def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ WebDataset export/read roundtrip: the documents table written as
     loader-ready tar shards (two members per sample, canonicalized tar
@@ -4870,6 +4893,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     the same basis for the four r7 gates (gopher_rules,
         #     neardup_keep_best, jsonl_rescue, pipeline_curate_corpus)
         "webdataset_roundtrip": q_webdataset_roundtrip,
+        "skew_report": q_skew_report,
         "zscore_events": q_zscore_events,
         "repetition_profile": q_repetition_profile,
         "word_freq_topk": q_word_freq_topk,
@@ -6451,6 +6475,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "webdataset_roundtrip": """
             SELECT doc_id, text, n_chars FROM documents
+        """,
+        "skew_report": """
+            WITH rep AS (
+              SELECT 'event_type' AS key_name, event_type::VARCHAR AS k,
+                     cnt, total, n_keys, rnk FROM (
+                SELECT event_type, count(*) AS cnt,
+                       sum(count(*)) OVER () AS total,
+                       count(*) OVER () AS n_keys,
+                       row_number() OVER (ORDER BY count(*) DESC, event_type)
+                         AS rnk
+                FROM events GROUP BY event_type)
+              UNION ALL
+              SELECT 'user_id', user_id::VARCHAR, cnt, total, n_keys, rnk
+              FROM (
+                SELECT user_id, count(*) AS cnt,
+                       sum(count(*)) OVER () AS total,
+                       count(*) OVER () AS n_keys,
+                       row_number() OVER (ORDER BY count(*) DESC, user_id)
+                         AS rnk
+                FROM events GROUP BY user_id)
+            )
+            SELECT key_name, k AS key, cnt,
+                   round(cnt * 1.0 / total, 6) AS frac,
+                   round(cnt * n_keys * 1.0 / total, 6) AS skew_factor
+            FROM rep WHERE rnk <= 10
         """,
         "jsonl_rescue": """
             SELECT doc_id,

@@ -196,6 +196,7 @@ HEADLINE = [
     "jsonl_rescue",
     "pipeline_curate_corpus",
     "webdataset_roundtrip",
+    "skew_report",
     "kfold_balance",
     "diversity_sample_seeded",
     "knn_self_all_pairs_expr",

@@ -46,3 +46,34 @@ def salted_count_by_key(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
         .agg(F.count("*").alias("__partial"))
     )
     return partial.groupBy(key).agg(F.sum("__partial").alias("count"))
+
+
+def skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """★ pre-flight join/agg skew diagnostic: the top_n heaviest values of
+    `key` with their row count, share of the table, and skew factor
+    (count / mean-count-per-key) — the number that says whether a planned
+    join on `key` needs salting (skew_factor in the hundreds), AQE's
+    skew-join split (tens), or nothing. Running this BEFORE a 100 TB join
+    costs one partial-aggregated count; discovering skew from a straggler
+    task costs the job.
+
+    Shape: groupBy(key).count (map-side combinable; the exchange carries
+    one row per distinct key), a 1-row global stats aggregate broadcast
+    back, and a TakeOrderedAndProject for the top-N — no window, no sort
+    of the full key set. Output: (key, cnt, frac, skew_factor), count
+    desc, key asc on ties; fractions 6dp for the oracle."""
+    from penr_oz_agent_memory_rust_spark.operators import topk
+
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("__total"), F.count("*").alias("__n_keys")
+    )
+    scored = counts.crossJoin(F.broadcast(stats)).select(
+        key,
+        "cnt",
+        F.round(F.col("cnt") * 1.0 / F.col("__total"), 6).alias("frac"),
+        F.round(
+            F.col("cnt") * F.col("__n_keys") * 1.0 / F.col("__total"), 6
+        ).alias("skew_factor"),
+    )
+    return topk.top_k(scored, "cnt", top_n, tiebreak=key)
