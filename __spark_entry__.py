@@ -2831,15 +2831,44 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_asof_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """★ as-of join both modes in one gate: plain latest-order and the
-    staleness-tolerance form (pandas merge_asof semantics)."""
+    """★ as-of join, all four modes in one gate: plain latest-order
+    (backward), the staleness-tolerance form, and the r7 forward /
+    nearest directions — full pandas merge_asof parity."""
+    from penr_oz_agent_memory_rust_spark.operators.asof import asof_join
+
     latest = q_asof_latest_order(spark, sf_dir).select(
         F.lit("latest").alias("variant"), "event_id", "user_id", "o_orderkey", "o_orderdate"
     )
     tol = q_asof_tolerance_order(spark, sf_dir).select(
         F.lit("tolerance").alias("variant"), "event_id", "user_id", "o_orderkey", "o_orderdate"
     )
-    return latest.unionByName(tol)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+
+    def directed(direction: str) -> DataFrame:
+        return asof_join(
+            ev,
+            orders,
+            key="user_id",
+            left_time="ts",
+            right_time="o_orderdate",
+            right_cols=["o_orderkey", "o_orderdate"],
+            tiebreak="o_orderkey",
+            keep_unmatched=False,
+            direction=direction,
+        ).select(
+            F.lit(direction).alias("variant"),
+            "event_id",
+            "user_id",
+            "o_orderkey",
+            "o_orderdate",
+        )
+
+    return latest.unionByName(tol).unionByName(directed("forward")).unionByName(
+        directed("nearest")
+    )
 
 
 def q_tpch_q6_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7021,15 +7050,40 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
               FROM events e
               JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-            )
+            ), candf AS (
+              SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+            ), b1 AS (SELECT * FROM cand WHERE rn = 1),
+               f1 AS (SELECT * FROM candf WHERE rn = 1)
             SELECT 'latest' AS variant, event_id, user_id, o_orderkey, o_orderdate
-            FROM cand WHERE rn = 1
+            FROM b1
             UNION ALL
             SELECT 'tolerance' AS variant, event_id, user_id, o_orderkey, o_orderdate
-            FROM cand
-            WHERE rn = 1
-              AND CAST(floor(epoch(ts)) AS BIGINT)
+            FROM b1
+            WHERE CAST(floor(epoch(ts)) AS BIGINT)
                   - CAST(floor(epoch(o_orderdate)) AS BIGINT) <= 8370 * 86400
+            UNION ALL
+            SELECT 'forward' AS variant, event_id, user_id, o_orderkey, o_orderdate
+            FROM f1
+            UNION ALL
+            SELECT 'nearest' AS variant, e.event_id, e.user_id,
+                   CASE WHEN b.o_orderkey IS NULL THEN f.o_orderkey
+                        WHEN f.o_orderkey IS NULL THEN b.o_orderkey
+                        WHEN epoch(e.ts) - epoch(b.o_orderdate)
+                             <= epoch(f.o_orderdate) - epoch(e.ts)
+                        THEN b.o_orderkey ELSE f.o_orderkey END AS o_orderkey,
+                   CASE WHEN b.o_orderkey IS NULL THEN f.o_orderdate
+                        WHEN f.o_orderkey IS NULL THEN b.o_orderdate
+                        WHEN epoch(e.ts) - epoch(b.o_orderdate)
+                             <= epoch(f.o_orderdate) - epoch(e.ts)
+                        THEN b.o_orderdate ELSE f.o_orderdate END AS o_orderdate
+            FROM events e
+            LEFT JOIN b1 b ON b.event_id = e.event_id
+            LEFT JOIN f1 f ON f.event_id = e.event_id
+            WHERE coalesce(b.o_orderkey, f.o_orderkey) IS NOT NULL
         """,
         "tpch_q6_q14": """
             SELECT 'q6' AS q, round(sum(l_extendedprice * l_discount), 4) AS value,

@@ -28,6 +28,7 @@ def asof_join(
     tiebreak: str | None = None,
     keep_unmatched: bool = True,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Returns `left` columns plus the as-of values of `right_cols`.
 
@@ -39,7 +40,19 @@ def asof_join(
     is dropped under `keep_unmatched=False`. The staleness check is a
     post-window filter on the carried right time, so the plan cost is
     unchanged: still one shuffle, one sort.
-    """
+
+    `direction` completes merge_asof parity: "backward" (default) matches
+    the latest right row at-or-before left_time; "forward" the earliest
+    at-or-after (implemented as backward over DESCENDING time — the same
+    carry-forward window, reversed sort, so equal-time rights stay
+    inclusive and the larger-tiebreak-wins rule is uniform); "nearest"
+    computes both and picks the smaller time distance, backward on ties
+    (pandas semantics). Nearest costs one shuffle and TWO sorts (the two
+    window orderings share the partitioning exchange)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     tiebreak = tiebreak or right_cols[0]
     r_types = dict(right.dtypes)
     # the whole matched right row travels as ONE struct (its columns plus its
@@ -74,32 +87,55 @@ def asof_join(
         ).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
-    # right rows (src=0) sort before left rows at equal time => `<=`;
-    # among equal (k, t, src) right rows, larger tiebreak comes later and
-    # wins the last_value carry-forward.
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__src").asc(), F.col("__tb").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.select(
-        "__src",
-        "__t",
-        "__l",
-        F.last("__r", ignorenulls=True).over(w).alias("__rv"),
-    ).filter(F.col("__src") == 1)
-    if tolerance_seconds is not None:
-        # double-cast keeps sub-second staleness (unix_timestamp truncates)
-        fresh = (
-            F.col("__t").cast("timestamp").cast("double")
-            - F.col("__rv.__rt").cast("timestamp").cast("double")
-        ) <= F.lit(float(tolerance_seconds))
-        carried = carried.select(
-            "__src",
-            "__t",
-            "__l",
-            F.when(fresh, F.col("__rv")).alias("__rv"),
+
+    # right rows (src=0) sort before left rows at equal time => inclusive
+    # match in BOTH directions; among equal (k, t, src) right rows, larger
+    # tiebreak comes later and wins the last_value carry-forward.
+    def carried_col(time_asc: bool):
+        t_ord = F.col("__t").asc() if time_asc else F.col("__t").desc()
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(t_ord, F.col("__src").asc(), F.col("__tb").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
+        return F.last("__r", ignorenulls=True).over(w)
+
+    picks = []
+    if direction in ("backward", "nearest"):
+        picks.append(carried_col(True).alias("__rb"))
+    if direction in ("forward", "nearest"):
+        picks.append(carried_col(False).alias("__rf"))
+    carried = unioned.select("__src", "__t", "__l", *picks).filter(
+        F.col("__src") == 1
+    )
+    # double-cast keeps sub-second staleness (unix_timestamp truncates)
+    tsec = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+    if tolerance_seconds is not None:
+        tol = F.lit(float(tolerance_seconds))
+        if direction in ("backward", "nearest"):
+            carried = carried.withColumn(
+                "__rb",
+                F.when(tsec(F.col("__t")) - tsec(F.col("__rb.__rt")) <= tol, F.col("__rb")),
+            )
+        if direction in ("forward", "nearest"):
+            carried = carried.withColumn(
+                "__rf",
+                F.when(tsec(F.col("__rf.__rt")) - tsec(F.col("__t")) <= tol, F.col("__rf")),
+            )
+    if direction == "backward":
+        rv = F.col("__rb")
+    elif direction == "forward":
+        rv = F.col("__rf")
+    else:
+        dist_b = tsec(F.col("__t")) - tsec(F.col("__rb.__rt"))
+        dist_f = tsec(F.col("__rf.__rt")) - tsec(F.col("__t"))
+        rv = (
+            F.when(F.col("__rb").isNull(), F.col("__rf"))
+            .when(F.col("__rf").isNull(), F.col("__rb"))
+            .when(dist_b <= dist_f, F.col("__rb"))
+            .otherwise(F.col("__rf"))
+        )
+    carried = carried.withColumn("__rv", rv)
     out = carried.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[F.col(f"__rv.{c}").alias(c) for c in right_cols],

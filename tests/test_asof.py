@@ -114,3 +114,79 @@ def test_asof_tolerance_inner_drops_stale(spark):
         right_cols=["rid", "val"], tolerance_seconds=1000, keep_unmatched=False,
     ).collect()
     assert [r["name"] for r in out] == ["fresh"]
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "e1"), (1, ts(5), "e2"), (2, ts(30), "e3")],
+        "k bigint, t timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(4), 100, 1.0),   # before both: never forward-eligible
+            (1, ts(5), 101, 2.0),   # equal time: eligible (>=) for e2
+            (1, ts(12), 102, 3.0),
+            (2, ts(20), 200, 9.0),  # before e3: not eligible
+        ],
+        "k bigint, rt timestamp, rid bigint, val double",
+    )
+    out = {
+        r["name"]: (r["rid"], r["val"])
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            right_cols=["rid", "val"], tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    assert out["e1"] == (102, 3.0)   # earliest at-or-after t=10
+    assert out["e2"] == (101, 2.0)   # equal-time row eligible
+    assert out["e3"] == (None, None)  # only past rows
+
+
+def test_asof_forward_tolerance_and_tiebreak(spark):
+    left = spark.createDataFrame([(1, ts(10), "e")], "k bigint, t timestamp, name string")
+    right = spark.createDataFrame(
+        [(1, ts(40), 7, 1.0), (1, ts(40), 9, 2.0)],
+        "k bigint, rt timestamp, rid bigint, val double",
+    )
+    hit = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_cols=["rid", "val"], tiebreak="rid", direction="forward",
+        tolerance_seconds=30,
+    ).first()
+    assert hit["rid"] == 9  # larger tiebreak wins in both directions
+    stale = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_cols=["rid", "val"], tiebreak="rid", direction="forward",
+        tolerance_seconds=29,
+    ).first()
+    assert stale["rid"] is None
+
+
+def test_asof_nearest_distance_and_backward_ties(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "near_fwd"), (1, ts(20), "near_bwd"), (1, ts(31), "tie")],
+        "k bigint, t timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(2), 1, 1.0), (1, ts(13), 2, 2.0), (1, ts(49), 3, 3.0)],
+        "k bigint, rt timestamp, rid bigint, val double",
+    )
+    out = {
+        r["name"]: r["rid"]
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            right_cols=["rid", "val"], tiebreak="rid", direction="nearest",
+        ).collect()
+    }
+    assert out["near_fwd"] == 2  # 13 is 3 away, 2 is 8 away
+    assert out["near_bwd"] == 2  # 13 is 7 away, 49 is 29 away
+    assert out["tie"] == 2       # 18 back vs 18 forward: backward wins
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, ts(1), "e")], "k bigint, t timestamp, name string")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, key="k", left_time="t", right_time="t",
+                  right_cols=["name"], direction="sideways")
