@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | list[str],
     left_time: str,
     right_time: str,
     right_cols: list[str],
@@ -29,6 +29,7 @@ def asof_join(
     keep_unmatched: bool = True,
     tolerance_seconds: int | None = None,
     direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """Returns `left` columns plus the as-of values of `right_cols`.
 
@@ -48,11 +49,20 @@ def asof_join(
     inclusive and the larger-tiebreak-wins rule is uniform); "nearest"
     computes both and picks the smaller time distance, backward on ties
     (pandas semantics). Nearest costs one shuffle and TWO sorts (the two
-    window orderings share the partitioning exchange)."""
+    window orderings share the partitioning exchange).
+
+    `key` may be a list (pandas `by=[...]`): multi-column grouping packs
+    into one struct partition key — still a single shuffle.
+    `allow_exact_matches=False` makes the time comparison STRICT (< / >):
+    implemented purely in the union-sort order — left rows sort BEFORE
+    right rows at equal time, so an equal-time right falls outside the
+    carry-forward frame in either direction."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    keys = [key] if isinstance(key, str) else list(key)
+    key_expr = F.col(keys[0]) if len(keys) == 1 else F.struct(*keys)
     tiebreak = tiebreak or right_cols[0]
     r_types = dict(right.dtypes)
     # the whole matched right row travels as ONE struct (its columns plus its
@@ -66,7 +76,7 @@ def asof_join(
         + ">"
     )
     l_tag = left.select(
-        F.col(key).alias("__k"),
+        key_expr.alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__src"),
         F.lit(None).cast(r_types[tiebreak]).alias("__tb"),
@@ -74,7 +84,7 @@ def asof_join(
         F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tag = right.select(
-        F.col(key).alias("__k"),
+        key_expr.alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__src"),
         F.col(tiebreak).alias("__tb"),
@@ -88,14 +98,18 @@ def asof_join(
     )
     unioned = l_tag.unionByName(r_tag)
 
-    # right rows (src=0) sort before left rows at equal time => inclusive
-    # match in BOTH directions; among equal (k, t, src) right rows, larger
-    # tiebreak comes later and wins the last_value carry-forward.
+    # with exact matches allowed, right rows (src=0) sort before left rows
+    # at equal time => inclusive match in BOTH directions; strict mode
+    # flips that order so equal-time rights fall outside the frame. Among
+    # equal (k, t, src) right rows, larger tiebreak comes later and wins
+    # the last_value carry-forward.
+    src_ord = F.col("__src").asc() if allow_exact_matches else F.col("__src").desc()
+
     def carried_col(time_asc: bool):
         t_ord = F.col("__t").asc() if time_asc else F.col("__t").desc()
         w = (
             Window.partitionBy("__k")
-            .orderBy(t_ord, F.col("__src").asc(), F.col("__tb").asc_nulls_first())
+            .orderBy(t_ord, src_ord, F.col("__tb").asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         return F.last("__r", ignorenulls=True).over(w)

@@ -190,3 +190,39 @@ def test_asof_rejects_bad_direction(spark):
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, left, key="k", left_time="t", right_time="t",
                   right_cols=["name"], direction="sideways")
+
+
+def test_asof_strict_excludes_exact_matches(spark):
+    left = spark.createDataFrame([(1, ts(10), "e")], "k bigint, t timestamp, name string")
+    right = spark.createDataFrame(
+        [(1, ts(10), 5, 1.0), (1, ts(8), 4, 2.0), (1, ts(12), 6, 3.0)],
+        "k bigint, rt timestamp, rid bigint, val double",
+    )
+    kw = dict(key="k", left_time="t", right_time="rt",
+              right_cols=["rid", "val"], tiebreak="rid")
+    assert asof_join(left, right, **kw).first()["rid"] == 5  # inclusive
+    strict_b = asof_join(left, right, allow_exact_matches=False, **kw).first()
+    assert strict_b["rid"] == 4  # equal-time row skipped, strictly before
+    strict_f = asof_join(
+        left, right, direction="forward", allow_exact_matches=False, **kw
+    ).first()
+    assert strict_f["rid"] == 6  # strictly after
+
+
+def test_asof_multi_column_by_keys(spark):
+    left = spark.createDataFrame(
+        [(1, "x", ts(10), "a"), (1, "y", ts(10), "b")],
+        "k1 bigint, k2 string, t timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", ts(5), 100, 1.0), (1, "y", ts(6), 200, 2.0)],
+        "k1 bigint, k2 string, rt timestamp, rid bigint, val double",
+    )
+    out = {
+        r["name"]: r["rid"]
+        for r in asof_join(
+            left, right, key=["k1", "k2"], left_time="t", right_time="rt",
+            right_cols=["rid", "val"], tiebreak="rid",
+        ).collect()
+    }
+    assert out == {"a": 100, "b": 200}  # never crosses the (k1,k2) group
