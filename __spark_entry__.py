@@ -493,6 +493,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
 
+def q_minhash_est_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ LSH candidates with the signature-agreement Jaccard estimate
+    (Broder 1997) — the cheap middle tier between banding and the exact
+    ngram verify; candidate set identical to dedup_minhash_lsh's."""
+    return dedup.minhash_est_pairs(_docs(spark, sf_dir), n_hashes=12, bands=4)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ SimHash duplicate groups (16-bit signatures, hamming-0)."""
     return dedup.simhash_dup_groups(_docs(spark, sf_dir), bits=16)
@@ -4923,6 +4930,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     neardup_keep_best, jsonl_rescue, pipeline_curate_corpus)
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "skew_report": q_skew_report,
+        "minhash_est_pairs": q_minhash_est_pairs,
         "zscore_events": q_zscore_events,
         "repetition_profile": q_repetition_profile,
         "word_freq_topk": q_word_freq_topk,
@@ -5468,6 +5476,40 @@ def _gopher_sql(
                      AND alpha_word_frac >= 0.8
                      AND stopword_hits >= {min_stopword_hits}, FALSE) AS gopher_ok
             FROM r
+        """
+
+
+def _minhash_est_sql(n_hashes: int = 12, bands: int = 4) -> str:
+    """DuckDB mirror of minhash_est_pairs: same md5-slice signatures and
+    banding as _minhash_reach_cte (hex-slice equality == bigint equality,
+    so the agreement count matches the Spark conv()'d form exactly)."""
+    r = n_hashes // bands
+    sig_cols = ", ".join(
+        f"min(substring(md5('{j // 6}|' || s), {1 + 5 * (j % 6)}, 5)) AS h{j}"
+        for j in range(n_hashes)
+    )
+    band_cols = ", ".join(
+        "'" + str(b) + ":' || " + " || ".join(f"h{b * r + j}" for j in range(r))
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(n_hashes)
+    )
+    return f"""
+            WITH sigsh AS (
+              SELECT doc_id, unnest(list_distinct({_DK_SHINGLES3})) AS s FROM documents
+            ), sig AS (
+              SELECT doc_id, {sig_cols} FROM sigsh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([{band_cols}]) AS bucket FROM sig
+            ), pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+            )
+            SELECT p.a, p.b, round(({agree}) / {n_hashes}.0, 6) AS est_jaccard
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.a
+            JOIN sig sb ON sb.doc_id = p.b
         """
 
 
@@ -6505,6 +6547,7 @@ def oracle_sql() -> dict[str, str]:
         "webdataset_roundtrip": """
             SELECT doc_id, text, n_chars FROM documents
         """,
+        "minhash_est_pairs": _minhash_est_sql(12, 4),
         "skew_report": """
             WITH rep AS (
               SELECT 'event_type' AS key_name, event_type::VARCHAR AS k,

@@ -197,6 +197,7 @@ HEADLINE = [
     "pipeline_curate_corpus",
     "webdataset_roundtrip",
     "skew_report",
+    "minhash_est_pairs",
     "kfold_balance",
     "diversity_sample_seeded",
     "knn_self_all_pairs_expr",

@@ -175,6 +175,89 @@ def minhash_signatures(
     return grouped.groupBy(id_col).agg(*aggs)
 
 
+def minhash_est_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.0,
+    max_bucket: int | None = None,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """★ LSH candidate pairs WITH the signature-agreement Jaccard
+    ESTIMATE: est_jaccard = fraction of the n_hashes minhash functions on
+    which the two docs agree — an unbiased estimator of the true shingle
+    Jaccard (Broder 1997, public), computed from the sketch the banding
+    already built. The missing middle tier of the dedup funnel:
+
+        LSH candidates  →  est_jaccard >= threshold  →  exact ngram verify
+
+    The estimate costs NO shingle re-expansion and no exact set
+    intersection — at 100 TB the exact verify (ngram_jaccard_pairs) is a
+    second full shingle pass over the corpus, while this filter is two
+    id-equi-joins of the (tiny) pair list against the one-row-per-doc
+    signature table, so it prunes the verify set for the cost of a
+    broadcast join.
+
+    Shape: ONE shingle pass builds the signatures; the frame is eagerly
+    localCheckpoint-ed (same scoping as the capped ngram path — released
+    by the ContextCleaner when the caller drops the result) because it
+    feeds the band expansion and both join probes. Buckets group by the
+    per-band signature slice tuple, so the candidate set is EXACTLY
+    minhash_lsh_pairs' (same slices, same banding; encoding differs but
+    the equivalence classes are identical). Output: (a, b, est_jaccard),
+    a < b, est rounded 6dp."""
+    if n_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
+    r = n_hashes // bands
+    sigs = minhash_signatures(
+        docs, id_col, text_col, n_hashes, shingle_words
+    ).localCheckpoint(eager=True)
+    band_cols = [
+        F.concat_ws(
+            ":", F.lit(str(b)), *[F.col(f"h{b * r + j}").cast("string") for j in range(r)]
+        )
+        for b in range(bands)
+    ]
+    members = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        members = members.filter(F.size("ids") <= max_bucket)
+    pairs = (
+        members.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("a"), *[F.col(f"h{j}").alias(f"__ah{j}") for j in range(n_hashes)]
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("b"), *[F.col(f"h{j}").alias(f"__bh{j}") for j in range(n_hashes)]
+    )
+    agree = sum(
+        (F.col(f"__ah{j}") == F.col(f"__bh{j}")).cast("int") for j in range(n_hashes)
+    )
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(agree / F.lit(float(n_hashes)), 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def minhash_band_members(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -682,3 +682,41 @@ def test_neardup_keep_best_clusters_singletons_and_ties(spark):
     assert out[3]["score"] == 6.0
     assert out[4]["component"] == 4 and out[4]["cluster_size"] == 2
     assert out[6]["component"] == 6 and out[6]["cluster_size"] == 1
+
+
+def test_minhash_est_pairs_matches_lsh_candidates_and_signature_agreement(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    est = dedup.minhash_est_pairs(docs, n_hashes=12, bands=4)
+    rows = {(r["a"], r["b"]): r["est_jaccard"] for r in est.collect()}
+    lsh = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_pairs(docs, n_hashes=12, bands=4).collect()
+    }
+    assert set(rows) == lsh  # identical candidate set (same slices, same bands)
+    sigs = {
+        r["doc_id"]: [r[f"h{j}"] for j in range(12)]
+        for r in dedup.minhash_signatures(docs, n_hashes=12).collect()
+    }
+    for (a, b), e in rows.items():
+        agree = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        assert e == round(agree / 12.0, 6), (a, b)
+    # banding guarantees >= one full band agrees => est >= 1/bands... only
+    # if the matching band's rows are the agreeing functions; pin the
+    # weaker invariant that every candidate shares >= r agreeing hashes
+    assert all(e >= round(3 / 12.0, 6) for e in rows.values())
+
+
+def test_minhash_est_pairs_threshold_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "zz yy xx ww vv uu")],
+        "doc_id bigint, text string",
+    )
+    out = dedup.minhash_est_pairs(docs, n_hashes=12, bands=4, threshold=0.99).collect()
+    assert [(r["a"], r["b"], r["est_jaccard"])] == [(1, 2, 1.0)] if (r := out[0]) else False
+    assert len(out) == 1
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_est_pairs(docs, n_hashes=12, bands=5)
