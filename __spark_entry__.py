@@ -500,6 +500,13 @@ def q_minhash_est_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_est_pairs(_docs(spark, sf_dir), n_hashes=12, bands=4)
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ est-vs-exact Jaccard calibration per estimate value over the
+    full candidate set — the threshold-tuning table (tiny: at 12 hashes
+    the estimate takes 13 possible values)."""
+    return dedup.minhash_calibration(_docs(spark, sf_dir), n_hashes=12, bands=4)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ SimHash duplicate groups (16-bit signatures, hamming-0)."""
     return dedup.simhash_dup_groups(_docs(spark, sf_dir), bits=16)
@@ -4931,6 +4938,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "skew_report": q_skew_report,
         "minhash_est_pairs": q_minhash_est_pairs,
+        "minhash_calibration": q_minhash_calibration,
         "zscore_events": q_zscore_events,
         "repetition_profile": q_repetition_profile,
         "word_freq_topk": q_word_freq_topk,
@@ -6548,6 +6556,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, n_chars FROM documents
         """,
         "minhash_est_pairs": _minhash_est_sql(12, 4),
+        "minhash_calibration": f"""
+            WITH e AS ({_minhash_est_sql(12, 4)}),
+            sets AS (
+              SELECT doc_id, list_distinct({_DK_SHINGLES3}) AS shs FROM documents
+            ), px AS (
+              SELECT e.est_jaccard,
+                     round(len(list_intersect(sa.shs, sb.shs)) * 1.0
+                           / (len(sa.shs) + len(sb.shs)
+                              - len(list_intersect(sa.shs, sb.shs))), 6) AS exact
+              FROM e
+              JOIN sets sa ON sa.doc_id = e.a
+              JOIN sets sb ON sb.doc_id = e.b
+            )
+            SELECT est_jaccard, count(*) AS n_pairs,
+                   round(avg(exact), 6) AS mean_exact,
+                   min(exact) AS min_exact, max(exact) AS max_exact
+            FROM px GROUP BY est_jaccard
+        """,
         "skew_report": """
             WITH rep AS (
               SELECT 'event_type' AS key_name, event_type::VARCHAR AS k,

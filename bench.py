@@ -198,6 +198,7 @@ HEADLINE = [
     "webdataset_roundtrip",
     "skew_report",
     "minhash_est_pairs",
+    "minhash_calibration",
     "kfold_balance",
     "diversity_sample_seeded",
     "knn_self_all_pairs_expr",

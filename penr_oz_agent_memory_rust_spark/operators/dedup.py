@@ -258,6 +258,57 @@ def minhash_est_pairs(
     )
 
 
+def minhash_calibration(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_words: int = 3,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """★ estimator calibration: for every (optionally sampled) LSH
+    candidate pair, the signature-agreement ESTIMATE joined with the
+    EXACT shingle Jaccard, aggregated per estimate value — the table that
+    answers "what threshold on est_jaccard gives the precision I want ON
+    THIS CORPUS" with measurements instead of the Broder variance bound.
+    With n_hashes functions the estimate takes only n_hashes+1 values, so
+    the output is a tiny (est, n_pairs, mean/min/max exact) table.
+
+    `sample_mod`: keep only pairs with md5(a:b) % sample_mod == 0 — a
+    deterministic pair sample so the exact-Jaccard side (the expensive
+    leg) is bounded at corpus scale; the estimate distribution is
+    unbiased under hash sampling. This is an offline TUNING tool: it runs
+    the shingle pipeline once for signatures and once per join side for
+    the exact sets — don't put it on the ingest path; run it on a sample,
+    pick thresholds, and ship those."""
+    est = minhash_est_pairs(
+        docs, id_col, text_col, n_hashes, bands, shingle_words=shingle_words
+    )
+    if sample_mod is not None:
+        pk = F.concat(F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string"))
+        est = est.filter(F.pmod(hashing.md5_long(pk), F.lit(sample_mod)) == 0)
+    sets = _shingle_arrays(docs, id_col, text_col, shingle_words, "word")
+    sa = sets.select(F.col("did").alias("a"), F.col("shs").alias("__sa"))
+    sb = sets.select(F.col("did").alias("b"), F.col("shs").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    exact = F.round(
+        inter / (F.size("__sa") + F.size("__sb") - inter), 6
+    ).alias("__exact")
+    return (
+        est.join(sa, "a")
+        .join(sb, "b")
+        .select("est_jaccard", exact)
+        .groupBy("est_jaccard")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("__exact"), 6).alias("mean_exact"),
+            F.min("__exact").alias("min_exact"),
+            F.max("__exact").alias("max_exact"),
+        )
+    )
+
+
 def minhash_band_members(
     docs: DataFrame,
     id_col: str = "doc_id",

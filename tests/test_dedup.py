@@ -720,3 +720,39 @@ def test_minhash_est_pairs_threshold_and_validation(spark):
     assert len(out) == 1
     with pytest.raises(ValueError, match="divide"):
         dedup.minhash_est_pairs(docs, n_hashes=12, bands=5)
+
+
+def test_minhash_calibration_hand_checked(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),       # exact dup of 1: est 1.0, exact 1.0
+            (3, "a b c d e f g zz"),      # near dup of 1/2
+            (4, "q w r t y u i o"),       # unrelated
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["est_jaccard"]: r.asDict()
+            for r in dedup.minhash_calibration(docs, n_hashes=12, bands=4).collect()}
+    assert rows[1.0]["n_pairs"] == 1 and rows[1.0]["mean_exact"] == 1.0
+    # every candidate's exact jaccard is within [min, max] and means are
+    # bounded by them
+    for r in rows.values():
+        assert r["min_exact"] <= r["mean_exact"] <= r["max_exact"]
+
+
+def test_minhash_calibration_sample_is_deterministic_subset(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    full = dedup.minhash_calibration(docs, n_hashes=12, bands=4)
+    sampled = dedup.minhash_calibration(docs, n_hashes=12, bands=4, sample_mod=2)
+    n_full = sum(r["n_pairs"] for r in full.collect())
+    s1 = {tuple(r) for r in sampled.collect()}
+    s2 = {tuple(r) for r in dedup.minhash_calibration(
+        docs, n_hashes=12, bands=4, sample_mod=2).collect()}
+    assert s1 == s2  # same hash sample every run
+    n_sampled = sum(r[1] for r in s1)
+    assert 0 < n_sampled < n_full
