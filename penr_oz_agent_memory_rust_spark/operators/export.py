@@ -267,10 +267,25 @@ def write_webdataset_shards(
                     tar.addfile(info, io.BytesIO(payload))
         blob = buf.getvalue()
         final = _os.path.join(path, f"shard-{shard:06d}.tar")
-        tmp = final + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        _os.replace(tmp, final)
+        # attempt-unique tmp: concurrent attempts for the same shard
+        # (speculation / retry after partial failure) must never interleave
+        # writes into one tmp file before os.replace publishes it, so the
+        # tmp name carries this attempt's identity, not just the shard's
+        import tempfile as _tmpf
+
+        fd, tmp = _tmpf.mkstemp(
+            prefix=f"shard-{shard:06d}.", suffix=".tmp", dir=path
+        )
+        try:
+            with _os.fdopen(fd, "wb") as f:
+                f.write(blob)
+            _os.replace(tmp, final)
+        except BaseException:
+            try:
+                _os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         return _pd.DataFrame(
             [
                 {

@@ -72,8 +72,10 @@ def skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
         key,
         "cnt",
         F.round(F.col("cnt") * 1.0 / F.col("__total"), 6).alias("frac"),
+        # cnt goes double BEFORE multiplying by n_keys: a long*long product
+        # first would silently overflow at ~1e12 rows x 1e7 keys (ADVICE r7)
         F.round(
-            F.col("cnt") * F.col("__n_keys") * 1.0 / F.col("__total"), 6
+            F.col("cnt") * 1.0 / F.col("__total") * F.col("__n_keys"), 6
         ).alias("skew_factor"),
     )
     return topk.top_k(scored, "cnt", top_n, tiebreak=key)
