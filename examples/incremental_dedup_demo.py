@@ -60,11 +60,20 @@ def main() -> None:
     index = VersionedParquetTable(spark, os.path.join(root, "band_index"), BANDS_SCHEMA)
     counts = VersionedParquetTable(spark, os.path.join(root, "bucket_counts"), COUNTS_SCHEMA)
 
-    # day 0: bootstrap the seed corpus (70% of docs)
+    # day 0: bootstrap the seed corpus (70% of docs). The companion is
+    # written CNT-CLUSTERED (range-partitioned + sorted by cnt) so each
+    # file carries a tight [min,max] on cnt and the operator's heavy-tail
+    # predicate (cnt > max_bucket - b_max) prunes to the few heavy files.
     seed = docs.filter(F.col("doc_id") % 10 < 7)
     seed_bands = dedup.lsh_band_rows(seed, n_hashes=12, bands=4)
     index.append(seed_bands, txn_app="crawl-dedup", txn_id=0)
-    counts.append(dedup.lsh_bucket_counts(seed_bands), txn_app="crawl-dedup", txn_id=0)
+    counts.append(
+        dedup.lsh_bucket_counts(seed_bands)
+        .repartitionByRange(4, "cnt")
+        .sortWithinPartitions("cnt"),
+        txn_app="crawl-dedup",
+        txn_id=0,
+    )
     print(f"day 0: indexed {index.count_rows()} band rows, "
           f"{counts.count_rows()} distinct buckets")
 
@@ -92,6 +101,28 @@ def main() -> None:
         counts.merge_upsert(touched, ["bucket"], txn_app="crawl-dedup-cnt", txn_id=day)
         print(f"day {day}: batch={batch.count()} docs, candidates={n_cands}, "
               f"index v{index.current_version()} rows={index.count_rows()}")
+
+    # Maintenance: merge_upsert rewrites matched files with MIXED cnt
+    # ranges, so the cnt-clustering the heavy-tail pushdown relies on
+    # decays over days — periodically re-cluster with the layer's own
+    # OPTIMIZE (a metadata commit + rewrite; readers keep snapshot
+    # isolation). Assert the pruning payoff is real: after re-cluster the
+    # heavy-tail predicate must skip files (kept < total).
+    # stand-in for max_bucket - b_max, set just under the companion's own
+    # max so the heavy tail is non-empty at every sf
+    hvy_lo = max(2, int(counts.read().agg(F.max("cnt")).first()[0]) - 1)
+    kept_before, total_before = counts.prune_files("cnt", lo=hvy_lo)
+    counts.optimize(n_files=4, sort_by="cnt")
+    kept_after, total_after = counts.prune_files("cnt", lo=hvy_lo)
+    assert len(kept_after) < total_after, (
+        f"re-clustered companion must prune: kept {len(kept_after)}"
+        f"/{total_after}"
+    )
+    print(
+        f"companion re-cluster: heavy-tail scan {len(kept_before)}/"
+        f"{total_before} files before OPTIMIZE sort_by=cnt, "
+        f"{len(kept_after)}/{total_after} after"
+    )
 
     # the maintained companion must equal a fresh count over the full index
     fresh = dedup.lsh_bucket_counts(index.read())

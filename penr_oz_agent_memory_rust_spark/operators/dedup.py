@@ -378,7 +378,11 @@ def lsh_bucket_counts(band_rows: DataFrame) -> DataFrame:
     re-aggregating the whole corpus index every batch (the r6 judge's
     scale-design gap). Maintain it on the append path by merge_upsert-ing
     the touched buckets (examples/incremental_dedup_demo.py) or rebuild
-    with merge_bucket_counts."""
+    with merge_bucket_counts. Write it cnt-clustered (repartitionByRange
+    on cnt) and re-cluster periodically with OPTIMIZE sort_by=cnt —
+    merge_upsert maintenance mixes cnt ranges into rewritten files, which
+    erodes the heavy-tail pushdown's file/row-group skipping (never its
+    correctness)."""
     return band_rows.groupBy("bucket").agg(F.count("*").alias("cnt"))
 
 
@@ -465,8 +469,16 @@ def minhash_lsh_incremental(
             # cnt > max_bucket - b_max can matter. That is a LITERAL
             # predicate: it pushes down into the companion's parquet scan,
             # and with the companion written cnt-clustered (range-
-            # partitioned by cnt, as in examples/incremental_dedup_demo)
+            # partitioned by cnt — scale_probe.py's incremental probe and
+            # examples/incremental_dedup_demo both write this layout)
             # row-group min/max stats skip everything but the heavy tail.
+            # NOTE the clustering DECAYS under maintenance: merge_upsert
+            # of touched buckets rewrites matched files with mixed cnt
+            # ranges, so a long-lived companion needs a periodic
+            # re-cluster — VersionedParquetTable.optimize(sort_by="cnt"),
+            # as the demo runs after its ingest days. Correctness never
+            # depends on the layout (the filter always applies); only the
+            # skip-everything-but-the-heavy-tail scan cost does.
             # The surviving rows broadcast-join the batch's counts — no
             # shuffle, no aggregation over the corpus, exactly equivalent
             # to the recount on every bucket that matters.

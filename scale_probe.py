@@ -1557,6 +1557,90 @@ def curate_probe() -> None:
     print(json.dumps(report))
 
 
+def companion_decay_probe() -> None:
+    """Companion cnt-clustering decay probe (`python scale_probe.py decay`;
+    SCALE_DECAY_BUCKETS overrides N, default 2M): the (bucket, cnt)
+    companion's heavy-tail pushdown relies on a cnt-clustered file layout
+    (tight per-file [min,max] on cnt). merge_upsert maintenance rewrites
+    matched files keyed by BUCKET, so rewritten files mix cnt ranges and
+    the layout decays over days. This probe bootstraps the companion
+    cnt-clustered in a VersionedParquetTable, runs N days of scattered
+    bucket-count bumps, and records per day the heavy-tail predicate's
+    file pruning (kept/total files + kept bytes) on two twins:
+    one left to decay, one re-clustered daily with OPTIMIZE sort_by=cnt.
+    Expected: decayed twin's kept bytes grow toward the full table;
+    re-clustered twin stays flat at the heavy tail."""
+    from pyspark.sql import types as T
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    n_buckets = int(os.environ.get("SCALE_DECAY_BUCKETS", "2000000"))
+    n_days = int(os.environ.get("SCALE_DECAY_DAYS", "5"))
+    spark = get_spark(app_name="poz-companion-decay-probe")
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="decayprobe-")
+    sch = T.StructType(
+        [T.StructField("bucket", T.StringType()), T.StructField("cnt", T.LongType())]
+    )
+    # skewed companion: ~0.1% of buckets heavy (cnt 500..899), rest 1..5 —
+    # the realistic shape (degenerate boilerplate buckets are rare)
+    base = spark.range(n_buckets).select(
+        F.md5(F.col("id").cast("string")).alias("bucket"),
+        F.when(F.col("id") % 1000 == 0, 500 + F.col("id") % 400)
+        .otherwise(1 + F.col("id") % 5)
+        .cast("long")
+        .alias("cnt"),
+    )
+    heavy_lo = 100  # the operator's cnt > max_bucket - b_max stand-in
+
+    def kept_bytes(t: VersionedParquetTable) -> tuple[int, int, int]:
+        keep, total = t.prune_files("cnt", lo=heavy_lo)
+        nbytes = sum(os.path.getsize(os.path.join(t.path, f)) for f in keep)
+        return len(keep), total, nbytes
+
+    report: dict = {"n_buckets": n_buckets, "n_days": n_days, "days": []}
+    twins = {}
+    for name in ("decayed", "reclustered"):
+        t = VersionedParquetTable(spark, os.path.join(root, name), sch)
+        t.append(base.repartitionByRange(32, "cnt").sortWithinPartitions("cnt"))
+        twins[name] = t
+
+    for day in range(1, n_days + 1):
+        # ~1% of buckets bumped, scattered uniformly across the id (and
+        # therefore cnt) space — the daily-crawl maintenance shape
+        upd = (
+            spark.range(n_buckets)
+            .filter(F.col("id") % 97 == day)
+            .select(
+                F.md5(F.col("id").cast("string")).alias("bucket"),
+                F.when(F.col("id") % 1000 == 0, 500 + F.col("id") % 400)
+                .otherwise(1 + F.col("id") % 5)
+                .cast("long")
+                .alias("cnt"),
+            )
+            .withColumn("cnt", F.col("cnt") + day)
+        )
+        row: dict = {"day": day}
+        for name, t in twins.items():
+            t0 = time.time()
+            t.merge_upsert(upd, ["bucket"])
+            if name == "reclustered":
+                t.optimize(n_files=32, sort_by="cnt")
+            k, tot, nb = kept_bytes(t)
+            row[name] = {
+                "kept_files": k,
+                "total_files": tot,
+                "kept_mb": round(nb / 1e6, 2),
+                "sec": round(time.time() - t0, 2),
+            }
+        report["days"].append(row)
+        print(json.dumps(row))
+    print(json.dumps(report))
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -1746,5 +1830,7 @@ if __name__ == "__main__":
         cdf_resync_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "curate":
         curate_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "decay":
+        companion_decay_probe()
     else:
         main()
