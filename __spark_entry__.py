@@ -3963,6 +3963,29 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged("event_type").unionByName(tagged("user_id"))
 
 
+def q_skew_salted_targeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ the diagnose→remediate loop CLOSED: skew_report names the heavy
+    event types, hot_key_salts turns their skew factors into per-key salt
+    fan-outs, and salted_join_targeted salts ONLY those keys — cold keys
+    keep plain equi-join traffic, the hot list rides two broadcast joins
+    (plan-pinned in tests/test_skew.py). The result must equal the plain
+    join + aggregation exactly, which is what the oracle recomputes."""
+    from penr_oz_agent_memory_rust_spark.operators import skew as _skew
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_len", F.length("event_type"))
+    )
+    rep = _skew.skew_report(ev, "event_type", 5)
+    hot = _skew.hot_key_salts(rep, "event_type", target_factor=1.0, max_salts=8)
+    joined = _skew.salted_join_targeted(ev, dim, "event_type", hot)
+    return joined.groupBy("event_type", "type_len").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ WebDataset export/read roundtrip: the documents table written as
     loader-ready tar shards (two members per sample, canonicalized tar
@@ -4960,6 +4983,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "distance_metrics": q_distance_metrics,
         "sql_api_search": q_sql_api_search,
         "mem_delete_anti_join": q_mem_delete_anti_join,
+        # --- r8: diagnose→remediate skew loop (skew_report -> targeted salt)
+        "skew_salted_targeted": q_skew_salted_targeted,
         "zscore_events": q_zscore_events,
         "repetition_profile": q_repetition_profile,
         "word_freq_topk": q_word_freq_topk,
@@ -6618,6 +6643,11 @@ def oracle_sql() -> dict[str, str]:
                    round(cnt * 1.0 / total, 6) AS frac,
                    round(cnt * 1.0 / total * n_keys, 6) AS skew_factor
             FROM rep WHERE rnk <= 10
+        """,
+        "skew_salted_targeted": """
+            SELECT event_type, length(event_type) AS type_len,
+                   count(*) AS cnt
+            FROM events GROUP BY event_type
         """,
         "jsonl_rescue": """
             SELECT doc_id,

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str | list[str],
+    key: str | list[str] | None,
     left_time: str,
     right_time: str,
     right_cols: list[str],
@@ -30,6 +30,7 @@ def asof_join(
     tolerance_seconds: int | None = None,
     direction: str = "backward",
     allow_exact_matches: bool = True,
+    global_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """Returns `left` columns plus the as-of values of `right_cols`.
 
@@ -52,7 +53,12 @@ def asof_join(
     window orderings share the partitioning exchange).
 
     `key` may be a list (pandas `by=[...]`): multi-column grouping packs
-    into one struct partition key — still a single shuffle.
+    into one struct partition key — still a single shuffle. `key=None` is
+    the BY-LESS global as-of (pandas merge_asof without `by`): one total
+    time order, which in this union-sort form means ONE window partition —
+    a single-task sort, deliberately NOT a scale path. The `global_max_rows`
+    guard (left+right rows, one count job) raises before planning a
+    driver-sized sort; partition the data with a real `key` beyond it.
     `allow_exact_matches=False` makes the time comparison STRICT (< / >):
     implemented purely in the union-sort order — left rows sort BEFORE
     right rows at equal time, so an equal-time right falls outside the
@@ -61,8 +67,18 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
-    keys = [key] if isinstance(key, str) else list(key)
-    key_expr = F.col(keys[0]) if len(keys) == 1 else F.struct(*keys)
+    if key is None:
+        n = left.count() + right.count()
+        if n > global_max_rows:
+            raise ValueError(
+                f"by-less as-of join sorts all rows in ONE window partition; "
+                f"{n} rows exceeds global_max_rows={global_max_rows}. "
+                "Partition with a real key (or raise the guard knowingly)."
+            )
+        key_expr = F.lit(0)
+    else:
+        keys = [key] if isinstance(key, str) else list(key)
+        key_expr = F.col(keys[0]) if len(keys) == 1 else F.struct(*keys)
     tiebreak = tiebreak or right_cols[0]
     r_types = dict(right.dtypes)
     # the whole matched right row travels as ONE struct (its columns plus its

@@ -436,6 +436,7 @@ def gopher_quality_rules(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    alpha_regex: str = "[a-z]",
 ) -> DataFrame:
     """★ Gopher rule-based quality filter (Rae et al. 2021, §A1.1 "quality
     filtering" — public paper): the line- and word-level heuristics that
@@ -453,13 +454,19 @@ def gopher_quality_rules(
       gopher_ok           all thresholds hold (null-safe: degenerate
                           docs fail closed)
 
+    `alpha_regex` governs alpha_word_frac's notion of "alphabetic": the
+    default `[a-z]` is faithful to the English-targeted paper and FAILS
+    NON-LATIN CORPORA CLOSED (Cyrillic/Greek/CJK words count as
+    non-alphabetic) — intentional for English curation, wrong for
+    multilingual use; pass r"\\p{L}" there (test-pinned both ways).
+
     Thresholds compare the 6dp-ROUNDED metrics so the Spark plan and the
     SQL oracle agree at the boundaries. All metrics are pure higher-order
     array expressions over one split — a single map-only scan with no
     exchange, no UDF, nothing that changes shape at 100 TB; the filter
     pipelines into the ingest scan exactly like `quality_score_expr`.
     """
-    m = _gopher_metrics(F.col(text_col))
+    m = _gopher_metrics(F.col(text_col), alpha_regex)
     profiled = docs.select(
         F.col(id_col), *[expr.alias(name) for name, expr in m.items()]
     )
@@ -475,10 +482,14 @@ def gopher_quality_rules(
     return profiled.withColumn("gopher_ok", F.coalesce(ok, F.lit(False)))
 
 
-def _gopher_metrics(t: Column) -> dict[str, Column]:
+def _gopher_metrics(t: Column, alpha_regex: str = "[a-z]") -> dict[str, Column]:
     """The gopher metric expressions keyed by output name — shared by the
     profiling projection (gopher_quality_rules) and the inline predicate
-    (gopher_ok_expr)."""
+    (gopher_ok_expr). ``alpha_regex`` decides what counts as an
+    alphabetic word for alpha_word_frac; the default matches the
+    English-targeted paper (Latin letters after lower-casing), which
+    fails non-Latin corpora CLOSED — pass e.g. r"\\p{L}" (any Unicode
+    letter) for multilingual curation."""
     # any-whitespace split (NOT hashing.word_tokens' single-space split):
     # line rules imply multi-line docs, where newline-joined tokens must
     # count as separate words; identical on single-space corpora
@@ -489,7 +500,7 @@ def _gopher_metrics(t: Column) -> dict[str, Column]:
     sum_word_len = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike(alpha_regex)))
     hash_cnt = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
     ellipsis_cnt = (
         (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
@@ -529,6 +540,7 @@ def gopher_ok_expr(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    alpha_regex: str = "[a-z]",
 ) -> Column:
     """★ gopher_quality_rules' pass/fail verdict as a single inline
     PREDICATE — `docs.filter(gopher_ok_expr(F.col("text")))` — for
@@ -543,8 +555,9 @@ def gopher_ok_expr(
     the downstream pair stage either way; the structural win is the
     deleted exchange (PLANS.md "Filter-first curation probe"). Same
     6dp-rounded threshold semantics as gopher_quality_rules (equivalence
-    test-pinned); degenerate docs fail closed."""
-    m = _gopher_metrics(text)
+    test-pinned); degenerate docs fail closed. `alpha_regex` as in
+    gopher_quality_rules (default Latin-only, English-targeted)."""
+    m = _gopher_metrics(text, alpha_regex)
     ok = (
         m["n_words"].between(min_words, max_words)
         & m["mean_word_len"].between(min_mean_word_len, max_mean_word_len)

@@ -226,3 +226,69 @@ def test_asof_multi_column_by_keys(spark):
         ).collect()
     }
     assert out == {"a": 100, "b": 200}  # never crosses the (k1,k2) group
+
+
+def test_asof_global_byless_matches_pandas_all_directions(spark):
+    """key=None (pandas merge_asof without `by`): one global time order.
+    Randomized series with exact ties, checked against pandas merge_asof
+    for backward / forward / nearest."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = dt.datetime(2026, 1, 1)
+    left_rows = [
+        (base + dt.timedelta(seconds=int(rng.integers(0, 300))), i)
+        for i in range(90)
+    ]
+    # DISTINCT right times: pandas breaks exact right-time ties by input
+    # order while our contract picks the largest tiebreak (pinned in
+    # test_asof_forward_tolerance_and_tiebreak) — the property here is
+    # the direction semantics over interleavings and left==right times
+    right_secs = rng.permutation(np.arange(0, 300, 3))[:60]
+    right_rows = [
+        (base + dt.timedelta(seconds=int(s)), i, float(i))
+        for i, s in enumerate(right_secs)
+    ]
+    left = spark.createDataFrame(left_rows, "t timestamp, lid bigint")
+    right = spark.createDataFrame(right_rows, "rt timestamp, rid bigint, val double")
+    lpdf = pd.DataFrame(left_rows, columns=["t", "lid"]).sort_values(
+        "t", kind="stable"
+    )
+    # presort right by (rt, rid): merge_asof keeps the last tie, our
+    # contract the largest tiebreak — identical after this sort
+    rpdf = pd.DataFrame(right_rows, columns=["rt", "rid", "val"]).sort_values(
+        ["rt", "rid"], kind="stable"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["lid"]: r["val"]
+            for r in asof_join(
+                left, right, key=None, left_time="t", right_time="rt",
+                right_cols=["rid", "val"], tiebreak="rid", direction=direction,
+            ).collect()
+        }
+        exp_df = pd.merge_asof(
+            lpdf, rpdf, left_on="t", right_on="rt", direction=direction
+        )
+        exp = {
+            int(r.lid): (None if pd.isna(r.val) else float(r.val))
+            for r in exp_df.itertuples()
+        }
+        assert got == exp, direction
+
+
+def test_asof_global_size_guard(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(ts(i), i) for i in range(10)], "t timestamp, lid bigint"
+    )
+    right = spark.createDataFrame(
+        [(ts(i), i, float(i)) for i in range(10)], "rt timestamp, rid bigint, val double"
+    )
+    with pytest.raises(ValueError, match="global_max_rows"):
+        asof_join(
+            left, right, key=None, left_time="t", right_time="rt",
+            right_cols=["val"], global_max_rows=5,
+        )

@@ -322,6 +322,25 @@ def test_gopher_rules_degenerate_docs_fail_closed(spark):
         assert out[i]["gopher_ok"] is False
 
 
+def test_gopher_alpha_regex_multilingual(spark):
+    # default [a-z] is the English-targeted paper behavior: a Cyrillic
+    # doc's words carry no Latin letter, so alpha_word_frac = 0 and the
+    # doc fails CLOSED — pinned as intended; \p{L} (any Unicode letter)
+    # is the multilingual escape hatch and must pass the same doc.
+    ru = " ".join(["быстрая рыжая лиса прыгает через ленивую собаку the and"] * 8)
+    df = spark.createDataFrame([(0, ru)], "doc_id bigint, text string")
+    kw = dict(min_words=10, min_stopword_hits=1, min_mean_word_len=1.0)
+    latin = text_ops.gopher_quality_rules(df, **kw).collect()[0]
+    assert latin["alpha_word_frac"] < 0.8 and latin["gopher_ok"] is False
+    uni = text_ops.gopher_quality_rules(df, alpha_regex=r"\p{L}", **kw).collect()[0]
+    assert uni["alpha_word_frac"] == 1.0 and uni["gopher_ok"] is True
+    # the inline predicate honors the same option
+    assert df.filter(
+        text_ops.gopher_ok_expr(F.col("text"), alpha_regex=r"\p{L}", **kw)
+    ).count() == 1
+    assert df.filter(text_ops.gopher_ok_expr(F.col("text"), **kw)).count() == 0
+
+
 def test_gopher_ok_expr_matches_profiling_form(spark):
     texts = [
         " ".join(["the quick brown fox jumps over that lazy dog and"] * 6),
