@@ -4019,8 +4019,12 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.exists(path):
         _sh.rmtree(path)
     manifest = _exp.write_webdataset_shards(
-        _docs(spark, sf_dir), path, "doc_id", rows_per_shard=128, salt="wds"
-    ).collect()  # materializes the write; one row per tar, ~N/128 rows
+        # byte-budgeted sizing (r8): the loader-facing mode — shard bytes
+        # land within one max-sample of the budget regardless of doc-length
+        # skew; the row-counted mode stays pytest-pinned in test_export
+        _docs(spark, sf_dir), path, "doc_id", salt="wds",
+        bytes_per_shard=256 * 1024,
+    ).collect()  # materializes the write; one row per tar
     assert manifest, "webdataset write produced no shards"
     members = _exp.read_webdataset_shards(spark, path)
     did = F.split(F.col("key"), "_").getItem(1).cast("bigint").alias("doc_id")

@@ -776,6 +776,58 @@ def _ngram_pair_stats(
     )
 
 
+def ngram_jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    unit: str = "word",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """★ exact n-gram Jaccard for a GIVEN candidate pair list — the dedup
+    funnel's verify tier as a composable operator:
+
+        LSH candidates → est_jaccard prune (minhash_est_pairs)
+                       → ngram_jaccard_verify(survivor pairs)   <- here
+                       → neardup_keep_best
+
+    Unlike ngram_jaccard_pairs (which generates candidates from the whole
+    corpus via the posting index), this verifies ONLY the pairs it is
+    handed: one shingle pass over just the docs appearing in a pair
+    (semi-join pushdown into the scan), then two id-equi-joins of the
+    pair list against the per-doc shingle arrays and one array_intersect
+    per pair. Cost scales with |pairs| + |docs in pairs| — after the est
+    tier that is orders of magnitude below a corpus-wide exact pass.
+    Degenerate docs (no shingles) fail closed (null jaccard filtered).
+    Output: (a, b, jaccard), jaccard >= threshold, rounded 6dp."""
+    ids = (
+        pairs.select(F.col(a_col).alias(id_col))
+        .unionByName(pairs.select(F.col(b_col).alias(id_col)))
+        .distinct()
+    )
+    shs = _shingle_arrays(
+        docs.join(ids, id_col, "semi"), id_col, text_col, n, unit
+    )
+    sa = shs.select(F.col("did").alias(a_col), F.col("shs").alias("__sa"))
+    sb = shs.select(F.col("did").alias(b_col), F.col("shs").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    return (
+        pairs.join(sa, a_col)
+        .join(sb, b_col)
+        .select(
+            a_col,
+            b_col,
+            F.round(
+                inter / (F.size("__sa") + F.size("__sb") - inter), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -146,6 +146,87 @@ def assign_shards_by_key(
     return out.drop(key_col) if drop_key else out
 
 
+def assign_shards_by_bytes(
+    df: DataFrame,
+    id_col: str,
+    bytes_per_shard: int,
+    cost,
+    salt: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos_in_shard",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Byte-budgeted shard assignment: rows are laid end-to-end in the
+    deterministic md5(salt||id) shuffle order and a row belongs to the
+    shard where its FIRST byte falls (shard = byte_offset div
+    bytes_per_shard) — so every shard's payload lands within ±max(cost)
+    of the budget (the loader-facing 100 MB–1 GB sizing contract), while
+    row-counted shards skew with variable-length docs (one fat shard =
+    one task OOM, since the tar writer materializes a whole shard per
+    task).
+
+    `cost` is a Column giving each row's byte cost. The byte offset is a
+    cumulative sum over ONE global ordering, computed per hash bucket
+    with broadcast offsets — the same no-global-window machinery as
+    exact_global_rank / packing.token_offset_shards, accumulating bytes
+    instead of rows. `pos_col` is the row's byte offset WITHIN its shard
+    (monotone in the global order, unique per shard — cost >= 1), so no
+    second pass is needed to number rows per shard.
+
+    NOTE: like exact_global_rank, the input is scanned twice (eager
+    per-bucket cost-sum job at construction, window pass at action) and
+    must be deterministic under re-evaluation."""
+    if bytes_per_shard < 1:
+        raise ValueError(f"bytes_per_shard must be >= 1, got {bytes_per_shard}")
+    keyed = deterministic_shuffle_key(df, id_col, salt)
+    src = keyed.withColumn("__cost", cost).withColumn(
+        "__bucket", F.substring(F.col(SHUFFLE_KEY), 1, bucket_chars)
+    )
+    counts = src.groupBy("__bucket").agg(F.sum("__cost").alias("b")).collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["__bucket"]):
+        offsets.append((r["__bucket"], acc))
+        acc += int(r["b"])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets or [("", 0)], "__bucket string, __boff bigint"
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(SHUFFLE_KEY, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        src.join(F.broadcast(off_df), "__bucket")
+        .withColumn(
+            "__boffset",
+            F.col("__boff") + F.coalesce(F.sum("__cost").over(w), F.lit(0)),
+        )
+        .withColumn(shard_col, F.expr(f"__boffset div {bytes_per_shard}").cast("int"))
+        .withColumn(pos_col, (F.col("__boffset") % bytes_per_shard).cast("bigint"))
+        .drop("__bucket", "__boff", "__boffset", "__cost", SHUFFLE_KEY)
+    )
+
+
+def webdataset_sample_cost(text_col: str, meta_cols: list[str]):
+    """Per-row tar byte cost of one WebDataset sample as written by
+    write_webdataset_shards: two members (text + JSON metadata), each
+    512-byte header + payload padded to 512-byte blocks. The JSON member
+    is sized from Spark's to_json (separator-free), which undershoots
+    json.dumps' ', '/': ' spacing by ~2 bytes per field — noise against
+    the 512-byte block rounding; the cost is a SIZING contract, the
+    manifest records exact bytes."""
+    def member(payload_len):
+        padded = F.floor((payload_len.cast("bigint") + F.lit(511)) / F.lit(512)) * 512
+        return F.lit(512) + padded
+
+    text_len = F.coalesce(F.octet_length(F.col(text_col)), F.lit(0))
+    meta_len = F.octet_length(
+        F.to_json(F.struct(*[F.col(c) for c in sorted(meta_cols)]))
+    )
+    return member(text_len) + member(meta_len)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -194,9 +275,10 @@ def write_webdataset_shards(
     df: DataFrame,
     path: str,
     id_col: str,
-    rows_per_shard: int,
+    rows_per_shard: int | None = None,
     salt: str = "",
     text_col: str = "text",
+    bytes_per_shard: int | None = None,
 ) -> DataFrame:
     """★ WebDataset export: the corpus as `path/shard-%06d.tar`, each
     sample two consecutive tar members `{key}.txt` (the text) and
@@ -216,15 +298,35 @@ def write_webdataset_shards(
 
     Scale shape: one groupBy(shard) via applyInPandas — each task
     materializes ONE shard in memory and writes it atomically (tmp +
-    rename). Size `rows_per_shard` so a shard fits an executor (the
-    normal WebDataset 100 MB–1 GB shard sizing); the write path assumes a
-    shared/posix-visible filesystem, the same assumption the versioned
-    table layer documents. Returns the manifest as a DataFrame:
-    (shard, n_rows, n_bytes, md5) — one row per written tar."""
+    rename). Size shards so one fits an executor, by EXACTLY ONE of:
+      - `rows_per_shard`: fixed row count (skews in bytes when doc
+        lengths vary — a fat shard is a task OOM);
+      - `bytes_per_shard`: the loader-facing sizing (100 MB–1 GB) —
+        byte-budgeted assignment via assign_shards_by_bytes with
+        webdataset_sample_cost, so every shard's payload lands within
+        ±max(sample bytes) of the budget regardless of length skew
+        (pos_in_shard is then the sample's byte offset in its shard).
+    The write path assumes a shared/posix-visible filesystem, the same
+    assumption the versioned table layer documents. Returns the manifest
+    as a DataFrame: (shard, n_rows, n_bytes, md5) — one row per tar."""
     import os
 
+    if (rows_per_shard is None) == (bytes_per_shard is None):
+        raise ValueError("pass exactly one of rows_per_shard / bytes_per_shard")
     os.makedirs(path, exist_ok=True)
-    sharded = assign_shards(df, id_col, rows_per_shard, salt)
+    if bytes_per_shard is not None:
+        meta_cols = [
+            c for c in df.columns if c != text_col
+        ]
+        sharded = assign_shards_by_bytes(
+            df,
+            id_col,
+            bytes_per_shard,
+            webdataset_sample_cost(text_col, meta_cols),
+            salt,
+        )
+    else:
+        sharded = assign_shards(df, id_col, rows_per_shard, salt)
     other_cols = [c for c in df.columns if c not in (text_col,)]
     out_schema = "shard int, n_rows long, n_bytes long, md5 string"
 

@@ -756,3 +756,33 @@ def test_minhash_calibration_sample_is_deterministic_subset(spark, sf_dir):
     assert s1 == s2  # same hash sample every run
     n_sampled = sum(r[1] for r in s1)
     assert 0 < n_sampled < n_full
+
+
+def test_ngram_jaccard_verify_matches_corpus_wide_exact(spark):
+    """The verify tier over an LSH candidate list must agree with the
+    corpus-wide exact pass on every pair it is handed."""
+    from penr_oz_agent_memory_rust_spark.operators import dedup
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the lazy dog again and again now",
+        "a completely different document about spark shuffle partitions here",
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "one short",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    cands = dedup.minhash_est_pairs(docs, threshold=0.3)
+    verified = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_verify(docs, cands, threshold=0.5).collect()
+    }
+    full = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand_keys = {(r["a"], r["b"]) for r in cands.collect()}
+    # on the handed pairs, identical jaccard values and identical verdicts
+    assert verified == {k: v for k, v in full.items() if k in cand_keys}
+    assert (0, 3) in verified and verified[(0, 3)] == 1.0

@@ -192,3 +192,85 @@ def test_webdataset_roundtrip_values(spark, tmp_path):
     meta = {r["key"].split("_")[1]: json.loads(r["data"]) for r in
             members.filter(F.col("ext") == "json").collect()}
     assert meta["4"] == {"doc_id": 4, "grp": 1}
+
+
+def test_webdataset_byte_budgeted_shards(spark, tmp_path):
+    """bytes_per_shard sizing: variable-length docs (1 char .. ~12 KB)
+    still produce shards whose tar payload stays within one max-sample of
+    the budget — the spread row-counted shards can't guarantee."""
+    from penr_oz_agent_memory_rust_spark.operators import export
+
+    docs = spark.createDataFrame(
+        [(i, "x" * ((i * 97) % 12000 + 1), i % 5) for i in range(120)],
+        "doc_id bigint, text string, grp bigint",
+    )
+    p = str(tmp_path / "wdsb")
+    budget = 64 * 1024
+    manifest = export.write_webdataset_shards(
+        docs, p, "doc_id", salt="b", bytes_per_shard=budget
+    ).collect()
+    assert len(manifest) >= 3
+    # max sample cost: 2 headers + padded payloads (<= 12000 -> 12288) +
+    # json block; plus per-archive overhead (EOF blocks + record padding)
+    max_sample = 512 + 12288 + 512 + 512
+    archive_overhead = 2 * 512 + 10240  # tar EOF + RECORDSIZE padding
+    by_shard = {r["shard"]: r["n_bytes"] for r in manifest}
+    last = max(by_shard)
+    for s, n in by_shard.items():
+        assert n <= budget + max_sample + archive_overhead, (s, n)
+        if s != last:
+            assert n >= budget - max_sample, (s, n)
+    # roundtrip integrity is format-independent of the sizing mode
+    members = export.read_webdataset_shards(spark, p)
+    txt = {
+        r["key"].split("_")[1]
+        for r in members.filter(F.col("ext") == "txt").collect()
+    }
+    assert txt == {str(i) for i in range(120)}
+
+
+def test_webdataset_requires_exactly_one_sizing_mode(spark, tmp_path):
+    import pytest
+
+    from penr_oz_agent_memory_rust_spark.operators import export
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="exactly one"):
+        export.write_webdataset_shards(docs, str(tmp_path / "a"), "doc_id")
+    with pytest.raises(ValueError, match="exactly one"):
+        export.write_webdataset_shards(
+            docs, str(tmp_path / "b"), "doc_id", 4, bytes_per_shard=100
+        )
+
+
+def test_assign_shards_by_bytes_contiguous_and_deterministic(spark):
+    from pyspark.sql import functions as F2
+
+    from penr_oz_agent_memory_rust_spark.operators import export
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 900 + 100) for i in range(200)], "id bigint, nb bigint"
+    )
+    out = export.assign_shards_by_bytes(
+        df, "id", 4096, F2.col("nb"), salt="z"
+    ).collect()
+    # per-shard sum of costs stays within budget + max cost
+    agg = {}
+    for r in out:
+        agg.setdefault(r["shard"], 0)
+        agg[r["shard"]] += r["nb"]
+    last = max(agg)
+    for s, tot in agg.items():
+        assert tot <= 4096 + 999, (s, tot)
+        if s != last:
+            assert tot >= 4096 - 999, (s, tot)
+    # pos_in_shard = byte offset within shard: unique, < budget + max
+    for s in agg:
+        poss = sorted(r["pos_in_shard"] for r in out if r["shard"] == s)
+        assert len(poss) == len(set(poss))
+        assert all(p < 4096 for p in poss)
+    # determinism across invocations
+    out2 = export.assign_shards_by_bytes(
+        df, "id", 4096, F2.col("nb"), salt="z"
+    ).collect()
+    assert sorted(map(str, out)) == sorted(map(str, out2))

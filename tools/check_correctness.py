@@ -6,9 +6,20 @@ schema (sorted column names), and a value hash that encodes dtype + value
 (so a DuckDB HUGEINT vs Spark bigint mismatch shows up, matching the
 driver's behavior observed in round 2).
 
+Queries WITHOUT an oracle_sql entry (the approximate / f32-BLAS tail —
+LSH/IVF/PQ ANN, BLAS twins, sketches) are still deterministic under their
+fixed seeds, so they are pinned by SELF-CONSISTENCY hashes: each run's
+canonical value hash is compared against tools/selfcheck_hashes.json, the
+committed expectations file, so silent drift in the approximate tail is
+caught the same way oracle mismatches are (r7 verdict ask #5). The pins
+are per-container artifacts (same BLAS, same thread count); regenerate
+after an INTENTIONAL behavior change with --update-selfcheck and commit
+the diff — an unexplained diff is a regression, not noise.
+
 Usage:
-    python tools/check_correctness.py                # all oracle-checked queries
-    python tools/check_correctness.py q1 q2 ...      # just these
+    python tools/check_correctness.py                     # all queries
+    python tools/check_correctness.py q1 q2 ...           # just these
+    python tools/check_correctness.py --update-selfcheck  # re-pin hashes
 """
 
 from __future__ import annotations
@@ -106,9 +117,15 @@ def _value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+SELFCHECK_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "selfcheck_hashes.json"
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    update_selfcheck = "--update-selfcheck" in sys.argv
+    only = {a for a in sys.argv[1:] if not a.startswith("--")}
     spark = get_spark(app_name="poz-correctness")
     con = duckdb.connect()
     for t in TABLES:
@@ -142,8 +159,58 @@ def main() -> None:
             results[name] = {"err": f"{type(e).__name__}: {e}"}
         flag = "OK " if results[name].get("hash_match") else "FAIL"
         print(f"{flag} {name}: {json.dumps({k: v for k, v in results[name].items() if k not in ('spark_dtypes', 'oracle_dtypes')})}")
+    n_oracle = len(results)
+
+    # --- self-consistency pins for the no-oracle tail ---------------------
+    try:
+        with open(SELFCHECK_PATH) as f:
+            pinned = json.load(f).get("hashes", {})
+    except (OSError, ValueError):
+        pinned = {}
+    fresh: dict[str, dict] = {}
+    for name in qs:
+        if name in oracles or (only and name not in only):
+            continue
+        try:
+            sdf = _canon(qs[name](spark, sf_dir).toPandas())
+            got = {"rows": len(sdf), "value_hash": _value_hash(sdf)}
+            fresh[name] = got
+            want = pinned.get(name)
+            ok = update_selfcheck or got == want
+            results[name] = {
+                "selfcheck": True,
+                "hash_match": ok,
+                "spark_rows": got["rows"],
+                "pinned_rows": (want or {}).get("rows"),
+                "err": None if (want or update_selfcheck) else "no pinned hash",
+            }
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"selfcheck": True, "err": f"{type(e).__name__}: {e}"}
+        flag = "OK " if results[name].get("hash_match") else "FAIL"
+        print(f"{flag} {name} [selfcheck]: {json.dumps(results[name])}")
+    if update_selfcheck and fresh:
+        merged = dict(pinned)
+        merged.update(fresh)
+        with open(SELFCHECK_PATH, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "hashes": dict(sorted(merged.items()))},
+                f,
+                indent=1,
+            )
+        print(f"re-pinned {len(fresh)} selfcheck hashes -> {SELFCHECK_PATH}")
+
     bad = {k: v for k, v in results.items() if not v.get("hash_match")}
-    print(json.dumps({"checked": len(results), "failed": sorted(bad)}, indent=None))
+    print(
+        json.dumps(
+            {
+                "checked": len(results),
+                "oracle": n_oracle,
+                "selfcheck": len(results) - n_oracle,
+                "failed": sorted(bad),
+            },
+            indent=None,
+        )
+    )
     spark.stop()
     sys.exit(1 if bad else 0)
 
