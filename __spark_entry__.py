@@ -507,6 +507,20 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_calibration(_docs(spark, sf_dir), n_hashes=12, bands=4)
 
 
+def q_dedup_funnel_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ the funnel's est→exact handoff end-to-end: LSH candidates with
+    est_jaccard >= 0.5 (the sketch tier) handed to ngram_jaccard_verify,
+    which recomputes EXACT word-3-shingle Jaccard for only those pairs
+    (semi-join shingle pass + array_intersect — never a corpus-wide
+    posting index). The oracle replays both tiers in SQL: the est CTE's
+    surviving pairs joined against exact shingle-set intersection."""
+    docs = _docs(spark, sf_dir)
+    est = dedup.minhash_est_pairs(docs, n_hashes=12, bands=4, threshold=0.5)
+    return dedup.ngram_jaccard_verify(
+        docs, est.select("a", "b"), threshold=0.3
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ SimHash duplicate groups (16-bit signatures, hamming-0)."""
     return dedup.simhash_dup_groups(_docs(spark, sf_dir), bits=16)
@@ -4988,7 +5002,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sql_api_search": q_sql_api_search,
         "mem_delete_anti_join": q_mem_delete_anti_join,
         # --- r8: diagnose→remediate skew loop (skew_report -> targeted salt)
+        #     + the funnel's est→exact verify handoff as its own gate
         "skew_salted_targeted": q_skew_salted_targeted,
+        "dedup_funnel_verify": q_dedup_funnel_verify,
         "zscore_events": q_zscore_events,
         "repetition_profile": q_repetition_profile,
         "word_freq_topk": q_word_freq_topk,
@@ -6652,6 +6668,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, length(event_type) AS type_len,
                    count(*) AS cnt
             FROM events GROUP BY event_type
+        """,
+        "dedup_funnel_verify": f"""
+            WITH e AS ({_minhash_est_sql(12, 4)}),
+            kept AS (SELECT a, b FROM e WHERE est_jaccard >= 0.5),
+            sh AS (
+              SELECT doc_id AS did, unnest(list_distinct({_DK_SHINGLES3})) AS s
+              FROM documents
+            ),
+            sizes AS (SELECT did, count(*) AS sz FROM sh GROUP BY did),
+            inter AS (
+              SELECT k.a, k.b, count(*) AS inter
+              FROM kept k
+              JOIN sh l ON l.did = k.a
+              JOIN sh r ON r.did = k.b AND r.s = l.s
+              GROUP BY k.a, k.b
+            )
+            SELECT i.a, i.b,
+                   round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.did = i.a
+            JOIN sizes sb ON sb.did = i.b
+            WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.3
         """,
         "jsonl_rescue": """
             SELECT doc_id,

@@ -203,6 +203,9 @@ HEADLINE = [
     "diversity_sample_seeded",
     "knn_self_all_pairs_expr",
     "semantic_decontaminate_blas",
+    # r8 additions
+    "skew_salted_targeted",
+    "dedup_funnel_verify",
 ]
 
 

@@ -19,6 +19,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     master: str | None = None,
     max_partition_bytes: str | None = None,
+    ui_enabled: bool = False,
 ) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
@@ -33,6 +34,10 @@ def get_spark(
     any non-local master the setting is left at Spark's default — 4 MB
     splits against standard ~128 MB row groups would map most tasks to no
     row-group midpoint (empty tasks) and explode task counts.
+
+    ``ui_enabled`` turns the Spark UI (and its REST metrics API) on for
+    probes that read per-stage shuffle volumes; off by default — the UI
+    server costs startup time the bench/test sessions never repay.
     """
     cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
@@ -52,7 +57,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui_enabled else "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if max_partition_bytes is not None:

@@ -1557,6 +1557,147 @@ def curate_probe() -> None:
     print(json.dumps(report))
 
 
+def _shuffle_write_bytes(spark) -> int:
+    """Total shuffle-write bytes across completed stages, from the local
+    Spark UI REST API — deltas between probe stages attribute shuffle
+    volume per funnel stage. Returns -1 if the UI is unreachable."""
+    import json as _j
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            stages = _j.load(r)
+        return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)
+    except Exception:  # noqa: BLE001
+        return -1
+
+
+def funnel_probe() -> None:
+    """End-to-end curation funnel at inflated scale
+    (`python scale_probe.py funnel`; SCALE_FUNNEL_DOCS overrides N,
+    default 10M): the four-tier pipeline the dedup surface composes into,
+
+        gopher inline predicate
+        → survivor-only minhash_est_pairs with RECALL-tilted banding
+          (bands=6, r=2: two-hash band slices collide easily, catching
+          low-jaccard near-dups a production funnel must not miss — at
+          the price of a noisy candidate list)
+        → est_jaccard >= 0.5 prune (r7 calibration table: keeps every
+          pair whose exact jaccard can reach 0.8, rejects the sub-0.3
+          collision noise the aggressive banding lets through)
+        → ngram_jaccard_verify of ONLY the surviving pairs (exact 0.8)
+        → neardup_keep_best,
+
+    recording per-stage wall seconds, per-stage shuffle-write bytes
+    (Spark REST deltas), and the est tier's verify-set reduction — plus
+    the counterfactual verify cost over the UNPRUNED candidate list, so
+    the est tier's saving is measured, not asserted. Inputs materialize
+    to parquet between stages so each stage is charged its own cost."""
+    n_docs = int(os.environ.get("SCALE_FUNNEL_DOCS", "10000000"))
+    words = int(os.environ.get("SCALE_FUNNEL_WORDS", "24"))
+    spark = get_spark(app_name="poz-funnel-probe", ui_enabled=True)
+    import tempfile
+
+    from penr_oz_agent_memory_rust_spark.operators import text_ops
+
+    root = tempfile.mkdtemp(prefix="funnelprobe-")
+    report: dict = {"n_docs": n_docs, "est_threshold": 0.5}
+
+    # corpus: skewed dups + a stopword tail on 60% so the REAL gopher
+    # stop-list rule drives rejection (same shape as curate_probe). The
+    # tail is ALSO the probe's realism lever: its shingles are shared by
+    # 60% of the corpus, so band slices built from tail-shingle minima
+    # collide across unrelated docs — the boilerplate collision mass a
+    # real crawl feeds an r=2 banding (quadratic-ish in corpus size;
+    # measured below as candidate_pairs) and exactly what the est tier
+    # exists to prune before the expensive exact verify
+    _synth_skewed_corpus(spark, n_docs, words=words).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) < 6,
+            F.concat(F.col("text"), F.lit(" the and that have with")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).write.mode("overwrite").parquet(f"{root}/docs")
+    docs = spark.read.parquet(f"{root}/docs")
+
+    def stage(name, fn):
+        b0, t0 = _shuffle_write_bytes(spark), time.time()
+        out = fn()
+        report[name] = {
+            "sec": round(time.time() - t0, 2),
+            "shuffle_mb": round((_shuffle_write_bytes(spark) - b0) / 1e6, 1),
+        }
+        print(json.dumps({name: report[name]}), flush=True)
+        return out
+
+    def _gopher():
+        docs.filter(
+            text_ops.gopher_ok_expr(F.col("text"), min_words=1, min_stopword_hits=2)
+        ).write.mode("overwrite").parquet(f"{root}/survivors")
+        return spark.read.parquet(f"{root}/survivors")
+
+    survivors = stage("gopher", _gopher)
+    report["survivor_rows"] = survivors.count()
+
+    def _est():
+        dedup.minhash_est_pairs(
+            survivors, n_hashes=12, bands=6, threshold=0.0, max_bucket=200
+        ).write.mode("overwrite").parquet(f"{root}/cand")
+        return spark.read.parquet(f"{root}/cand")
+
+    cand = stage("est_pairs", _est)
+    n_cand = cand.count()
+    kept = cand.filter(F.col("est_jaccard") >= 0.5)
+    n_est = kept.count()
+    report["candidate_pairs"] = n_cand
+    report["est_kept_pairs"] = n_est
+    report["est_reduction"] = round(n_cand / max(1, n_est), 2)
+
+    def _verify():
+        dedup.ngram_jaccard_verify(
+            survivors, kept, threshold=0.8
+        ).write.mode("overwrite").parquet(f"{root}/verified")
+        return spark.read.parquet(f"{root}/verified")
+
+    verified = stage("verify_est_pruned", _verify)
+    report["verified_pairs"] = verified.count()
+
+    def _keep():
+        dedup.neardup_keep_best(
+            survivors, verified, F.length("text")
+        ).write.mode("overwrite").parquet(f"{root}/kept")
+        return spark.read.parquet(f"{root}/kept")
+
+    keep = stage("keep_best", _keep)
+    report["kept_docs"] = keep.count()
+
+    # counterfactual LAST, fallible: exact verify over the UNPRUNED
+    # candidate list (same parquet sink, fair comparison). At 10M docs /
+    # 182M candidates this DIES on local disk (spill > 60 GB) — which is
+    # the measurement: the est tier is the difference between a 10 s
+    # verify and one this machine cannot run. A failure is recorded, not
+    # raised.
+    try:
+        stage(
+            "verify_unpruned_counterfactual",
+            lambda: dedup.ngram_jaccard_verify(survivors, cand, threshold=0.8)
+            .write.mode("overwrite")
+            .parquet(f"{root}/verified_all"),
+        )
+    except Exception as e:  # noqa: BLE001
+        report["verify_unpruned_counterfactual"] = {
+            "failed": f"{type(e).__name__}: {str(e)[:200]}"
+        }
+        print(json.dumps({"verify_unpruned_counterfactual": "FAILED (recorded)"}), flush=True)
+    print(json.dumps(report))
+
+
 def companion_decay_probe() -> None:
     """Companion cnt-clustering decay probe (`python scale_probe.py decay`;
     SCALE_DECAY_BUCKETS overrides N, default 2M): the (bucket, cnt)
@@ -1832,5 +1973,7 @@ if __name__ == "__main__":
         curate_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "decay":
         companion_decay_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "funnel":
+        funnel_probe()
     else:
         main()
