@@ -72,7 +72,11 @@ def main() -> None:
     # ---- day 0: bootstrap from the seed crawl (80% of docs)
     seed = docs.filter(F.col("doc_id") % 5 > 0)
     quality = seed.filter(text_ops.gopher_ok_expr(F.col("text"), **GOPHER_KW))
-    pairs = dedup.minhash_lsh_pairs(quality, n_hashes=12, bands=4)
+    # the full funnel: LSH candidates + sketch estimate -> exact verify of
+    # ONLY the est survivors -> keep-best (the 10M-doc measured shape,
+    # PLANS.md round-8 funnel probe)
+    cands = dedup.minhash_est_pairs(quality, n_hashes=12, bands=4, threshold=0.5)
+    pairs = dedup.ngram_jaccard_verify(quality, cands, threshold=0.8)
     kept = dedup.neardup_keep_best(
         quality, pairs, text_ops.quality_score_expr(F.col("text"))
     ).select("doc_id")

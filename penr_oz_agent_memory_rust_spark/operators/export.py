@@ -179,6 +179,10 @@ def assign_shards_by_bytes(
     if bytes_per_shard < 1:
         raise ValueError(f"bytes_per_shard must be >= 1, got {bytes_per_shard}")
     keyed = deterministic_shuffle_key(df, id_col, salt)
+    # clamp to >= 1: a zero-cost row would share its byte offset with the
+    # next row, breaking pos_col uniqueness (and a sub-byte "cost" is
+    # meaningless for sizing anyway)
+    cost = F.greatest(cost.cast("bigint"), F.lit(1))
     src = keyed.withColumn("__cost", cost).withColumn(
         "__bucket", F.substring(F.col(SHUFFLE_KEY), 1, bucket_chars)
     )
@@ -289,8 +293,11 @@ def write_webdataset_shards(
     Layout and determinism contract:
       - shard/pos assignment is assign_shards' salt-parameterized global
         shuffle (same salt => identical shards on any cluster size);
-      - member key = `{pos_in_shard:09d}_{id}`, so members are ordered and
-        sample keys are unique;
+      - member key = `{pos_in_shard:012d}_{id}`, so members are ordered
+        and sample keys are unique (12 digits: the byte-budget mode's pos
+        is an in-shard byte offset, which tops out just above the budget
+        — 9 digits would wrap lexicographic order at exactly the 1 GB
+        loader-recommended budget);
       - tar metadata is canonicalized (mtime=0, uid/gid=0, empty
         uname/gname, mode 0644) — the same corpus + salt yields
         byte-identical shards, so shard md5s are reproducible artifacts
@@ -349,7 +356,7 @@ def write_webdataset_shards(
         with tarfile.open(fileobj=buf, mode="w") as tar:
             for row in pdf.itertuples(index=False):
                 d = row._asdict()
-                key = f"{int(d['pos_in_shard']):09d}_{d[id_col]}"
+                key = f"{int(d['pos_in_shard']):012d}_{d[id_col]}"
                 text = d.get(text_col)
                 meta = {
                     c: d[c]

@@ -164,3 +164,77 @@ def test_corpus_datasheet_shape_and_invariants(spark, sf_dir):
     assert 0.0 <= out["en_share"] <= 1.0
     assert 0.0 <= out["dup_rate"] < 1.0
     assert 0.0 <= out["quality_mean"] <= 1.0
+
+
+class TestBuildPublished:
+    """_build_published: the concurrency-safe build-once gate cache
+    (staging dir + one atomic rename) that replaced the r7
+    check→rmtree→rebuild-in-place pattern."""
+
+    def test_builds_once_and_reuses(self, tmp_path):
+        import os
+
+        work = str(tmp_path / "w")
+        calls = []
+
+        def build(stage):
+            calls.append(stage)
+            with open(os.path.join(stage, "data.txt"), "w") as f:
+                f.write("payload")
+
+        entrymod._build_published(work, "_OK", build)
+        entrymod._build_published(work, "_OK", build)
+        assert len(calls) == 1  # second call hits the published marker
+        assert open(os.path.join(work, "data.txt")).read() == "payload"
+        assert os.path.exists(os.path.join(work, "_OK"))
+        # nothing ever built in place: the stage dir is gone
+        assert not os.path.exists(f"{work}.stage{os.getpid()}")
+
+    def test_loser_adopts_winners_dir(self, tmp_path):
+        """If another process publishes while we build, our stage is
+        discarded and the winner's dataset served."""
+        import os
+
+        work = str(tmp_path / "w")
+
+        def winner_publishes_midway(stage):
+            os.makedirs(work)
+            with open(os.path.join(work, "data.txt"), "w") as f:
+                f.write("winner")
+            with open(os.path.join(work, "_OK"), "w") as f:
+                f.write("ok")
+            with open(os.path.join(stage, "data.txt"), "w") as f:
+                f.write("loser")
+
+        entrymod._build_published(work, "_OK", winner_publishes_midway)
+        assert open(os.path.join(work, "data.txt")).read() == "winner"
+        assert not os.path.exists(f"{work}.stage{os.getpid()}")
+
+    def test_replaces_legacy_partial_dir(self, tmp_path):
+        """A pre-staging partial dir (exists, no marker) is replaced."""
+        import os
+
+        work = str(tmp_path / "w")
+        os.makedirs(work)
+        with open(os.path.join(work, "halfbuilt.txt"), "w") as f:
+            f.write("junk")
+
+        def build(stage):
+            with open(os.path.join(stage, "data.txt"), "w") as f:
+                f.write("fresh")
+
+        entrymod._build_published(work, "_OK", build)
+        assert open(os.path.join(work, "data.txt")).read() == "fresh"
+        assert not os.path.exists(os.path.join(work, "halfbuilt.txt"))
+
+    def test_build_failure_leaves_no_published_dir(self, tmp_path):
+        import os
+
+        work = str(tmp_path / "w")
+
+        def build(stage):
+            raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError, match="boom"):
+            entrymod._build_published(work, "_OK", build)
+        assert not os.path.exists(work)
