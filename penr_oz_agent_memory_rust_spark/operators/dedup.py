@@ -106,14 +106,15 @@ def _lsh_candidate_pairs(
     for t in range(n_tables):
         planes = knn._hyperplanes(dim, n_planes, seed=seed * 1000 + t)
         sig = knn.lsh_signature_udf(planes)
-        members = (
-            vectors.select(F.col(id_col), sig(F.col(vec_col)).alias("__b"))
-            .groupBy("__b")
-            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-            .filter(F.size("ids") > 1)
+        sig_rows = vectors.select(
+            F.col(id_col), sig(F.col(vec_col)).alias("bucket")
         )
         if max_bucket is not None:
-            members = members.filter(F.size("ids") <= max_bucket)
+            # the cap runs pre-collect (_capped_bucket_members), which
+            # reads the signature rows twice — checkpoint so the Arrow
+            # UDF runs once per table, not twice
+            sig_rows = sig_rows.localCheckpoint(eager=True)
+        members = _capped_bucket_members(sig_rows, id_col, max_bucket)
         per_table.append(
             members.select(
                 F.explode(
@@ -220,14 +221,11 @@ def minhash_est_pairs(
         )
         for b in range(bands)
     ]
-    members = (
-        sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+    band_rows = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
     )
-    if max_bucket is not None:
-        members = members.filter(F.size("ids") <= max_bucket)
+    # cap BEFORE collecting (r8): both passes read the checkpointed sigs
+    members = _capped_bucket_members(band_rows, id_col, max_bucket)
     pairs = (
         members.select(
             F.explode(
@@ -306,6 +304,37 @@ def minhash_calibration(
             F.min("__exact").alias("min_exact"),
             F.max("__exact").alias("max_exact"),
         )
+    )
+
+
+def _capped_bucket_members(band_rows: DataFrame, id_col: str, max_bucket: int | None) -> DataFrame:
+    """(bucket, ids) member arrays (size > 1) with the stop-bucket cap
+    applied BEFORE any array materializes. The naive form —
+    groupBy(bucket).collect_list(...).filter(size <= max_bucket) — still
+    BUILDS the degenerate bucket's array inside one aggregation buffer
+    before dropping it: at 100 TB a boilerplate band value shared by 1e8
+    docs is an executor OOM, not a filter (r8 self-audit; the same
+    pre-collect anti-join _ngram_pair_stats has used since r7). A
+    map-side-combinable count names the hot buckets first (tiny by
+    nature: degenerate values are few), and a broadcast anti-join keeps
+    their rows out of the collect aggregation entirely — identical
+    output, bounded buffers. Cost: one extra count aggregation whose
+    exchange carries one row per distinct bucket.
+
+    NOTE: evaluates `band_rows` twice when capped — callers checkpoint
+    the frame (or its signature input) first."""
+    if max_bucket is not None:
+        hot = (
+            band_rows.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > max_bucket)
+            .select("bucket")
+        )
+        band_rows = band_rows.join(F.broadcast(hot), "bucket", "left_anti")
+    return (
+        band_rows.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
 
 
@@ -532,11 +561,23 @@ def minhash_lsh_pairs(
     single exchange on the bucket key. `max_bucket` drops buckets with more
     than that many members (the stop-bucket trick) — at 100 TB a degenerate
     band value (e.g. boilerplate docs) would otherwise expand |bucket|²
-    pairs in one task.
+    pairs in one task. Since r8 the cap is applied BEFORE the member
+    arrays are collected (_capped_bucket_members): a pre-count broadcast
+    anti-join keeps degenerate buckets out of the aggregation buffer
+    instead of dropping them after a corpus-sized array was built; the
+    band rows are eagerly checkpointed so the counts pass and the collect
+    pass share one shingle-UDF evaluation (ContextCleaner-scoped, same
+    device as _ngram_pair_stats' capped path).
     """
-    members = minhash_band_members(docs, id_col, text_col, n_hashes, bands, shingle_words)
-    if max_bucket is not None:
-        members = members.filter(F.size("ids") <= max_bucket)
+    if max_bucket is None:
+        members = minhash_band_members(
+            docs, id_col, text_col, n_hashes, bands, shingle_words
+        )
+    else:
+        stacked = lsh_band_rows(
+            docs, id_col, text_col, n_hashes, bands, shingle_words
+        ).localCheckpoint(eager=True)
+        members = _capped_bucket_members(stacked, id_col, max_bucket)
     pairs = members.select(
         F.explode(
             F.expr(

@@ -786,3 +786,36 @@ def test_ngram_jaccard_verify_matches_corpus_wide_exact(spark):
     # on the handed pairs, identical jaccard values and identical verdicts
     assert verified == {k: v for k, v in full.items() if k in cand_keys}
     assert (0, 3) in verified and verified[(0, 3)] == 1.0
+
+
+def test_stop_bucket_cap_prunes_before_collect(spark):
+    """The stop-bucket cap must not build the degenerate bucket's member
+    array at all: the capped plan carries a broadcast LEFT ANTI join of
+    the band rows against the hot-bucket list BEFORE the collect_list
+    aggregation (r8 — previously the cap filtered AFTER the array was
+    built, which at 100 TB is an executor OOM, not a filter). Results are
+    unchanged vs the post-collect form."""
+    from penr_oz_agent_memory_rust_spark.operators import dedup
+    from penr_oz_agent_memory_rust_spark.plans import explain
+
+    # 30 identical boilerplate docs (one degenerate bucket per band) + a
+    # genuine near-dup pair
+    texts = ["copy of the very same boilerplate text body here"] * 30 + [
+        "a distinct document about spark adaptive execution plans today",
+        "a distinct document about spark adaptive execution plans now",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    capped = dedup.minhash_lsh_pairs(docs, max_bucket=10)
+    plan = explain.physical_plan(capped)
+    assert "LeftAnti" in plan, plan
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert got == {(30, 31)}  # boilerplate capped away, near-dup kept
+    # uncapped keeps the boilerplate pairs
+    n_uncapped = dedup.minhash_lsh_pairs(docs).count()
+    assert n_uncapped == 30 * 29 // 2 + 1
+    # est path: same pre-collect cap, same results
+    est = dedup.minhash_est_pairs(docs, max_bucket=10)
+    assert "LeftAnti" in explain.physical_plan(est)
+    assert {(r["a"], r["b"]) for r in est.collect()} == {(30, 31)}
