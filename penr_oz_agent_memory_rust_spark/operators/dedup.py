@@ -1119,14 +1119,13 @@ def semantic_dedup(
         cell_expr = semantic_cells_expr(
             F.col(vec_col), semantic_cell_planes(dim, n_planes, seed)
         )
-    members = (
-        vectors.select(F.col(id_col), cell_expr.alias("__cell"))
-        .groupBy("__cell")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    cell_rows = vectors.select(F.col(id_col), cell_expr.alias("bucket"))
     if max_cell is not None:
-        members = members.filter(F.size("ids") <= max_cell)
+        # cap BEFORE collecting (r8, same as the minhash paths): the cell
+        # expression is cheap to evaluate twice; a degenerate cell must
+        # never build its member array at all
+        cell_rows = cell_rows.localCheckpoint(eager=True)
+    members = _capped_bucket_members(cell_rows, id_col, max_cell)
     pairs = members.select(
         F.explode(
             F.expr(

@@ -251,10 +251,20 @@ def hamming_near_dup_pairs(
     exploded = sides.select(
         id_col, code_col, F.posexplode("__bands").alias("band", "val")
     )
-    grouped = exploded.groupBy("band", "val").agg(
-        F.slice(
-            F.array_sort(F.collect_list(F.struct(id_col, code_col))), 1, max_bucket
-        ).alias("members")
+    # bound the aggregation buffer BEFORE collecting (r8): the old
+    # slice(array_sort(collect_list(...)), 1, max_bucket) form still built
+    # the degenerate bucket's full array before truncating — an executor
+    # OOM at scale. A per-bucket row_number window (sort-based, spills to
+    # disk gracefully) keeps the same truncate-to-smallest semantics the
+    # oracle mirrors, and collect_list is then bounded by max_bucket.
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("band", "val").orderBy(F.col(id_col), F.col(code_col))
+    bounded = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_bucket
+    )
+    grouped = bounded.groupBy("band", "val").agg(
+        F.array_sort(F.collect_list(F.struct(id_col, code_col))).alias("members")
     )
     pairs = grouped.select(
         F.explode(
