@@ -507,6 +507,34 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_calibration(_docs(spark, sf_dir), n_hashes=12, bands=4)
 
 
+def q_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ per-SOURCE (domain-level) quality profile — the RefinedWeb/CCNet
+    curation unit: per source, doc count, mean/stddev heuristic quality,
+    mean length, and the Gopher pass-rate (relaxed word/stop-hit floors
+    for the synthetic corpus). One map-only projection + one aggregation
+    whose exchange carries a row per source."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return text_ops.source_quality_profile(
+        docs, gopher_kwargs=dict(min_words=10, min_stopword_hits=1)
+    )
+
+
+def q_source_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ domain-level curation end-to-end: profile the sources, then drop
+    every document of a source whose Gopher pass-rate < 0.75 or mean
+    quality < 0.72 — the wholesale-domain drop that complements per-doc
+    filtering (broadcast anti-join of the failing-source list; the corpus
+    side is one scan, zero shuffles)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    prof = text_ops.source_quality_profile(
+        docs, gopher_kwargs=dict(min_words=10, min_stopword_hits=1)
+    )
+    kept = text_ops.filter_low_quality_sources(
+        docs, prof, min_gopher_pass_rate=0.75, min_mean_quality=0.72
+    )
+    return kept.select("doc_id", "source")
+
+
 def q_dedup_funnel_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ the funnel's est→exact handoff end-to-end: LSH candidates with
     est_jaccard >= 0.5 (the sketch tier) handed to ngram_jaccard_verify,
@@ -5005,6 +5033,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     + the funnel's est→exact verify handoff as its own gate
         "skew_salted_targeted": q_skew_salted_targeted,
         "dedup_funnel_verify": q_dedup_funnel_verify,
+        "source_quality_profile": q_source_quality_profile,
+        "source_curation": q_source_curation,
         "zscore_events": q_zscore_events,
         "repetition_profile": q_repetition_profile,
         "word_freq_topk": q_word_freq_topk,
@@ -6668,6 +6698,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, length(event_type) AS type_len,
                    count(*) AS cnt
             FROM events GROUP BY event_type
+        """,
+        "source_quality_profile": f"""
+            WITH g AS ({_gopher_sql(min_words=10, min_stopword_hits=1)}),
+            scored AS (
+              SELECT d.source, {_DK_QUALITY} AS q,
+                     length(d.text)::DOUBLE AS len,
+                     CASE WHEN g.gopher_ok THEN 1 ELSE 0 END AS ok
+              FROM documents d JOIN g ON g.doc_id = d.doc_id
+            )
+            SELECT source, count(*) AS n_docs,
+                   round(avg(q), 6) AS mean_quality,
+                   round(coalesce(stddev_samp(q), 0), 6) AS std_quality,
+                   round(avg(len), 6) AS mean_len,
+                   round(avg(ok), 6) AS gopher_pass_rate
+            FROM scored GROUP BY source
+        """,
+        "source_curation": f"""
+            WITH g AS ({_gopher_sql(min_words=10, min_stopword_hits=1)}),
+            scored AS (
+              SELECT d.source, d.doc_id, {_DK_QUALITY} AS q,
+                     CASE WHEN g.gopher_ok THEN 1 ELSE 0 END AS ok
+              FROM documents d JOIN g ON g.doc_id = d.doc_id
+            ),
+            prof AS (
+              SELECT source, round(avg(q), 6) AS mean_quality,
+                     round(avg(ok), 6) AS gopher_pass_rate
+              FROM scored GROUP BY source
+            ),
+            bad AS (
+              SELECT source FROM prof
+              WHERE gopher_pass_rate < 0.75 OR mean_quality < 0.72
+            )
+            SELECT doc_id, source FROM documents
+            WHERE source NOT IN (SELECT source FROM bad)
         """,
         "dedup_funnel_verify": f"""
             WITH e AS ({_minhash_est_sql(12, 4)}),

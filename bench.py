@@ -206,6 +206,8 @@ HEADLINE = [
     # r8 additions
     "skew_salted_targeted",
     "dedup_funnel_verify",
+    "source_quality_profile",
+    "source_curation",
 ]
 
 

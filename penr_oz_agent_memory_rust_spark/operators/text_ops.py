@@ -76,6 +76,62 @@ def quality_score_expr(text: Column) -> Column:
     return F.round(score, 6)
 
 
+def source_quality_profile(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """★ per-SOURCE (domain-level) quality profile — the aggregation
+    behind RefinedWeb/CCNet-style source filtering (public papers), where
+    curation decisions are made per crawl domain rather than per document:
+    a domain whose documents systematically fail quality rules is dropped
+    wholesale, which removes spam farms a per-doc filter would nibble at.
+
+    Per source: doc count, mean/stddev of the heuristic quality score,
+    mean doc length, and the fraction of docs passing the Gopher rules
+    (gopher_ok_expr with `gopher_kwargs`). One map-only projection + one
+    map-side-combinable aggregation — the exchange carries one row per
+    source. Fractions/means rounded 6dp for the oracle.
+    Output: (source, n_docs, mean_quality, std_quality, mean_len,
+    gopher_pass_rate)."""
+    gk = gopher_kwargs or {}
+    ok = gopher_ok_expr(F.col(text_col), **gk)
+    scored = docs.select(
+        F.col(source_col).alias("source"),
+        quality_score_expr(F.col(text_col)).alias("__q"),
+        F.length(text_col).cast("double").alias("__len"),
+        ok.cast("int").alias("__ok"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("__q"), 6).alias("mean_quality"),
+        F.round(F.coalesce(F.stddev_samp("__q"), F.lit(0.0)), 6).alias("std_quality"),
+        F.round(F.avg("__len"), 6).alias("mean_len"),
+        F.round(F.avg("__ok"), 6).alias("gopher_pass_rate"),
+    )
+
+
+def filter_low_quality_sources(
+    docs: DataFrame,
+    profile: DataFrame,
+    min_gopher_pass_rate: float = 0.5,
+    min_mean_quality: float = 0.0,
+    source_col: str = "source",
+) -> DataFrame:
+    """★ domain-level curation: drop every document whose SOURCE fails the
+    profile thresholds (pass-rate or mean-quality below the floor) — the
+    wholesale-domain drop that complements per-doc filtering. The reject
+    list is one row per failing source, broadcast into an anti-join, so
+    the corpus side is one scan with no shuffle. Thresholds compare the
+    profile's 6dp-rounded columns (oracle-aligned)."""
+    bad = profile.filter(
+        (F.col("gopher_pass_rate") < min_gopher_pass_rate)
+        | (F.col("mean_quality") < min_mean_quality)
+    ).select(F.col("source").alias(source_col))
+    return docs.join(F.broadcast(bad), source_col, "left_anti")
+
+
 def chunk_documents(
     docs: DataFrame,
     id_col: str = "doc_id",

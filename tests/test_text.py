@@ -367,3 +367,37 @@ def test_gopher_ok_expr_matches_profiling_form(spark):
         ).collect()
     }
     assert via_profile == via_expr
+
+
+def test_source_quality_profile_hand_computed(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over that lazy dog and again now ok"),
+        ("a", "zz"),  # fails gopher (word count / stopwords)
+        ("b", "the quick brown fox jumps over that lazy dog and again now ok"),
+    ]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    prof = {
+        r["source"]: r.asDict()
+        for r in text_ops.source_quality_profile(
+            docs, gopher_kwargs=dict(min_words=10, min_stopword_hits=1)
+        ).collect()
+    }
+    assert prof["a"]["n_docs"] == 2 and prof["a"]["gopher_pass_rate"] == 0.5
+    assert prof["b"]["n_docs"] == 1 and prof["b"]["gopher_pass_rate"] == 1.0
+    assert prof["b"]["std_quality"] == 0.0  # single doc: stddev nulls to 0
+
+
+def test_filter_low_quality_sources_drops_whole_domain(spark):
+    from penr_oz_agent_memory_rust_spark.plans import explain
+
+    rows = [("good", f"the and that have with words body {i} ok fine", i) for i in range(4)]
+    rows += [("spam", "buy now !!!", 100 + i) for i in range(4)]
+    docs = spark.createDataFrame(rows, "source string, text string, doc_id bigint")
+    prof = text_ops.source_quality_profile(
+        docs, gopher_kwargs=dict(min_words=5, min_stopword_hits=1)
+    )
+    kept = text_ops.filter_low_quality_sources(docs, prof, min_gopher_pass_rate=0.5)
+    assert {r["source"] for r in kept.collect()} == {"good"}
+    assert kept.count() == 4
+    # the reject list broadcasts: corpus side has no shuffle for the join
+    assert "BroadcastHashJoin" in explain.physical_plan(kept)
