@@ -2927,6 +2927,36 @@ def q_asof_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ BY-LESS global as-of join (r8 — pandas merge_asof without `by`):
+    every purchase event matched to the latest at-or-before view event
+    across the WHOLE stream, no key. One total time order = one window
+    partition by design (documented scale hazard with a global_max_rows
+    guard; partition with a real key past it). Equal-time view ties go to
+    the largest view_id (the operator's tiebreak contract); the oracle
+    dedupes ties the same way and replays the match with DuckDB's native
+    ASOF LEFT JOIN."""
+    from penr_oz_agent_memory_rust_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+        F.round("value", 6).alias("view_value"),
+    )
+    out = asof_join(
+        left,
+        right,
+        key=None,
+        left_time="ts",
+        right_time="vts",
+        right_cols=["view_id", "view_value"],
+        tiebreak="view_id",
+    )
+    return out.select("event_id", "view_id", "view_value")
+
+
 def q_tpch_q6_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 + Q14 in one gate: both single-row aggregates (pushdown
     scan-agg and conditional-aggregate ratio join), tagged and unioned."""
@@ -5035,6 +5065,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_funnel_verify": q_dedup_funnel_verify,
         "source_quality_profile": q_source_quality_profile,
         "source_curation": q_source_curation,
+        "asof_global": q_asof_global,
         "zscore_events": q_zscore_events,
         "repetition_profile": q_repetition_profile,
         "word_freq_topk": q_word_freq_topk,
@@ -6698,6 +6729,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, length(event_type) AS type_len,
                    count(*) AS cnt
             FROM events GROUP BY event_type
+        """,
+        "asof_global": """
+            WITH l AS (
+              SELECT event_id, ts FROM events WHERE event_type = 'purchase'
+            ),
+            r0 AS (
+              SELECT event_id AS view_id, ts AS vts, round(value, 6) AS view_value
+              FROM events WHERE event_type = 'view'
+            ),
+            r AS (
+              SELECT view_id, vts, view_value FROM r0
+              QUALIFY row_number() OVER (PARTITION BY vts
+                                         ORDER BY view_id DESC) = 1
+            )
+            SELECT l.event_id, r.view_id, r.view_value
+            FROM l ASOF LEFT JOIN r ON l.ts >= r.vts
         """,
         "source_quality_profile": f"""
             WITH g AS ({_gopher_sql(min_words=10, min_stopword_hits=1)}),

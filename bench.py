@@ -208,6 +208,7 @@ HEADLINE = [
     "dedup_funnel_verify",
     "source_quality_profile",
     "source_curation",
+    "asof_global",
 ]
 
 
