@@ -5061,6 +5061,11 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mem_delete_anti_join": q_mem_delete_anti_join,
         # --- r8: diagnose→remediate skew loop (skew_report -> targeted salt)
         #     + the funnel's est→exact verify handoff as its own gate
+        #     + domain-level source curation + the by-less as-of oracle.
+        #     ROTATION PLAN (r9): swap these five into the window against
+        #     five long-stable rows (e.g. bm25_search / hybrid_search_rrf /
+        #     quantized_search siblings green since r2-r3), same pattern as
+        #     the r7/r8 rotations, so CORRECTNESS_r09 certifies them.
         "skew_salted_targeted": q_skew_salted_targeted,
         "dedup_funnel_verify": q_dedup_funnel_verify,
         "source_quality_profile": q_source_quality_profile,
