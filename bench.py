@@ -16,6 +16,12 @@ dict. The FULL result (per-query mins, per-run samples, spread, and the
 exact stdout line under "stdout_line" so the committed record and the
 driver's capture cannot diverge) is written to `BENCH_LOCAL.json` next
 to this file.
+
+A cumulative per-query minima ledger is merge-written to
+`BENCH_MINIMA.json` (min across ALL recorded runs at the current sf;
+reset on sf change; disable with SPARK_GRAFT_BENCH_MINIMA=0) so
+cross-round regression adjudication compares stable minima instead of
+single records that drift ±25-40% with VM background load.
 """
 
 from __future__ import annotations
@@ -299,6 +305,34 @@ def main() -> None:
             f,
             indent=1,
         )
+    # per-query minima ledger: same-code records on this shared VM spread
+    # 172-203s on background load alone, so regression adjudication needs
+    # the min-over-ALL-recorded-runs, not any single record. Merge-write
+    # min(prior, this run) per query; reset if sf changes (minima are only
+    # comparable at one scale). Disable with SPARK_GRAFT_BENCH_MINIMA=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_MINIMA", "1") != "0":
+        ledger_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_MINIMA.json"
+        )
+        try:
+            with open(ledger_path) as f:
+                ledger = json.load(f)
+            if ledger.get("sf") != sf:
+                ledger = {"sf": sf, "minima": {}, "n_records": 0}
+        except (OSError, ValueError):
+            ledger = {"sf": sf, "minima": {}, "n_records": 0}
+        prior = ledger.get("minima", {})
+        ledger["minima"] = {
+            name: round(min(t, prior.get(name, t)), 3)
+            for name, t in timings.items()
+        }
+        # keep minima for queries not in this run's HEADLINE (rotations)
+        for name, t in prior.items():
+            ledger["minima"].setdefault(name, t)
+        ledger["n_records"] = int(ledger.get("n_records", 0)) + 1
+        ledger["minima"] = dict(sorted(ledger["minima"].items()))
+        with open(ledger_path, "w") as f:
+            json.dump(ledger, f, indent=1)
     sys.stdout.flush()
     print(line)
     spark.stop()

@@ -57,8 +57,10 @@ def asof_join(
     the BY-LESS global as-of (pandas merge_asof without `by`): one total
     time order, which in this union-sort form means ONE window partition —
     a single-task sort, deliberately NOT a scale path. The `global_max_rows`
-    guard (left+right rows, one count job) raises before planning a
-    driver-sized sort; partition the data with a real `key` beyond it.
+    guard raises before planning a driver-sized sort; it is ONE bounded
+    count job — a 1-column union limited to guard+1 rows, so the pre-flight
+    never scans past the cap even on huge inputs. Partition the data with a
+    real `key` beyond the guard.
     `allow_exact_matches=False` makes the time comparison STRICT (< / >):
     implemented purely in the union-sort order — left rows sort BEFORE
     right rows at equal time, so an equal-time right falls outside the
@@ -68,12 +70,20 @@ def asof_join(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
     if key is None:
-        n = left.count() + right.count()
+        # ONE bounded count job: union of 1-column projections, limited to
+        # guard+1 — stops scanning as soon as the cap is provably exceeded
+        n = (
+            left.select(F.lit(1).alias("__one"))
+            .unionAll(right.select(F.lit(1).alias("__one")))
+            .limit(global_max_rows + 1)
+            .count()
+        )
         if n > global_max_rows:
             raise ValueError(
                 f"by-less as-of join sorts all rows in ONE window partition; "
-                f"{n} rows exceeds global_max_rows={global_max_rows}. "
-                "Partition with a real key (or raise the guard knowingly)."
+                f">{global_max_rows} rows exceeds global_max_rows="
+                f"{global_max_rows}. Partition with a real key (or raise "
+                "the guard knowingly)."
             )
         key_expr = F.lit(0)
     else:

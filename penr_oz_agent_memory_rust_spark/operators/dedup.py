@@ -307,6 +307,141 @@ def minhash_calibration(
     )
 
 
+def plan_dedup_funnel(
+    calibration: DataFrame,
+    bucket_counts: DataFrame,
+    n_hashes: int,
+    target_jaccard: float,
+    recall_floor: float = 0.9,
+    bucket_quantile: float = 0.999,
+) -> DataFrame:
+    """★ funnel PLANNER: turns measured corpus stats into the funnel's
+    knobs as ONE deterministic decision row — no more hand-assembling
+    bands / r / max_bucket / est_threshold from three separate reports
+    (r8 verdict ask #3). Pure exact arithmetic over two frames the
+    pipeline already produces, so it is fully oracle-checkable:
+
+    - `calibration`: minhash_calibration output
+      (est_jaccard, n_pairs, mean_exact, min_exact, max_exact) — the
+      measured est-vs-exact table from a recall-tilted probe banding.
+    - `bucket_counts`: lsh_bucket_counts output (bucket, cnt) for the
+      same probe banding — the bucket-size distribution max_bucket caps.
+
+    Decisions (all closed-form, Broder 1997 S-curve arithmetic):
+    - (bands, r): among divisor pairs b*r = n_hashes, the LARGEST r
+      (steepest S-curve ⇒ fewest sub-threshold candidates ⇒ least
+      candidate mass — the funnel's only super-linear stage) whose
+      candidate recall at the target, p = 1-(1-t^r)^b, still clears
+      `recall_floor`; r=1 (pure OR banding, max recall) if none does.
+    - est_threshold: the LARGEST k/n_hashes whose binomial tail
+      P[Binom(n_hashes, t) >= k] clears `recall_floor` — the estimate
+      tier then prunes maximally without dropping target-Jaccard pairs
+      below the floor in expectation.
+    - max_bucket: the `bucket_quantile` quantile (linear-interpolated,
+      exact) of the probe bucket sizes, ceil'd — the stop-bucket cap
+      that drops only the degenerate boilerplate tail.
+    - measured columns: pairs_total / pairs_kept / keep_frac from the
+      calibration frame at the chosen est_threshold, so the row SHOWS
+      what the threshold buys on this corpus before anything reruns.
+
+    Cost: the two input aggregations are tiny (|calibration| <=
+    n_hashes+1 rows; |bucket_counts| = distinct buckets); everything
+    else is literal arithmetic over a <= n_hashes-row local range.
+    Output (one row): n_hashes, target_jaccard, recall_floor, bands, r,
+    p_at_target, est_threshold, est_recall_at_target, pairs_total,
+    pairs_kept, keep_frac, max_bucket."""
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError(f"target_jaccard must be in (0,1), got {target_jaccard}")
+    spark = calibration.sparkSession
+    t = float(target_jaccard)
+    n = int(n_hashes)
+
+    # (bands, r) decision: divisor pairs ranked steepest-first
+    cand = (
+        spark.range(1, n + 1)
+        .withColumnRenamed("id", "r")
+        .filter(F.lit(n) % F.col("r") == 0)
+        .select(
+            F.col("r").cast("int").alias("r"),
+            (F.lit(n) / F.col("r")).cast("int").alias("bands"),
+        )
+        .withColumn(
+            "p_at_target",
+            F.round(
+                F.lit(1.0)
+                - F.pow(F.lit(1.0) - F.pow(F.lit(t), F.col("r")), F.col("bands")),
+                6,
+            ),
+        )
+    )
+    chosen_band = (
+        cand.withColumn("meets", F.col("p_at_target") >= F.lit(float(recall_floor)))
+        # steepest curve that still meets the floor; r=1 fallback sorts
+        # last among non-meeting rows only when NOTHING meets
+        .orderBy(F.col("meets").desc(), F.col("r").desc())
+        .limit(1)
+        .select("bands", "r", "p_at_target")
+    )
+
+    # est_threshold decision: exact binomial tail per candidate k
+    # (factorials stay in bigint for n <= 20; arithmetic in double)
+    tail_expr = (
+        f"round(aggregate(sequence(k, {n}), cast(0.0 as double), (acc, j) -> "
+        f"acc + factorial({n}) / (factorial(j) * factorial({n} - j)) "
+        f"* pow({t!r}, j) * pow({1.0 - t!r}, {n} - j)), 6)"
+    )
+    thr = (
+        spark.range(0, n + 1)
+        .withColumnRenamed("id", "k")
+        .selectExpr("k", f"{tail_expr} AS est_recall_at_target")
+        .filter(F.col("est_recall_at_target") >= F.lit(float(recall_floor)))
+        .orderBy(F.col("k").desc())
+        .limit(1)
+        .select(
+            F.round(F.col("k") / F.lit(float(n)), 6).alias("est_threshold"),
+            "est_recall_at_target",
+        )
+    )
+
+    measured = thr.crossJoin(F.broadcast(calibration)).groupBy(
+        "est_threshold", "est_recall_at_target"
+    ).agg(
+        F.sum("n_pairs").alias("pairs_total"),
+        F.sum(
+            F.when(F.col("est_jaccard") >= F.col("est_threshold"), F.col("n_pairs"))
+            .otherwise(F.lit(0))
+        ).alias("pairs_kept"),
+    ).withColumn(
+        "keep_frac",
+        F.round(F.col("pairs_kept") / F.col("pairs_total"), 6),
+    )
+
+    cap = bucket_counts.agg(
+        F.ceil(
+            F.expr(f"percentile(cnt, {float(bucket_quantile)!r})")
+        ).cast("bigint").alias("max_bucket")
+    )
+
+    return (
+        chosen_band.crossJoin(measured)
+        .crossJoin(cap)
+        .select(
+            F.lit(n).alias("n_hashes"),
+            F.lit(t).alias("target_jaccard"),
+            F.lit(float(recall_floor)).alias("recall_floor"),
+            "bands",
+            "r",
+            "p_at_target",
+            "est_threshold",
+            "est_recall_at_target",
+            "pairs_total",
+            "pairs_kept",
+            "keep_frac",
+            "max_bucket",
+        )
+    )
+
+
 def _capped_bucket_members(band_rows: DataFrame, id_col: str, max_bucket: int | None) -> DataFrame:
     """(bucket, ids) member arrays (size > 1) with the stop-bucket cap
     applied BEFORE any array materializes. The naive form —

@@ -819,3 +819,65 @@ def test_stop_bucket_cap_prunes_before_collect(spark):
     est = dedup.minhash_est_pairs(docs, max_bucket=10)
     assert "LeftAnti" in explain.physical_plan(est)
     assert {(r["a"], r["b"]) for r in est.collect()} == {(30, 31)}
+
+
+def test_plan_dedup_funnel_decision_arithmetic(spark):
+    """The planner's closed-form decisions, hand-checked: with n=12 and
+    target j=0.5, (bands, r) must be the steepest divisor pair whose
+    S-curve recall 1-(1-t^r)^b clears the floor, the est threshold the
+    largest k/12 whose Binom(12, .5) upper tail clears it, and the
+    measured columns exact sums over the calibration frame."""
+    import math
+
+    from penr_oz_agent_memory_rust_spark.operators import dedup
+
+    cal = spark.createDataFrame(
+        [(0.25, 10, 0.2, 0.1, 0.3), (0.5, 6, 0.5, 0.4, 0.6), (0.75, 4, 0.8, 0.7, 0.9)],
+        "est_jaccard double, n_pairs bigint, mean_exact double, "
+        "min_exact double, max_exact double",
+    )
+    counts = spark.createDataFrame(
+        [(f"b{i}", c) for i, c in enumerate([2] * 98 + [5, 100])],
+        "bucket string, cnt bigint",
+    )
+    row = dedup.plan_dedup_funnel(
+        cal, counts, n_hashes=12, target_jaccard=0.5, recall_floor=0.9,
+        bucket_quantile=0.99,
+    ).first()
+    # S-curve: r=2,b=6 -> 1-(1-.25)^6 = .822 < .9; r=1,b=12 -> 1-.5^12 = .99976
+    assert (row["bands"], row["r"]) == (12, 1)
+    assert abs(row["p_at_target"] - round(1 - 0.5 ** 12, 6)) < 1e-9
+    # binomial tail at t=.5: P[X>=5] = .80615..., P[X>=4] = .92700... -> k=4
+    def tail(k):
+        return sum(math.comb(12, j) * 0.5 ** 12 for j in range(k, 13))
+    assert tail(5) < 0.9 <= tail(4)
+    assert row["est_threshold"] == round(4 / 12, 6)
+    assert abs(row["est_recall_at_target"] - round(tail(4), 6)) < 1e-9
+    # measured: threshold .333333 keeps the .5 and .75 rows
+    assert (row["pairs_total"], row["pairs_kept"]) == (20, 10)
+    assert row["keep_frac"] == 0.5
+    # 99th pct of sorted [2]*98+[5,100]: index .99*99 = 98.01 lands between
+    # 5 and 100 -> 5 + .01*95 = 5.95, ceil'd to 6
+    assert row["max_bucket"] == 6
+
+
+def test_plan_dedup_funnel_high_floor_prefers_steeper_r(spark):
+    """With an easier floor the planner must pick a steeper curve: at
+    t=0.8, r=3/b=4 gives 1-(1-.512)^4 = .943 — steeper r=6/b=2 gives
+    .632 and fails a .9 floor, so r=3 wins; target validation raises."""
+    import pytest
+
+    from penr_oz_agent_memory_rust_spark.operators import dedup
+
+    cal = spark.createDataFrame(
+        [(1.0, 1, 1.0, 1.0, 1.0)],
+        "est_jaccard double, n_pairs bigint, mean_exact double, "
+        "min_exact double, max_exact double",
+    )
+    counts = spark.createDataFrame([("b", 3)], "bucket string, cnt bigint")
+    row = dedup.plan_dedup_funnel(
+        cal, counts, n_hashes=12, target_jaccard=0.8, recall_floor=0.9
+    ).first()
+    assert (row["bands"], row["r"]) == (4, 3)
+    with pytest.raises(ValueError, match="target_jaccard"):
+        dedup.plan_dedup_funnel(cal, counts, 12, 1.5)

@@ -164,31 +164,73 @@ def main() -> None:
     # --- self-consistency pins for the no-oracle tail ---------------------
     try:
         with open(SELFCHECK_PATH) as f:
-            pinned = json.load(f).get("hashes", {})
+            _pinfile = json.load(f)
+        pinned = _pinfile.get("hashes", {})
+        top_sf = _pinfile.get("sf_dir")
     except (OSError, ValueError):
-        pinned = {}
+        pinned, top_sf = {}, None
     fresh: dict[str, dict] = {}
     for name in qs:
         if name in oracles or (only and name not in only):
             continue
         try:
             sdf = _canon(qs[name](spark, sf_dir).toPandas())
-            got = {"rows": len(sdf), "value_hash": _value_hash(sdf)}
+            got = {"rows": len(sdf), "value_hash": _value_hash(sdf), "sf_dir": sf_dir}
             fresh[name] = got
             want = pinned.get(name)
-            ok = update_selfcheck or got == want
+            # legacy entries lack a per-entry sf_dir: they were pinned under
+            # the file's top-level sf_dir
+            want_sf = (want or {}).get("sf_dir", top_sf)
+            same_values = want is not None and (
+                got["rows"] == want.get("rows")
+                and got["value_hash"] == want.get("value_hash")
+            )
+            if want is not None and want_sf != sf_dir:
+                ok = update_selfcheck
+                err = None if update_selfcheck else (
+                    f"pinned under sf_dir={want_sf}, run under {sf_dir}"
+                )
+            else:
+                ok = update_selfcheck or same_values
+                err = None if (want or update_selfcheck) else "no pinned hash"
+            if update_selfcheck and want is not None and not same_values:
+                # an --update run must not silently hide drift (ADVICE r8):
+                # surface exactly what changed before the new pin lands
+                print(
+                    f"REPIN {name}: rows {want.get('rows')} -> {got['rows']}, "
+                    f"hash {str(want.get('value_hash'))[:12]} -> "
+                    f"{got['value_hash'][:12]} (sf_dir {want_sf} -> {sf_dir})"
+                )
             results[name] = {
                 "selfcheck": True,
                 "hash_match": ok,
                 "spark_rows": got["rows"],
                 "pinned_rows": (want or {}).get("rows"),
-                "err": None if (want or update_selfcheck) else "no pinned hash",
+                "drifted": bool(update_selfcheck and want is not None and not same_values),
+                "err": err,
             }
         except Exception as e:  # noqa: BLE001
             results[name] = {"selfcheck": True, "err": f"{type(e).__name__}: {e}"}
         flag = "OK " if results[name].get("hash_match") else "FAIL"
         print(f"{flag} {name} [selfcheck]: {json.dumps(results[name])}")
     if update_selfcheck and fresh:
+        # refuse the silent-merge footgun: a partial re-pin (with query
+        # args) may only merge into pins recorded under the SAME sf_dir —
+        # per-entry sf_dir makes the provenance explicit either way
+        stale = {
+            k: v.get("sf_dir", top_sf)
+            for k, v in pinned.items()
+            if k not in fresh and v.get("sf_dir", top_sf) != sf_dir
+        }
+        if only and stale:
+            print(
+                f"ERROR: partial --update-selfcheck under sf_dir={sf_dir} "
+                f"would merge with {len(stale)} pins from a different sf_dir "
+                f"(e.g. {sorted(stale.items())[0]}); re-pin ALL queries "
+                "(no query args) to switch sf_dir."
+            )
+            spark.stop()
+            sys.exit(2)
         merged = dict(pinned)
         merged.update(fresh)
         with open(SELFCHECK_PATH, "w") as f:
@@ -197,7 +239,11 @@ def main() -> None:
                 f,
                 indent=1,
             )
-        print(f"re-pinned {len(fresh)} selfcheck hashes -> {SELFCHECK_PATH}")
+        n_drift = sum(1 for r in results.values() if r.get("drifted"))
+        print(
+            f"re-pinned {len(fresh)} selfcheck hashes ({n_drift} changed) "
+            f"-> {SELFCHECK_PATH}"
+        )
 
     bad = {k: v for k, v in results.items() if not v.get("hash_match")}
     print(
