@@ -3109,6 +3109,66 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_dup_spans(_docs(spark, sf_dir), k=5, min_docs=2)
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ symmetric boilerplate strip: tokens covered by a 5-gram occurring
+    in >= 2 distinct documents are cut from ALL documents (no keeper — the
+    contrast with remove_dup_spans), text rebuilt from survivors
+    (operators/dedup.py:strip_boilerplate_spans). min_df=2 so the strip
+    actually fires at oracle scale; production min_df sits far above any
+    dup-cluster size (see the 10M funnel probe in PLANS.md)."""
+    return dedup.strip_boilerplate_spans(_docs(spark, sf_dir), k=5, min_df=2)
+
+
+def q_pipeline_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ the DEFAULT-POSTURE curation funnel end-to-end (r8 verdict ask
+    #2): gopher rule-filter → symmetric boilerplate strip (min_df=3, the
+    smallest df that exists at oracle scale, so the stage provably fires)
+    → minhash est-pairs over the CLEANED text → est >= 0.5 prune → exact
+    3-shingle Jaccard verify >= 0.3 over the RAW survivor text →
+    neardup_keep_best. The oracle replays every tier in SQL, including
+    the strip and the est tier over stripped text
+    (operators/dedup.py:curate_funnel)."""
+    return dedup.curate_funnel(
+        _docs(spark, sf_dir),
+        min_words=40,
+        min_stopword_hits=1,
+        strip_k=5,
+        strip_min_df=3,
+        n_hashes=12,
+        bands=4,
+        est_threshold=0.5,
+        jaccard=0.3,
+    )
+
+
+def q_strip_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ per-source common-line boilerplate removal (CCNet-style site
+    chrome strip; operators/text_ops.py:strip_common_lines). The corpus
+    has no newlines, so the gate injects the structure it strips — a
+    per-source header + footer around the unique body plus a doc-unique
+    note line (same injection pattern as text_normalize): the operator
+    must drop exactly the two per-source lines from every doc and keep
+    both unique lines, entirely in JVM expressions."""
+    docs = _docs(spark, sf_dir)
+    messy = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("header of "),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\ndoc note "),
+            F.col("doc_id").cast("string"),
+            F.lit("\nfooter of "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    return text_ops.strip_common_lines(
+        messy, group_col="source", min_frac=0.5, min_docs=2
+    )
+
+
 def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ PageRank over the exact top-5 cosine kNN graph (centrality as a
     redundancy/diversity signal for sampling). The graph here is the
@@ -4998,12 +5058,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #  unchanged + green since r2-r3, still in the full local verify
         #  harness — to make room for the five r8 gates below)
         "knn_suite": q_knn_suite,
-        "bq_ann": q_bq_ann,
         "ts_gapfill_interp": q_ts_gapfill_interp,
-        "bq_neardup": q_bq_neardup,
         "semantic_decontaminate": q_semantic_decontaminate,
         "versioned_merge_pruned": q_versioned_merge_pruned,
-        "rolling_series_stats": q_rolling_series_stats,
         "stream_cms_topk": q_stream_cms_topk,
         "incremental_quantile_refresh": q_incremental_quantile_refresh,
         "media_phash_dedup": q_media_phash_dedup,
@@ -5053,6 +5110,24 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "source_quality_profile": q_source_quality_profile,
         "source_curation": q_source_curation,
         "asof_global": q_asof_global,
+        # --- window: r9 NEW gates — the boilerplate-first candidate-mass
+        #     remediation the r8 verdict asked to make the funnel's default
+        #     posture (ask #2): the symmetric strip operator itself, and the
+        #     full default-posture funnel (gopher → strip → est over cleaned
+        #     text → exact verify over raw text → keep-best) with every tier
+        #     replayed in the oracle. New code ships driver-certified; to
+        #     make room, the bq_ann / bq_neardup siblings rotated out
+        #     (green + code-unchanged since r2-r3, r8-certified, still in
+        #     the local gate). Driver-certified-at-least-once count after
+        #     this rotation: 179 of 234 registered queries.
+        "strip_boilerplate": q_strip_boilerplate,
+        "pipeline_curate_funnel": q_pipeline_curate_funnel,
+        # --- window: r9 NEW gate — per-source common-LINE boilerplate
+        #     removal (CCNet-style site-chrome strip, the structural
+        #     sibling of strip_boilerplate_spans). rolling_series_stats
+        #     rotated out to make room (unchanged + green since r4,
+        #     multiply driver-certified, still in the local gate).
+        "strip_common_lines": q_strip_common_lines,
         # --- window boundary (~50) ---
         "sessionization": q_sessionization,
         "events_followup_day": q_events_followup_day,
@@ -5095,6 +5170,11 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quantized_search": q_quantized_search,
         "bq_ann_rerank": q_bq_ann_rerank,
         "mutual_knn": q_mutual_knn,
+        # --- r9 rotation (cont.): the two new strip/funnel gates entered
+        #     the window; these bq siblings moved out on the same basis
+        "bq_ann": q_bq_ann,
+        "bq_neardup": q_bq_neardup,
+        "rolling_series_stats": q_rolling_series_stats,
         "zscore_events": q_zscore_events,
         "repetition_profile": q_repetition_profile,
         "word_freq_topk": q_word_freq_topk,
@@ -5642,10 +5722,14 @@ def _gopher_sql(
         """
 
 
-def _minhash_est_sql(n_hashes: int = 12, bands: int = 4) -> str:
+def _minhash_est_sql(
+    n_hashes: int = 12, bands: int = 4, source: str = "documents"
+) -> str:
     """DuckDB mirror of minhash_est_pairs: same md5-slice signatures and
     banding as _minhash_reach_cte (hex-slice equality == bigint equality,
-    so the agreement count matches the Spark conv()'d form exactly)."""
+    so the agreement count matches the Spark conv()'d form exactly).
+    `source` names the (doc_id, text) relation the shingles come from —
+    pipeline_curate_funnel points it at the boilerplate-stripped CTE."""
     r = n_hashes // bands
     sig_cols = ", ".join(
         f"min(substring(md5('{j // 6}|' || s), {1 + 5 * (j % 6)}, 5)) AS h{j}"
@@ -5660,7 +5744,7 @@ def _minhash_est_sql(n_hashes: int = 12, bands: int = 4) -> str:
     )
     return f"""
             WITH sigsh AS (
-              SELECT doc_id, unnest(list_distinct({_DK_SHINGLES3})) AS s FROM documents
+              SELECT doc_id, unnest(list_distinct({_DK_SHINGLES3})) AS s FROM {source}
             ), sig AS (
               SELECT doc_id, {sig_cols} FROM sigsh GROUP BY doc_id
             ), bands AS (
@@ -8054,6 +8138,164 @@ def oracle_sql() -> dict[str, str]:
                len(string_split(lower(d.text), ' '))::BIGINT - coalesce(a.n_kept, 0) AS n_removed,
                coalesce(a.text_clean, '') AS text_clean
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+    d["strip_boilerplate"] = """
+        WITH g0 AS (
+          SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+                 list_transform(
+                   generate_series(1, greatest(1, len(string_split(lower(text), ' ')) - 4)),
+                   i -> array_to_string(string_split(lower(text), ' ')[i:i+4], ' ')
+                 ) AS grams
+          FROM documents
+        ), g AS (
+          SELECT doc_id, n_tokens,
+                 CAST(generate_subscripts(grams, 1) - 1 AS BIGINT) AS i,
+                 ('0x' || substring(md5(unnest(grams)), 1, 15))::BIGINT AS gh
+          FROM g0
+        ), hot AS (
+          SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df FROM g GROUP BY gh)
+          WHERE df >= 2
+        ), cut AS (
+          SELECT DISTINCT doc_id, p FROM (
+            SELECT g.doc_id,
+                   unnest(generate_series(g.i + 1, least(g.i + 5, g.n_tokens))) AS p
+            FROM g JOIN hot ON g.gh = hot.gh
+          )
+        ), tok AS (
+          SELECT doc_id,
+                 unnest(string_split(lower(text), ' ')) AS tok,
+                 CAST(generate_subscripts(string_split(lower(text), ' '), 1) AS BIGINT) AS p
+          FROM documents
+        ), kept AS (
+          SELECT t.doc_id, t.tok, t.p
+          FROM tok t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.p = c.p
+          WHERE c.p IS NULL
+        ), agg AS (
+          SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS text_clean,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               len(string_split(lower(d.text), ' '))::BIGINT AS n_tokens,
+               len(string_split(lower(d.text), ' '))::BIGINT - coalesce(a.n_kept, 0) AS n_removed,
+               coalesce(a.text_clean, '') AS text_clean
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+    d["pipeline_curate_funnel"] = f"""
+        WITH RECURSIVE g AS ({_gopher_sql(min_words=40, min_stopword_hits=1)}),
+        gkeep AS (SELECT doc_id FROM g WHERE gopher_ok),
+        surv AS (
+          SELECT d.doc_id, d.text FROM documents d JOIN gkeep USING (doc_id)
+        ), sg0 AS (
+          SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+                 list_transform(
+                   generate_series(1, greatest(1, len(string_split(lower(text), ' ')) - 4)),
+                   i -> array_to_string(string_split(lower(text), ' ')[i:i+4], ' ')
+                 ) AS grams
+          FROM surv
+        ), sg AS (
+          SELECT doc_id, n_tokens,
+                 CAST(generate_subscripts(grams, 1) - 1 AS BIGINT) AS i,
+                 ('0x' || substring(md5(unnest(grams)), 1, 15))::BIGINT AS gh
+          FROM sg0
+        ), hot AS (
+          SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df FROM sg GROUP BY gh)
+          WHERE df >= 3
+        ), cut AS (
+          SELECT DISTINCT doc_id, p FROM (
+            SELECT sg.doc_id,
+                   unnest(generate_series(sg.i + 1, least(sg.i + 5, sg.n_tokens))) AS p
+            FROM sg JOIN hot ON sg.gh = hot.gh
+          )
+        ), tok AS (
+          SELECT doc_id,
+                 unnest(string_split(lower(text), ' ')) AS tok,
+                 CAST(generate_subscripts(string_split(lower(text), ' '), 1) AS BIGINT) AS p
+          FROM surv
+        ), keptt AS (
+          SELECT t.doc_id, t.tok, t.p
+          FROM tok t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.p = c.p
+          WHERE c.p IS NULL
+        ), clean AS (
+          SELECT s.doc_id, coalesce(a.text, '') AS text
+          FROM surv s LEFT JOIN (
+            SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS text
+            FROM keptt GROUP BY doc_id
+          ) a USING (doc_id)
+        ),
+        e AS ({_minhash_est_sql(12, 4, source="clean")}),
+        cand AS (SELECT a, b FROM e WHERE est_jaccard >= 0.5),
+        vsh AS (
+          SELECT doc_id AS did, unnest(list_distinct({_DK_SHINGLES3})) AS s
+          FROM surv
+        ),
+        vsizes AS (SELECT did, count(*) AS sz FROM vsh GROUP BY did),
+        vinter AS (
+          SELECT k.a, k.b, count(*) AS inter
+          FROM cand k
+          JOIN vsh l ON l.did = k.a
+          JOIN vsh r ON r.did = k.b AND r.s = l.s
+          GROUP BY k.a, k.b
+        ),
+        ver AS (
+          SELECT i.a, i.b FROM vinter i
+          JOIN vsizes sa ON sa.did = i.a
+          JOIN vsizes sb ON sb.did = i.b
+          WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.3
+        ),
+        edges AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT u, u FROM edges
+          UNION
+          SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+        ),
+        comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+        scored AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+                 {_DK_QUALITY} AS q
+          FROM documents d
+          JOIN gkeep USING (doc_id)
+          LEFT JOIN comp c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id, component, cluster_size, q AS score FROM (
+          SELECT doc_id, component, q,
+                 count(*) OVER (PARTITION BY component) AS cluster_size,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY q DESC, doc_id) AS rn
+          FROM scored
+        ) WHERE rn = 1
+    """
+    d["strip_common_lines"] = """
+        WITH messy AS (
+          SELECT doc_id, source,
+                 'header of ' || source || chr(10) || text || chr(10) ||
+                 'doc note ' || doc_id || chr(10) || 'footer of ' || source AS t
+          FROM documents
+        ), lines AS (
+          SELECT doc_id, source,
+                 unnest(list_distinct(string_split(t, chr(10)))) AS line
+          FROM messy
+        ), gn AS (SELECT source, count(*) AS n FROM messy GROUP BY source),
+        boiler AS (
+          SELECT l.source, l.line
+          FROM (SELECT source, line, count(DISTINCT doc_id) AS df
+                FROM lines GROUP BY source, line) l
+          JOIN gn ON gn.source = l.source
+          WHERE l.df >= 2 AND l.df >= gn.n * 0.5
+        ), bset AS (SELECT source, list(line) AS bl FROM boiler GROUP BY source)
+        SELECT m.doc_id, m.source,
+               len(string_split(m.t, chr(10)))::BIGINT AS n_lines,
+               (len(string_split(m.t, chr(10)))
+                - len(list_filter(string_split(m.t, chr(10)),
+                      x -> NOT coalesce(list_contains(b.bl, x), FALSE))))::BIGINT
+                 AS n_removed,
+               array_to_string(
+                 list_filter(string_split(m.t, chr(10)),
+                             x -> NOT coalesce(list_contains(b.bl, x), FALSE)),
+                 chr(10)) AS text_clean
+        FROM messy m LEFT JOIN bset b ON m.source = b.source
     """
     d["hard_negatives"] = f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 12),

@@ -201,6 +201,9 @@ HEADLINE = [
     "neardup_keep_best",
     "jsonl_rescue",
     "pipeline_curate_corpus",
+    "strip_boilerplate",
+    "pipeline_curate_funnel",
+    "strip_common_lines",
     "webdataset_roundtrip",
     "skew_report",
     "minhash_est_pairs",

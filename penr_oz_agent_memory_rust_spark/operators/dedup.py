@@ -1525,8 +1525,6 @@ def remove_dup_spans(
     (text, cut_starts) — the corpus text shuffles ONCE, joined against
     node-small per-doc start arrays.
     """
-    from pyspark.sql import types as T
-
     base = _gram_hash_rows(docs, id_col, text_col, k)
     stats = base.groupBy("__gh").agg(
         F.count_distinct(F.col(id_col)).alias("__df"),
@@ -1538,6 +1536,16 @@ def remove_dup_spans(
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_set(F.col("__i"))).alias("__cuts"))
     )
+    return _rewrite_without_cut_spans(docs, cut_starts, id_col, text_col, k)
+
+
+def _rewrite_without_cut_spans(
+    docs: DataFrame, cut_starts: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Shared rewrite tail of remove_dup_spans / strip_boilerplate_spans:
+    left-join the per-doc sorted 0-based gram-start cut list, then rebuild
+    each text from the tokens NOT covered by any cut gram in one Arrow
+    pass. Output: (id, n_tokens, n_removed, text_clean)."""
 
     @F.pandas_udf("struct<n_removed: bigint, text_clean: string>")
     def _rewrite(texts: pd.Series, cuts: pd.Series) -> pd.DataFrame:
@@ -1568,6 +1576,56 @@ def remove_dup_spans(
         F.col("__r.n_removed").alias("n_removed"),
         F.col("__r.text_clean").alias("text_clean"),
     )
+
+
+def strip_boilerplate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 1000,
+) -> DataFrame:
+    """★ SYMMETRIC boilerplate strip (CCNet/RefinedWeb-style template
+    removal, the candidate-mass remediation the r8 funnel probe named):
+    drop every token covered by a k-token gram occurring in >= `min_df`
+    distinct documents — from ALL documents, keeper included. Output:
+    (doc_id, n_tokens, n_removed, text_clean) for every document.
+
+    Contrast remove_dup_spans (first-occurrence-survives, min_docs~2):
+    that is a DEDUP — it canonicalizes duplicated content into one
+    surviving copy. This is a PRE-CLEAN for candidate generation: with
+    min_df far above any real duplicate-cluster size (boilerplate is
+    shared by thousands of unrelated pages; near-dup clusters by a
+    handful), the strip removes exactly the shingle mass whose band-slice
+    minima collide QUADRATICALLY across unrelated docs in LSH, while
+    genuine near-dup pairs keep their document-specific shingles — so
+    candidate recall at the target Jaccard is preserved and the funnel's
+    only super-linear stage (candidate generation) loses its boilerplate
+    collision mass at the source. Because the cut is df-thresholded and
+    applied symmetrically, two true near-dups lose the SAME spans and
+    their cleaned-text Jaccard does not drop.
+
+    Scale shape: identical to remove_dup_spans — one map-side-partial
+    hash-agg over 60-bit gram hashes for df, a linear 1:1 semi-join per
+    occurrence for cut positions, one Arrow rewrite pass; the corpus text
+    shuffles once. A boilerplate gram costs its occurrence count, never
+    occurrence² — the cost moves OUT of the quadratic LSH stage into this
+    linear one."""
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    base = _gram_hash_rows(docs, id_col, text_col, k)
+    hot = (
+        base.groupBy("__gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__gh")
+    )
+    cut_starts = (
+        base.join(hot, "__gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set(F.col("__i"))).alias("__cuts"))
+    )
+    return _rewrite_without_cut_spans(docs, cut_starts, id_col, text_col, k)
 
 
 def exact_dedup_keep_best(
@@ -1643,6 +1701,82 @@ def neardup_keep_best(
             F.count("*").alias("cluster_size"),
         )
         .select(id_col, "component", "cluster_size", "score")
+    )
+
+
+def curate_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    min_stopword_hits: int = 2,
+    strip_k: int = 5,
+    strip_min_df: int | None = 1000,
+    n_hashes: int = 12,
+    bands: int = 4,
+    est_threshold: float = 0.5,
+    max_bucket: int | None = None,
+    jaccard: float = 0.8,
+    score_expr: Column | None = None,
+) -> DataFrame:
+    """★ the curation funnel as ONE composable operator, with
+    boilerplate-first candidate-mass reduction as the DEFAULT posture
+    (r8 verdict ask #2 — the 10M-doc probe showed candidate generation is
+    the funnel's only super-linear stage, and boilerplate shingle mass is
+    why):
+
+        gopher rule-filter (inline predicate, zero joins)
+        → strip_boilerplate_spans(min_df=strip_min_df)   [default ON]
+        → minhash_est_pairs over the CLEANED text
+        → est_jaccard >= est_threshold prune
+        → ngram_jaccard_verify over the ORIGINAL text
+        → neardup_keep_best
+
+    Candidates are generated from boilerplate-stripped text (the shared
+    template mass whose band minima collide quadratically across
+    unrelated docs never reaches the LSH), but the exact verify and the
+    keep-best score both run on the RAW survivor text — so the funnel's
+    acceptance semantics (exact Jaccard >= `jaccard` on the documents as
+    they exist) are unchanged; only the candidate-generation tier sees
+    the strip. `strip_min_df=None` disables the pre-stage (the pre-r9
+    posture, kept for A/B). `plan_dedup_funnel` supplies
+    (bands, est_threshold, max_bucket) from measured corpus stats."""
+    from penr_oz_agent_memory_rust_spark.operators import text_ops as _t
+
+    survivors = docs.filter(
+        _t.gopher_ok_expr(
+            F.col(text_col),
+            min_words=min_words,
+            min_stopword_hits=min_stopword_hits,
+        )
+    )
+    if strip_min_df is not None:
+        cand_input = strip_boilerplate_spans(
+            survivors, id_col, text_col, k=strip_k, min_df=strip_min_df
+        ).select(F.col(id_col), F.col("text_clean").alias(text_col))
+    else:
+        cand_input = survivors.select(F.col(id_col), F.col(text_col))
+    est = minhash_est_pairs(
+        cand_input,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        threshold=0.0,
+        max_bucket=max_bucket,
+    )
+    kept = est.filter(F.col("est_jaccard") >= est_threshold).select("a", "b")
+    verified = ngram_jaccard_verify(
+        survivors, kept, id_col=id_col, text_col=text_col, threshold=jaccard
+    )
+    return neardup_keep_best(
+        survivors,
+        verified,
+        score_expr
+        if score_expr is not None
+        else _t.quality_score_expr(F.col(text_col)),
+        id_col=id_col,
     )
 
 

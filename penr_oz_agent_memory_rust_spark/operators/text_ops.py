@@ -132,6 +132,70 @@ def filter_low_quality_sources(
     return docs.join(F.broadcast(bad), source_col, "left_anti")
 
 
+def strip_common_lines(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """★ per-group common-LINE boilerplate removal (the CCNet/RefinedWeb
+    structural-dedup stage): a line occurring in >= `min_frac` of a
+    group's documents (and >= `min_docs` of them) is template boilerplate
+    — site headers, footers, nav, cookie banners — and is dropped from
+    every document of that group; text is rebuilt from the surviving
+    lines in order. Complements strip_boilerplate_spans (token-gram
+    level, corpus-wide df): lines are the natural unit when the template
+    is page STRUCTURE rather than flowing text, and grouping by
+    source/domain keeps one site's chrome from needing corpus-level df to
+    clear the threshold. Output: (id, group, n_lines, n_removed,
+    text_clean) for every document.
+
+    Scale shape — ENTIRELY JVM expressions, no Python in the hot path:
+    per-(group, line) document frequency is one hash-agg over exploded
+    DISTINCT lines (map-side partial); group doc counts are a broadcast;
+    the boilerplate vocabulary aggregates to ONE array row per group
+    (bounded: each member line occurs in >= min_frac of the group's docs,
+    so |vocab| <= |distinct lines| / min_frac / |docs| ~ lines-per-doc /
+    min_frac) and broadcast-joins back; the rewrite is
+    filter(split(text)) + array_join — whole-stage-codegen, the corpus
+    never shuffles."""
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    lines_arr = F.split(F.col(text_col), "\n")
+    exploded = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.explode(F.array_distinct(lines_arr)).alias("__line"),
+    )
+    group_n = docs.groupBy(group_col).agg(F.count("*").alias("__gn"))
+    boiler = (
+        exploded.groupBy(group_col, "__line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .join(F.broadcast(group_n), group_col)
+        .filter(
+            (F.col("__df") >= F.lit(int(min_docs)))
+            & (F.col("__df") >= F.col("__gn") * F.lit(float(min_frac)))
+        )
+        .groupBy(group_col)
+        .agg(F.collect_set("__line").alias("__boiler"))
+    )
+    kept = F.filter(
+        lines_arr, lambda l: ~F.coalesce(F.array_contains("__boiler", l), F.lit(False))
+    )
+    return (
+        docs.join(F.broadcast(boiler), group_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.size(lines_arr).cast("bigint").alias("n_lines"),
+            (F.size(lines_arr) - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.array_join(kept, "\n").alias("text_clean"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     id_col: str = "doc_id",

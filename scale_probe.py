@@ -1577,44 +1577,54 @@ def _shuffle_write_bytes(spark) -> int:
 
 
 def funnel_probe() -> None:
-    """End-to-end curation funnel at inflated scale
+    """End-to-end curation funnel A/B at inflated scale
     (`python scale_probe.py funnel`; SCALE_FUNNEL_DOCS overrides N,
-    default 10M): the four-tier pipeline the dedup surface composes into,
+    default 10M): two arms of the four-tier pipeline, differing ONLY in
+    whether candidate generation sees boilerplate-stripped text —
 
+      arm "no_strip" (the r8 posture):
         gopher inline predicate
         → survivor-only minhash_est_pairs with RECALL-tilted banding
           (bands=6, r=2: two-hash band slices collide easily, catching
           low-jaccard near-dups a production funnel must not miss — at
           the price of a noisy candidate list)
-        → est_jaccard >= 0.5 prune (r7 calibration table: keeps every
-          pair whose exact jaccard can reach 0.8, rejects the sub-0.3
-          collision noise the aggressive banding lets through)
+        → est_jaccard >= 0.5 prune
         → ngram_jaccard_verify of ONLY the surviving pairs (exact 0.8)
-        → neardup_keep_best,
+        → neardup_keep_best
 
-    recording per-stage wall seconds, per-stage shuffle-write bytes
-    (Spark REST deltas), and the est tier's verify-set reduction — plus
-    the counterfactual verify cost over the UNPRUNED candidate list, so
-    the est tier's saving is measured, not asserted. Inputs materialize
-    to parquet between stages so each stage is charged its own cost."""
+      arm "strip" (the r9 DEFAULT posture, dedup.curate_funnel's
+      boilerplate-first form):
+        gopher → strip_boilerplate_spans(k=5, min_df=1% of corpus)
+        → the SAME est tier over the CLEANED text
+        → the SAME exact verify over the RAW survivor text
+        → neardup_keep_best
+
+    The corpus gives 60% of docs a shared stopword tail — the boilerplate
+    collision mass whose band-slice minima collide quadratically across
+    unrelated docs under r=2 banding (the r8 probe measured 182M
+    candidate pairs from it at 10M docs). The strip arm must (a) cut
+    candidate_pairs >= 5x and (b) keep verified_pairs EQUAL — recall is
+    judged on the exact-verify output over raw text, identical in both
+    arms. Per-stage wall seconds and shuffle-write bytes (Spark REST
+    deltas) are recorded; inputs materialize to parquet between stages so
+    each stage is charged its own cost. SCALE_FUNNEL_COUNTERFACTUAL=1
+    additionally re-runs the exact verify over the UNPRUNED no-strip
+    candidate list (DNFs on this machine at 10M — that failure is the
+    measurement; recorded, not raised)."""
     n_docs = int(os.environ.get("SCALE_FUNNEL_DOCS", "10000000"))
     words = int(os.environ.get("SCALE_FUNNEL_WORDS", "24"))
+    min_df = int(os.environ.get("SCALE_FUNNEL_MIN_DF", str(max(2, n_docs // 100))))
     spark = get_spark(app_name="poz-funnel-probe", ui_enabled=True)
     import tempfile
 
     from penr_oz_agent_memory_rust_spark.operators import text_ops
 
     root = tempfile.mkdtemp(prefix="funnelprobe-")
-    report: dict = {"n_docs": n_docs, "est_threshold": 0.5}
+    report: dict = {"n_docs": n_docs, "est_threshold": 0.5, "strip_min_df": min_df}
 
     # corpus: skewed dups + a stopword tail on 60% so the REAL gopher
-    # stop-list rule drives rejection (same shape as curate_probe). The
-    # tail is ALSO the probe's realism lever: its shingles are shared by
-    # 60% of the corpus, so band slices built from tail-shingle minima
-    # collide across unrelated docs — the boilerplate collision mass a
-    # real crawl feeds an r=2 banding (quadratic-ish in corpus size;
-    # measured below as candidate_pairs) and exactly what the est tier
-    # exists to prune before the expensive exact verify
+    # stop-list rule drives rejection (same shape as curate_probe) AND the
+    # boilerplate collision mass exists for the strip arm to remove
     _synth_skewed_corpus(spark, n_docs, words=words).select(
         "doc_id",
         F.when(
@@ -1626,75 +1636,162 @@ def funnel_probe() -> None:
     ).write.mode("overwrite").parquet(f"{root}/docs")
     docs = spark.read.parquet(f"{root}/docs")
 
-    def stage(name, fn):
+    def stage(arm, name, fn):
         b0, t0 = _shuffle_write_bytes(spark), time.time()
         out = fn()
-        report[name] = {
+        rec = {
             "sec": round(time.time() - t0, 2),
             "shuffle_mb": round((_shuffle_write_bytes(spark) - b0) / 1e6, 1),
         }
-        print(json.dumps({name: report[name]}), flush=True)
+        report.setdefault(arm, {})[name] = rec
+        print(json.dumps({f"{arm}.{name}": rec}), flush=True)
         return out
 
+    # gopher is arm-independent: run once, charge it to its own group
     def _gopher():
         docs.filter(
             text_ops.gopher_ok_expr(F.col("text"), min_words=1, min_stopword_hits=2)
         ).write.mode("overwrite").parquet(f"{root}/survivors")
         return spark.read.parquet(f"{root}/survivors")
 
-    survivors = stage("gopher", _gopher)
+    survivors = stage("shared", "gopher", _gopher)
     report["survivor_rows"] = survivors.count()
 
-    def _est():
-        dedup.minhash_est_pairs(
-            survivors, n_hashes=12, bands=6, threshold=0.0, max_bucket=200
-        ).write.mode("overwrite").parquet(f"{root}/cand")
-        return spark.read.parquet(f"{root}/cand")
+    def run_arm(arm: str, strip: bool):
+        arm_dir = f"{root}/{arm}"
+        cand_src = survivors
+        if strip:
+            def _strip():
+                dedup.strip_boilerplate_spans(
+                    survivors, k=5, min_df=min_df
+                ).select(
+                    "doc_id", F.col("text_clean").alias("text")
+                ).write.mode("overwrite").parquet(f"{arm_dir}/clean")
+                return spark.read.parquet(f"{arm_dir}/clean")
 
-    cand = stage("est_pairs", _est)
-    n_cand = cand.count()
-    kept = cand.filter(F.col("est_jaccard") >= 0.5)
-    n_est = kept.count()
-    report["candidate_pairs"] = n_cand
-    report["est_kept_pairs"] = n_est
-    report["est_reduction"] = round(n_cand / max(1, n_est), 2)
+            cand_src = stage(arm, "strip_boilerplate", _strip)
 
-    def _verify():
-        dedup.ngram_jaccard_verify(
-            survivors, kept, threshold=0.8
-        ).write.mode("overwrite").parquet(f"{root}/verified")
-        return spark.read.parquet(f"{root}/verified")
+        def _est():
+            dedup.minhash_est_pairs(
+                cand_src, n_hashes=12, bands=6, threshold=0.0, max_bucket=200
+            ).write.mode("overwrite").parquet(f"{arm_dir}/cand")
+            return spark.read.parquet(f"{arm_dir}/cand")
 
-    verified = stage("verify_est_pruned", _verify)
-    report["verified_pairs"] = verified.count()
+        cand = stage(arm, "est_pairs", _est)
+        n_cand = cand.count()
+        kept = cand.filter(F.col("est_jaccard") >= 0.5)
+        n_est = kept.count()
+        report[arm]["candidate_pairs"] = n_cand
+        report[arm]["est_kept_pairs"] = n_est
+        report[arm]["est_reduction"] = round(n_cand / max(1, n_est), 2)
 
-    def _keep():
-        dedup.neardup_keep_best(
-            survivors, verified, F.length("text")
-        ).write.mode("overwrite").parquet(f"{root}/kept")
-        return spark.read.parquet(f"{root}/kept")
+        def _verify():
+            dedup.ngram_jaccard_verify(
+                survivors, kept.select("a", "b"), threshold=0.8
+            ).write.mode("overwrite").parquet(f"{arm_dir}/verified")
+            return spark.read.parquet(f"{arm_dir}/verified")
 
-    keep = stage("keep_best", _keep)
-    report["kept_docs"] = keep.count()
+        verified = stage(arm, "verify_est_pruned", _verify)
+        report[arm]["verified_pairs"] = verified.count()
 
-    # counterfactual LAST, fallible: exact verify over the UNPRUNED
-    # candidate list (same parquet sink, fair comparison). At 10M docs /
-    # 182M candidates this DIES on local disk (spill > 60 GB) — which is
-    # the measurement: the est tier is the difference between a 10 s
-    # verify and one this machine cannot run. A failure is recorded, not
-    # raised.
-    try:
-        stage(
-            "verify_unpruned_counterfactual",
-            lambda: dedup.ngram_jaccard_verify(survivors, cand, threshold=0.8)
-            .write.mode("overwrite")
-            .parquet(f"{root}/verified_all"),
+        def _keep():
+            dedup.neardup_keep_best(
+                survivors, verified, F.length("text")
+            ).write.mode("overwrite").parquet(f"{arm_dir}/kept")
+            return spark.read.parquet(f"{arm_dir}/kept")
+
+        keep = stage(arm, "keep_best", _keep)
+        report[arm]["kept_docs"] = keep.count()
+        return cand, verified
+
+    cand_a, ver_a = run_arm("no_strip", strip=False)
+    cand_b, ver_b = run_arm("strip", strip=True)
+
+    report["candidate_cut"] = round(
+        report["no_strip"]["candidate_pairs"]
+        / max(1, report["strip"]["candidate_pairs"]),
+        2,
+    )
+    # recall judged on the exact-verify output (raw-text pairs): preserved
+    # means the strip arm verified EVERY pair the no-strip arm did.
+    # verified_only_in_strip > 0 is the strip arm finding MORE true pairs —
+    # removing tail shingles also removes their dilution of the 12-hash
+    # est_jaccard, so borderline true pairs stop being noise-pruned at the
+    # est tier (measured +33 at 200k docs).
+    only_a = ver_a.select("a", "b").exceptAll(ver_b.select("a", "b")).count()
+    only_b = ver_b.select("a", "b").exceptAll(ver_a.select("a", "b")).count()
+    report["verified_only_in_no_strip"] = only_a
+    report["verified_only_in_strip"] = only_b
+    report["recall_preserved"] = only_a == 0
+
+    # counterfactual LAST, fallible, opt-in: exact verify over the
+    # UNPRUNED no-strip candidate list. At 10M docs / 182M candidates this
+    # DIES on local disk (spill > 60 GB) — which is the measurement.
+    if os.environ.get("SCALE_FUNNEL_COUNTERFACTUAL") == "1":
+        try:
+            stage(
+                "no_strip",
+                "verify_unpruned_counterfactual",
+                lambda: dedup.ngram_jaccard_verify(
+                    survivors, cand_a.select("a", "b"), threshold=0.8
+                )
+                .write.mode("overwrite")
+                .parquet(f"{root}/verified_all"),
+            )
+        except Exception as e:  # noqa: BLE001
+            report["no_strip"]["verify_unpruned_counterfactual"] = {
+                "failed": f"{type(e).__name__}: {str(e)[:200]}"
+            }
+            print(
+                json.dumps({"verify_unpruned_counterfactual": "FAILED (recorded)"}),
+                flush=True,
+            )
+    print(json.dumps(report))
+
+
+def bucket_probe() -> None:
+    """Adaptive bucket-width probe for the global-order machinery
+    (`python scale_probe.py buckets`; SCALE_BUCKET_ROWS overrides N,
+    default 50M): assign_shards with bucket_chars=None must derive a
+    width that keeps every per-bucket window task's input bounded by
+    ~TARGET_BUCKET_ROWS, where the r8-default fixed width (2) would at
+    some corpus size put the whole table through few buckets — and a
+    fixed width of 1 already concentrates N/16 rows per window task at
+    any N. Records the derived width, the MEASURED max per-bucket rows
+    at the derived width vs fixed widths 1 and 2, and the end-to-end
+    wall time of the adaptive rank pass (count job + window pass)."""
+    n_rows = int(os.environ.get("SCALE_BUCKET_ROWS", "50000000"))
+    spark = get_spark(app_name="poz-bucket-probe")
+    from penr_oz_agent_memory_rust_spark.operators import export
+
+    base = spark.range(n_rows).select(F.col("id").alias("doc_id"))
+    keyed = export.deterministic_shuffle_key(base, "doc_id", salt="bp")
+    report: dict = {"n_rows": n_rows, "target_bucket_rows": export.TARGET_BUCKET_ROWS}
+
+    def max_bucket(chars: int) -> int:
+        return (
+            keyed.groupBy(F.substring(F.col(export.SHUFFLE_KEY), 1, chars).alias("b"))
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
         )
-    except Exception as e:  # noqa: BLE001
-        report["verify_unpruned_counterfactual"] = {
-            "failed": f"{type(e).__name__}: {str(e)[:200]}"
-        }
-        print(json.dumps({"verify_unpruned_counterfactual": "FAILED (recorded)"}), flush=True)
+
+    derived = export.derive_bucket_chars(n_rows)
+    report["derived_chars"] = derived
+    for c in sorted({1, 2, derived}):
+        report[f"max_bucket_rows_chars{c}"] = max_bucket(c)
+    report["bounded"] = (
+        report[f"max_bucket_rows_chars{derived}"]
+        <= int(export.TARGET_BUCKET_ROWS * 1.05)  # md5-uniform jitter margin
+    )
+
+    t0 = time.time()
+    ranked = export.exact_global_rank(keyed, export.SHUFFLE_KEY, "doc_id", rank_col="r")
+    agg = ranked.agg(
+        F.count("*").alias("n"), F.min("r").alias("lo"), F.max("r").alias("hi")
+    ).collect()[0]
+    report["adaptive_rank_sec"] = round(time.time() - t0, 2)
+    report["rank_exact"] = agg["n"] == n_rows and agg["lo"] == 0 and agg["hi"] == n_rows - 1
     print(json.dumps(report))
 
 
@@ -1975,5 +2072,7 @@ if __name__ == "__main__":
         companion_decay_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "funnel":
         funnel_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "buckets":
+        bucket_probe()
     else:
         main()

@@ -555,6 +555,131 @@ def test_remove_dup_spans_overlapping_spans_merge(spark):
     assert out[2]["text_clean"] == "z w"
 
 
+# --------------------------------------------- strip_boilerplate_spans
+
+
+def test_strip_boilerplate_is_symmetric(spark):
+    # unlike remove_dup_spans, the FIRST occurrence is stripped too
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f p q r"),
+            (2, "a b c d e f x y z"),
+            (3, "m n o t u v w s j"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.strip_boilerplate_spans(df, k=3, min_df=2).collect()
+    }
+    assert out[1]["n_removed"] == 6 and out[1]["text_clean"] == "p q r"
+    assert out[2]["n_removed"] == 6 and out[2]["text_clean"] == "x y z"
+    assert out[3]["n_removed"] == 0 and out[3]["text_clean"] == "m n o t u v w s j"
+
+
+def test_strip_boilerplate_min_df_spares_dup_clusters(spark):
+    # boilerplate tail shared by ALL 5 docs is stripped at min_df=4; the
+    # 2-doc near-dup cluster's shared content (df=2 < 4) is untouched, so
+    # the pair's cleaned-text similarity survives the strip
+    tail = "call now to subscribe today"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon zeta {tail}"),
+            (2, f"alpha beta gamma delta epsilon eta {tail}"),
+            (3, f"one two three four five six {tail}"),
+            (4, f"seven eight nine ten eleven twelve {tail}"),
+            (5, f"red green blue cyan magenta yellow {tail}"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.strip_boilerplate_spans(df, k=5, min_df=4).collect()
+    }
+    # every doc loses exactly the 5-token tail (junction grams have df<4)
+    for i in (1, 2, 3, 4, 5):
+        assert out[i]["n_removed"] == 5
+        assert tail not in out[i]["text_clean"]
+    # near-dup content of docs 1/2 intact after the strip
+    assert out[1]["text_clean"] == "alpha beta gamma delta epsilon zeta"
+    assert out[2]["text_clean"] == "alpha beta gamma delta epsilon eta"
+
+
+def test_strip_boilerplate_min_df_guard(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        dedup.strip_boilerplate_spans(df, min_df=1)
+
+
+# ----------------------------------------------------- curate_funnel
+
+
+def _funnel_corpus(spark):
+    # 40+-word docs that pass gopher(min_words=30): a 3-copy near-dup
+    # cluster, a corpus-wide boilerplate tail on EVERY doc, and docs 4-8
+    # pairwise-distinct apart from that tail (so any candidate pair among
+    # them is a boilerplate-only collision the exact verify must reject)
+    body = "the data engine reads a table and writes a sorted result to disk "
+    base = (body * 4).strip()  # 52 words
+    tail = "subscribe to the newsletter for weekly updates now"
+    rows = [(i, f"{base} unique{i} {tail}") for i in range(1, 4)]  # near-dups
+    themes = [
+        "the quick brown fox jumps over a lazy sleeping dog near the quiet river bank today",
+        "the tall green tree drops many bright leaves onto a cold wet stone path every autumn",
+        "the old ship sails across a deep blue ocean while strong winds push its white canvas",
+        "the young cook stirs a warm thick soup and adds fresh herbs from her small garden",
+        "the busy market sells ripe red fruit and sweet golden bread from wooden carts daily",
+    ]
+    rows += [
+        (i + 4, f"{t} and {t.replace('the ', 'that ')} {tail}")
+        for i, t in enumerate(themes)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_curate_funnel_default_equals_no_strip_output(spark):
+    """Boilerplate-first candidate generation must not change WHICH docs
+    survive: the strip only prunes candidates the exact verify would
+    reject (boilerplate-only collisions), while true near-dup pairs keep
+    their document-specific shingles. Same kept set either way."""
+    docs = _funnel_corpus(spark)
+    kw = dict(
+        min_words=30,
+        min_stopword_hits=1,
+        n_hashes=12,
+        bands=6,
+        est_threshold=0.4,
+        jaccard=0.5,
+    )
+    with_strip = {
+        r["doc_id"]
+        for r in dedup.curate_funnel(docs, strip_min_df=6, strip_k=5, **kw).collect()
+    }
+    without = {
+        r["doc_id"]
+        for r in dedup.curate_funnel(docs, strip_min_df=None, **kw).collect()
+    }
+    assert with_strip == without
+    assert 1 in with_strip and len(with_strip & {1, 2, 3}) == 1  # cluster collapsed
+
+
+def test_curate_funnel_strip_cuts_candidate_mass(spark):
+    """The est tier over stripped text sees strictly fewer candidate pairs
+    on a boilerplate-heavy corpus (the 10M-probe effect at toy scale)."""
+    docs = _funnel_corpus(spark)
+    surv = docs  # all docs pass the gopher settings used above
+
+    def n_cand(strip):
+        src = surv
+        if strip:
+            src = dedup.strip_boilerplate_spans(surv, k=5, min_df=6).select(
+                "doc_id", F.col("text_clean").alias("text")
+            )
+        return dedup.minhash_est_pairs(src, n_hashes=12, bands=6).count()
+
+    assert n_cand(True) < n_cand(False)
+
+
 # ------------------------------------------------- leakage_safe_split
 
 

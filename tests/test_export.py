@@ -45,6 +45,50 @@ def test_bucket_chars_invariance(spark, sf_dir):
     assert r1 == r3
 
 
+def test_derive_bucket_chars_decision_rule():
+    # <= 16M rows at the 1M default target -> 1 char; each 16x step adds one
+    assert export.derive_bucket_chars(0) == 1
+    assert export.derive_bucket_chars(16_000_000) == 1
+    assert export.derive_bucket_chars(16_000_001) == 2
+    assert export.derive_bucket_chars(256_000_001) == 3
+    assert export.derive_bucket_chars(10**11) == 4  # capped at MAX_BUCKET_CHARS
+    assert export.derive_bucket_chars(5_000, target_bucket_rows=100) == 2
+    assert export.derive_bucket_chars(10**11, max_chars=6) == 5
+
+
+def test_adaptive_bucket_chars_matches_explicit(spark, sf_dir):
+    """Default (derived) width must yield byte-identical ranks and shard
+    assignments to an explicit override — bucketing is implementation."""
+    d = docs(spark, sf_dir)
+    keyed = export.deterministic_shuffle_key(d, "doc_id", salt="ad")
+    auto = {
+        r["doc_id"]: r["r"]
+        for r in export.exact_global_rank(
+            keyed, export.SHUFFLE_KEY, "doc_id", rank_col="r"
+        ).collect()
+    }
+    fixed = {
+        r["doc_id"]: r["r"]
+        for r in export.exact_global_rank(
+            keyed, export.SHUFFLE_KEY, "doc_id", rank_col="r", bucket_chars=2
+        ).collect()
+    }
+    assert auto == fixed
+    by_bytes_auto = {
+        (r["doc_id"], r["shard"], r["pos_in_shard"])
+        for r in export.assign_shards_by_bytes(
+            d, "doc_id", 4096, F.length("text"), salt="ad"
+        ).collect()
+    }
+    by_bytes_fixed = {
+        (r["doc_id"], r["shard"], r["pos_in_shard"])
+        for r in export.assign_shards_by_bytes(
+            d, "doc_id", 4096, F.length("text"), salt="ad", bucket_chars=3
+        ).collect()
+    }
+    assert by_bytes_auto == by_bytes_fixed
+
+
 def test_shard_sizes_exact(spark, sf_dir):
     d = docs(spark, sf_dir)
     n = d.count()

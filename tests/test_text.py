@@ -401,3 +401,57 @@ def test_filter_low_quality_sources_drops_whole_domain(spark):
     assert kept.count() == 4
     # the reject list broadcasts: corpus side has no shuffle for the join
     assert "BroadcastHashJoin" in explain.physical_plan(kept)
+
+
+def test_strip_common_lines_drops_site_chrome_only(spark):
+    from penr_oz_agent_memory_rust_spark.plans import explain
+
+    rows = [
+        ("s1", 1, "HEAD s1\nunique alpha one\nFOOT s1"),
+        ("s1", 2, "HEAD s1\nunique beta two\nFOOT s1"),
+        ("s1", 3, "HEAD s1\nunique gamma three\nFOOT s1\nrare extra"),
+        ("s2", 4, "HEAD s2\nunique delta four\nFOOT s2"),
+        ("s2", 5, "HEAD s2\nunique epsilon five\nFOOT s2"),
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.strip_common_lines(docs, min_frac=0.5, min_docs=2).collect()
+    }
+    assert out[1]["text_clean"] == "unique alpha one"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 2
+    # "rare extra" occurs in 1/3 of s1 docs: kept
+    assert out[3]["text_clean"] == "unique gamma three\nrare extra"
+    # group scoping: s2's chrome never leaks into s1's vocabulary
+    assert out[4]["text_clean"] == "unique delta four"
+    # the boilerplate vocabulary broadcasts; corpus side rewrite is join-free
+    plan = explain.physical_plan(
+        text_ops.strip_common_lines(docs, min_frac=0.5, min_docs=2)
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_strip_common_lines_duplicated_line_inside_one_doc(spark):
+    # a line repeated WITHIN one doc counts once for df (array_distinct),
+    # but every occurrence is stripped once it is boilerplate
+    rows = [
+        ("s", 1, "ad\nbody one\nad"),
+        ("s", 2, "ad\nbody two"),
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.strip_common_lines(docs, min_frac=1.0, min_docs=2).collect()
+    }
+    assert out[1]["text_clean"] == "body one" and out[1]["n_removed"] == 2
+    assert out[2]["text_clean"] == "body two" and out[2]["n_removed"] == 1
+
+
+def test_strip_common_lines_min_frac_guard(spark):
+    docs = spark.createDataFrame(
+        [("s", 1, "a")], "source string, doc_id bigint, text string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text_ops.strip_common_lines(docs, min_frac=0.0)
