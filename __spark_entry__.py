@@ -507,6 +507,26 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_calibration(_docs(spark, sf_dir), n_hashes=12, bands=4)
 
 
+def q_funnel_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ the funnel PLANNER end-to-end (r8 verdict ask #3's oracle gate):
+    measured calibration table + measured bucket-size distribution →
+    plan_dedup_funnel's one-row decision table (bands, r, est_threshold,
+    max_bucket + the S-curve/binomial-tail recall arithmetic and what the
+    chosen threshold measurably keeps on THIS corpus). The oracle replays
+    the closed-form arithmetic — divisor S-curves, exact binomial tails
+    via the same factorial/pow double expressions, interpolated bucket
+    quantile — over the same SQL calibration and band CTEs
+    (operators/dedup.py:plan_dedup_funnel)."""
+    docs = _docs(spark, sf_dir)
+    cal = dedup.minhash_calibration(docs, n_hashes=12, bands=4)
+    counts = dedup.lsh_bucket_counts(
+        dedup.lsh_band_rows(docs, n_hashes=12, bands=4)
+    )
+    return dedup.plan_dedup_funnel(
+        cal, counts, 12, target_jaccard=0.8, recall_floor=0.9
+    )
+
+
 def q_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ per-SOURCE (domain-level) quality profile — the RefinedWeb/CCNet
     curation unit: per source, doc count, mean/stddev heuristic quality,
@@ -3727,6 +3747,20 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.unionByName(resize)
 
 
+def q_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ loader-integrity shard manifest: fixed-size shard assignment
+    (same plan as training_shards) + per-shard row count, payload bytes,
+    and the order-BINDING but commutatively-aggregated content checksum —
+    sum of md5_long(pos || '|' || text) wrapped to signed 64-bit, so the
+    aggregation is map-side partial with an O(1) buffer per shard
+    (operators/export.py:shard_checksums)."""
+    from penr_oz_agent_memory_rust_spark.operators import export
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    sharded = export.assign_shards(d, "doc_id", rows_per_shard=64, salt="r2")
+    return export.shard_checksums(sharded, F.col("text"))
+
+
 def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ deterministic training-shard assignment: global shuffle order by
     md5('r2' || doc_id), exact fixed-size shards of 64 via the bucketed
@@ -5059,10 +5093,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #  harness — to make room for the five r8 gates below)
         "knn_suite": q_knn_suite,
         "ts_gapfill_interp": q_ts_gapfill_interp,
-        "semantic_decontaminate": q_semantic_decontaminate,
         "versioned_merge_pruned": q_versioned_merge_pruned,
         "stream_cms_topk": q_stream_cms_topk,
-        "incremental_quantile_refresh": q_incremental_quantile_refresh,
         "media_phash_dedup": q_media_phash_dedup,
         # --- window: ★ text / corpus pipeline
         "text_normalize": q_text_normalize,
@@ -5119,7 +5151,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     make room, the bq_ann / bq_neardup siblings rotated out
         #     (green + code-unchanged since r2-r3, r8-certified, still in
         #     the local gate). Driver-certified-at-least-once count after
-        #     this rotation: 179 of 234 registered queries.
+        #     the full r9 rotation (these two + strip_common_lines +
+        #     funnel_plan + shard_checksums below): 182 of 237 registered
+        #     queries.
         "strip_boilerplate": q_strip_boilerplate,
         "pipeline_curate_funnel": q_pipeline_curate_funnel,
         # --- window: r9 NEW gate — per-source common-LINE boilerplate
@@ -5128,6 +5162,18 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     rotated out to make room (unchanged + green since r4,
         #     multiply driver-certified, still in the local gate).
         "strip_common_lines": q_strip_common_lines,
+        # --- window: r9 NEW gate — the funnel planner's decision row
+        #     (plan_dedup_funnel over measured calibration + bucket
+        #     counts; the oracle replays the S-curve / binomial-tail /
+        #     quantile arithmetic). incremental_quantile_refresh rotated
+        #     out to make room (unchanged + green since r6, r8-certified,
+        #     still in the local gate).
+        "funnel_plan": q_funnel_plan,
+        # --- window: r9 NEW gate — per-shard loader-integrity manifest
+        #     (count + bytes + order-binding commutative checksum).
+        #     semantic_decontaminate rotated out to make room (unchanged +
+        #     green since r4, r8-certified, still in the local gate).
+        "shard_checksums": q_shard_checksums,
         # --- window boundary (~50) ---
         "sessionization": q_sessionization,
         "events_followup_day": q_events_followup_day,
@@ -5175,6 +5221,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bq_ann": q_bq_ann,
         "bq_neardup": q_bq_neardup,
         "rolling_series_stats": q_rolling_series_stats,
+        "incremental_quantile_refresh": q_incremental_quantile_refresh,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "zscore_events": q_zscore_events,
         "repetition_profile": q_repetition_profile,
         "word_freq_topk": q_word_freq_topk,
@@ -5758,6 +5806,34 @@ def _minhash_est_sql(
             JOIN sig sa ON sa.doc_id = p.a
             JOIN sig sb ON sb.doc_id = p.b
         """
+
+
+def _minhash_bucket_counts_sql(n_hashes: int = 12, bands: int = 4) -> str:
+    """DuckDB mirror of lsh_bucket_counts(lsh_band_rows(...)): the same
+    signature/banding CTEs as _minhash_est_sql, aggregated to one
+    (bucket, cnt) row per band value. Bucket labels differ from the Spark
+    side (hex slices vs decimal bigints) but the partition of rows is
+    identical — slice equality == conv'd-bigint equality — so the cnt
+    multiset (all the planner's quantile consumes) matches exactly."""
+    r = n_hashes // bands
+    sig_cols = ", ".join(
+        f"min(substring(md5('{j // 6}|' || s), {1 + 5 * (j % 6)}, 5)) AS h{j}"
+        for j in range(n_hashes)
+    )
+    band_cols = ", ".join(
+        "'" + str(b) + ":' || " + " || ".join(f"h{b * r + j}" for j in range(r))
+        for b in range(bands)
+    )
+    return f"""
+            WITH sigsh AS (
+              SELECT doc_id, unnest(list_distinct({_DK_SHINGLES3})) AS s FROM documents
+            ), sig AS (
+              SELECT doc_id, {sig_cols} FROM sigsh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([{band_cols}]) AS bucket FROM sig
+            )
+            SELECT bucket, count(*) AS cnt FROM bands GROUP BY bucket
+    """
 
 
 def _minhash_reach_cte(pre: str = "", where: str = "") -> str:
@@ -7518,6 +7594,30 @@ def oracle_sql() -> dict[str, str]:
         # intentionally no oracle (float32 BLAS / approximate by design) —
         # rows-only check; exactness pinned vs the expr strategy in
         # tests/test_knn.py.
+        "shard_checksums": """
+            WITH ranked AS (
+              SELECT doc_id, text,
+                     row_number() OVER (
+                       ORDER BY md5('r2' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) - 1 AS r
+              FROM documents
+            ), rows_h AS (
+              SELECT CAST(r // 64 AS BIGINT) AS shard,
+                     octet_length(encode(text)) AS nb,
+                     ('0x' || substring(md5(CAST(r % 64 AS VARCHAR) || '|' || text),
+                                        1, 15))::BIGINT AS h
+              FROM ranked
+            ), agg AS (
+              SELECT shard, count(*) AS n_rows, sum(nb)::BIGINT AS n_bytes,
+                     sum(h::HUGEINT) % 18446744073709551616::HUGEINT AS s
+              FROM rows_h GROUP BY shard
+            )
+            SELECT shard, n_rows, n_bytes,
+                   CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                             THEN s - 18446744073709551616::HUGEINT
+                             ELSE s END AS BIGINT) AS checksum
+            FROM agg
+        """,
         "training_shards": """
             WITH ranked AS (
               SELECT doc_id,
@@ -8138,6 +8238,49 @@ def oracle_sql() -> dict[str, str]:
                len(string_split(lower(d.text), ' '))::BIGINT - coalesce(a.n_kept, 0) AS n_removed,
                coalesce(a.text_clean, '') AS text_clean
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+    d["funnel_plan"] = f"""
+        WITH cal AS (
+          SELECT est_jaccard, count(*) AS n_pairs
+          FROM ({_minhash_est_sql(12, 4)}) GROUP BY est_jaccard
+        ),
+        bc AS ({_minhash_bucket_counts_sql(12, 4)}),
+        band_choice AS (
+          SELECT bands, r, p_at_target FROM (
+            SELECT (12 // r)::INT AS bands, r::INT AS r,
+                   round(1.0 - pow(1.0 - pow(0.8, r), 12 // r), 6) AS p_at_target
+            FROM (SELECT unnest([1, 2, 3, 4, 6, 12]) AS r)
+          ) ORDER BY (p_at_target >= 0.9) DESC, r DESC LIMIT 1
+        ),
+        thr AS (
+          SELECT round(k / 12.0, 6) AS est_threshold,
+                 tail AS est_recall_at_target FROM (
+            SELECT k,
+                   round(list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(generate_series(k, 12),
+                         j -> factorial(12)
+                              / (factorial(j::INT) * factorial((12 - j)::INT))
+                              * pow(0.8, j) * pow(0.19999999999999996, 12 - j))),
+                     (acc, x) -> acc + x), 6) AS tail
+            FROM (SELECT unnest(generate_series(0, 12)) AS k)
+          ) WHERE tail >= 0.9 ORDER BY k DESC LIMIT 1
+        ),
+        measured AS (
+          SELECT t.est_threshold, t.est_recall_at_target,
+                 sum(c.n_pairs)::BIGINT AS pairs_total,
+                 sum(CASE WHEN c.est_jaccard >= t.est_threshold
+                          THEN c.n_pairs ELSE 0 END)::BIGINT AS pairs_kept
+          FROM thr t CROSS JOIN cal c GROUP BY 1, 2
+        ),
+        cap AS (SELECT ceil(quantile_cont(cnt, 0.999))::BIGINT AS max_bucket FROM bc)
+        SELECT 12 AS n_hashes, 0.8 AS target_jaccard, 0.9 AS recall_floor,
+               band_choice.bands, band_choice.r, band_choice.p_at_target,
+               m.est_threshold, m.est_recall_at_target, m.pairs_total,
+               m.pairs_kept,
+               round(m.pairs_kept / m.pairs_total, 6) AS keep_frac,
+               cap.max_bucket
+        FROM band_choice, measured m, cap
     """
     d["strip_boilerplate"] = """
         WITH g0 AS (

@@ -204,6 +204,8 @@ HEADLINE = [
     "strip_boilerplate",
     "pipeline_curate_funnel",
     "strip_common_lines",
+    "funnel_plan",
+    "shard_checksums",
     "webdataset_roundtrip",
     "skew_report",
     "minhash_est_pairs",

@@ -72,17 +72,40 @@ def main() -> None:
     # ---- day 0: bootstrap from the seed crawl (80% of docs)
     seed = docs.filter(F.col("doc_id") % 5 > 0)
     quality = seed.filter(text_ops.gopher_ok_expr(F.col("text"), **GOPHER_KW))
-    # the full funnel: LSH candidates + sketch estimate -> exact verify of
-    # ONLY the est survivors -> keep-best (the 10M-doc measured shape,
-    # PLANS.md round-8 funnel probe)
-    cands = dedup.minhash_est_pairs(quality, n_hashes=12, bands=4, threshold=0.5)
+    # PLAN the funnel from measured stats instead of hand-picking knobs:
+    # a probe banding's calibration table + bucket-size distribution feed
+    # plan_dedup_funnel, whose one-row decision table supplies (bands, r,
+    # est_threshold, max_bucket) for everything below (oracle gate
+    # funnel_plan checks the same arithmetic)
+    probe_bands = dedup.lsh_band_rows(quality, n_hashes=12, bands=4)
+    plan = dedup.plan_dedup_funnel(
+        dedup.minhash_calibration(quality, n_hashes=12, bands=4),
+        dedup.lsh_bucket_counts(probe_bands),
+        12,
+        target_jaccard=0.8,
+        recall_floor=0.9,
+    ).first()
+    n_bands, est_thr, max_bucket = plan["bands"], plan["est_threshold"], plan["max_bucket"]
+    print(
+        f"funnel plan: bands={n_bands} r={plan['r']} "
+        f"(candidate recall {plan['p_at_target']} at J=0.8), "
+        f"est_threshold={est_thr} (est recall {plan['est_recall_at_target']}, "
+        f"keeps {plan['keep_frac']} of candidates), max_bucket={max_bucket}"
+    )
+    # the full funnel AT THE PLANNED KNOBS: LSH candidates + sketch
+    # estimate -> exact verify of ONLY the est survivors -> keep-best
+    # (the 10M-doc measured shape, PLANS.md round-8/9 funnel probes)
+    cands = dedup.minhash_est_pairs(
+        quality, n_hashes=12, bands=n_bands, threshold=est_thr,
+        max_bucket=max_bucket,
+    )
     pairs = dedup.ngram_jaccard_verify(quality, cands, threshold=0.8)
     kept = dedup.neardup_keep_best(
         quality, pairs, text_ops.quality_score_expr(F.col("text"))
     ).select("doc_id")
     curated = quality.join(F.broadcast(kept), "doc_id")
     corpus.append(curated, txn_app="curate", txn_id=0)
-    bands = dedup.lsh_band_rows(curated, n_hashes=12, bands=4)
+    bands = dedup.lsh_band_rows(curated, n_hashes=12, bands=n_bands)
     index.append(bands, txn_app="curate-idx", txn_id=0)
     counts.append(dedup.lsh_bucket_counts(bands), txn_app="curate-cnt", txn_id=0)
     n_seed, n_curated = seed.count(), corpus.count_rows()
@@ -125,8 +148,8 @@ def main() -> None:
 
     stored_bands, stored_counts = index.read(), counts.read()
     cands = dedup.minhash_lsh_incremental(
-        quality1, stored_bands, n_hashes=12, bands=4,
-        max_bucket=50, index_counts=stored_counts,
+        quality1, stored_bands, n_hashes=12, bands=n_bands,
+        max_bucket=max_bucket, index_counts=stored_counts,
     )
     # drop batch docs near-duplicating the corpus OR an earlier batch doc
     dup_ids = (
@@ -137,7 +160,7 @@ def main() -> None:
     )
     novel = quality1.join(F.broadcast(dup_ids), "doc_id", "anti")
     corpus.append(novel, txn_app="curate", txn_id=1)
-    nb = dedup.lsh_band_rows(novel, n_hashes=12, bands=4)
+    nb = dedup.lsh_band_rows(novel, n_hashes=12, bands=n_bands)
     index.append(nb, txn_app="curate-idx", txn_id=1)
     delta = dedup.lsh_bucket_counts(nb).withColumnRenamed("cnt", "d_cnt")
     touched = delta.join(
@@ -162,7 +185,7 @@ def main() -> None:
 
     # the curated corpus contains no near-dup pair at the index's bands
     residual = dedup.minhash_lsh_pairs(
-        corpus.read(), n_hashes=12, bands=4, max_bucket=50
+        corpus.read(), n_hashes=12, bands=n_bands, max_bucket=max_bucket
     ).count()
     print(f"residual candidate pairs inside curated corpus: {residual}")
     spark.stop()

@@ -107,7 +107,26 @@ def main() -> None:
     n_shards = export.write_training_shards(
         mixture.select("doc_id", "text"), shards_path, "doc_id", rows_per_shard=64
     )
-    print(f"[9] wrote {n_shards} training shards -> {shards_path}")
+    # loader-integrity manifest: recomputing it from the written shards
+    # must reproduce the pre-write checksums exactly (what a loader or a
+    # re-export on another cluster verifies against)
+    sharded = export.assign_shards(
+        mixture.select("doc_id", "text"), "doc_id", rows_per_shard=64
+    )
+    manifest = {
+        r["shard"]: (r["n_rows"], r["checksum"])
+        for r in export.shard_checksums(sharded, F.col("text")).collect()
+    }
+    reread = spark.read.parquet(shards_path)  # shard back as partition col
+    again = {
+        r["shard"]: (r["n_rows"], r["checksum"])
+        for r in export.shard_checksums(reread, F.col("text")).collect()
+    }
+    assert again == manifest, "shard manifest mismatch after write/read"
+    print(
+        f"[9] wrote {n_shards} training shards -> {shards_path} "
+        f"(manifest verified: {len(manifest)} checksums match after re-read)"
+    )
 
     # -- ANN index: batch-build half, STREAM-append the rest, compact
     emb = load_table(spark, SF_DIR, "embeddings")

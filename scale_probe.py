@@ -1722,7 +1722,10 @@ def funnel_probe() -> None:
     only_b = ver_b.select("a", "b").exceptAll(ver_a.select("a", "b")).count()
     report["verified_only_in_no_strip"] = only_a
     report["verified_only_in_strip"] = only_b
-    report["recall_preserved"] = only_a == 0
+    report["verified_recall_vs_no_strip"] = round(
+        1.0 - only_a / max(1, report["no_strip"]["verified_pairs"]), 6
+    )
+    report["net_verified_gain"] = only_b - only_a
 
     # counterfactual LAST, fallible, opt-in: exact verify over the
     # UNPRUNED no-strip candidate list. At 10M docs / 182M candidates this

@@ -89,6 +89,50 @@ def test_adaptive_bucket_chars_matches_explicit(spark, sf_dir):
     assert by_bytes_auto == by_bytes_fixed
 
 
+def test_shard_checksums_detect_corruption_and_reorder(spark, sf_dir):
+    d = docs(spark, sf_dir).limit(200)
+    sharded = export.assign_shards(d, "doc_id", rows_per_shard=64, salt="ck").persist()
+    base = {
+        r["shard"]: r for r in export.shard_checksums(sharded, F.col("text")).collect()
+    }
+    assert sum(r["n_rows"] for r in base.values()) == 200
+    # recompute on the same data -> identical manifest (deterministic)
+    again = {
+        r["shard"]: r for r in export.shard_checksums(sharded, F.col("text")).collect()
+    }
+    assert {s: r["checksum"] for s, r in base.items()} == {
+        s: r["checksum"] for s, r in again.items()
+    }
+    # single-row payload corruption flips that shard's checksum only
+    corrupt = sharded.withColumn(
+        "text",
+        F.when(
+            (F.col("shard") == 0) & (F.col("pos_in_shard") == 3),
+            F.concat(F.col("text"), F.lit("X")),
+        ).otherwise(F.col("text")),
+    )
+    after = {
+        r["shard"]: r for r in export.shard_checksums(corrupt, F.col("text")).collect()
+    }
+    assert after[0]["checksum"] != base[0]["checksum"]
+    for s in base:
+        if s != 0:
+            assert after[s]["checksum"] == base[s]["checksum"]
+    # swapping two rows' positions (same payload multiset) flips it too:
+    # the position is bound into each row hash
+    swapped = sharded.withColumn(
+        "pos_in_shard",
+        F.when((F.col("shard") == 0) & (F.col("pos_in_shard") == 1), F.lit(2))
+        .when((F.col("shard") == 0) & (F.col("pos_in_shard") == 2), F.lit(1))
+        .otherwise(F.col("pos_in_shard")),
+    )
+    sw = {
+        r["shard"]: r for r in export.shard_checksums(swapped, F.col("text")).collect()
+    }
+    assert sw[0]["checksum"] != base[0]["checksum"]
+    sharded.unpersist()
+
+
 def test_shard_sizes_exact(spark, sf_dir):
     d = docs(spark, sf_dir)
     n = d.count()
