@@ -183,6 +183,28 @@ def main() -> None:
     assert corpus.current_version() == v, "replayed append was not a no-op"
     print(f"replay day 1: corpus still v{v} (exactly-once)")
 
+    # ---- day 2: takedown requests land (licensing / GDPR removals) —
+    # the corpus loses the rows (file-pruned delete) and the LSH index +
+    # (bucket, cnt) companion are repaired by remove_from_lsh_index
+    # (recount-based, idempotent — see the operator docstring)
+    victims = [r["doc_id"] for r in corpus.read().limit(2).collect()]
+    corpus.delete_keys(victims, "doc_id")
+    td = dedup.remove_from_lsh_index(index, counts, victims)
+    rebuilt = {
+        r["bucket"]: r["cnt"]
+        for r in dedup.lsh_bucket_counts(
+            dedup.lsh_band_rows(corpus.read(), n_hashes=12, bands=n_bands)
+        ).collect()
+    }
+    stored = {r["bucket"]: r["cnt"] for r in counts.read().collect()}
+    assert stored == rebuilt, "takedown left the counts companion stale"
+    print(
+        f"day 2: takedown of {td['docs_removed']} docs repaired "
+        f"{td['buckets_touched']} buckets ({td['buckets_emptied']} emptied); "
+        f"companion == fresh rebuild (corpus v{corpus.current_version()}, "
+        f"{corpus.count_rows()} rows)"
+    )
+
     # the curated corpus contains no near-dup pair at the index's bands
     residual = dedup.minhash_lsh_pairs(
         corpus.read(), n_hashes=12, bands=n_bands, max_bucket=max_bucket

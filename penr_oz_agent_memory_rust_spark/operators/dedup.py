@@ -550,6 +550,81 @@ def lsh_bucket_counts(band_rows: DataFrame) -> DataFrame:
     return band_rows.groupBy("bucket").agg(F.count("*").alias("cnt"))
 
 
+def remove_from_lsh_index(
+    index,
+    counts,
+    doc_ids: list,
+    id_col: str = "doc_id",
+) -> dict:
+    """★ TAKEDOWN maintenance for a stored LSH near-dup index — the
+    delete half of the index lifecycle (append: lsh_band_rows +
+    merge_bucket_counts; this: GDPR / robots-retro / licensing removals,
+    which a training-data pipeline receives continuously). Removes the
+    documents' band rows from the `index` VersionedParquetTable
+    (file-pruned by doc_id stats + Bloom sidecars — O(matched files))
+    and repairs the (bucket, cnt) companion for exactly the touched
+    buckets.
+
+    The companion repair RECOUNTS the touched buckets from the
+    post-delete index instead of decrementing stored counts: a recount
+    is idempotent by construction (replaying after a crash converges to
+    the same values, where a blind decrement applied twice would
+    corrupt the hot-bucket list), and a crash BETWEEN the two commits
+    leaves counts stale-HIGH — conservative for every consumer (a
+    too-hot bucket is skipped by the stop-bucket cap, never wrongly
+    expanded). Buckets recounting to zero are deleted from the
+    companion. The recount scans the index filtered to the touched
+    buckets — file-pruned when the index is bucket-clustered
+    (OPTIMIZE sort_by='bucket'); takedown batches are small and
+    periodic, so this is a bounded maintenance job, not a per-request
+    path. Returns {"docs_removed", "buckets_touched", "buckets_emptied"}.
+    """
+    doc_ids = [d for d in doc_ids if d is not None]
+    if not doc_ids:
+        return {"docs_removed": 0, "buckets_touched": 0, "buckets_emptied": 0}
+    idx = index.read()
+    # ONE pre-delete scan collects both the touched-bucket set and the doc
+    # count (a takedown batch touches O(|batch| x bands) buckets — driver-
+    # small); the victim scan itself is file-pruned on a doc_id-clustered
+    # index via read_pruned_keys-style stats, but stays correct unclustered
+    pre = (
+        idx.filter(F.col(id_col).isin(doc_ids))
+        .agg(
+            F.collect_set("bucket").alias("__b"),
+            F.count_distinct(F.col(id_col)).alias("__n"),
+        )
+        .first()
+    )
+    touched, n_docs = list(pre["__b"]), int(pre["__n"])
+    index.delete_keys(doc_ids, id_col)
+    if not touched:
+        return {"docs_removed": n_docs, "buckets_touched": 0, "buckets_emptied": 0}
+    spark = idx.sparkSession
+    tdf = spark.createDataFrame([(b,) for b in sorted(touched)], "bucket string")
+    recount = (
+        index.read()
+        .join(F.broadcast(tdf), "bucket")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    ).collect()
+    alive = {r["bucket"]: r["cnt"] for r in recount}
+    emptied = [b for b in touched if b not in alive]
+    if emptied:
+        counts.delete_keys(emptied, "bucket")
+    if alive:
+        counts.merge_upsert(
+            spark.createDataFrame(
+                sorted(alive.items()), "bucket string, cnt bigint"
+            ),
+            ["bucket"],
+        )
+    return {
+        "docs_removed": n_docs,
+        "buckets_touched": len(touched),
+        "buckets_emptied": len(emptied),
+    }
+
+
 def merge_bucket_counts(index_counts: DataFrame, delta_counts: DataFrame) -> DataFrame:
     """The append-path maintenance of the stored (bucket, cnt) companion:
     existing counts + a new batch's lsh_bucket_counts, summed per bucket.

@@ -1798,6 +1798,78 @@ def bucket_probe() -> None:
     print(json.dumps(report))
 
 
+def takedown_probe() -> None:
+    """Takedown (delete-path) probe for the stored LSH index
+    (`python scale_probe.py takedown`; SCALE_TAKEDOWN_DOCS overrides the
+    corpus, default 2M docs -> 8M band rows): build index + (bucket,cnt)
+    companion as versioned tables, cluster the index by doc_id
+    (optimize sort_by), then remove a 1k-doc takedown batch with
+    remove_from_lsh_index. Records wall seconds, the fraction of index
+    files rewritten (delete_keys' stats+Bloom pruning should touch only
+    the files holding the victims), companion equality vs a fresh
+    rebuild, and replay convergence."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    n_docs = int(os.environ.get("SCALE_TAKEDOWN_DOCS", "2000000"))
+    spark = get_spark(app_name="poz-takedown-probe")
+    root = tempfile.mkdtemp(prefix="takedownprobe-")
+    docs = _synth_skewed_corpus(spark, n_docs)
+    report: dict = {"n_docs": n_docs}
+
+    bands_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("bucket", T.StringType())]
+    )
+    counts_schema = T.StructType(
+        [T.StructField("bucket", T.StringType()), T.StructField("cnt", T.LongType())]
+    )
+    index = VersionedParquetTable(spark, f"{root}/bands", bands_schema)
+    counts = VersionedParquetTable(spark, f"{root}/counts", counts_schema)
+    t0 = time.time()
+    bands = dedup.lsh_band_rows(docs, n_hashes=12, bands=4)
+    index.append(bands, txn_app="td", txn_id=0)
+    counts.append(dedup.lsh_bucket_counts(index.read()), txn_app="td", txn_id=0)
+    index.optimize(sort_by="doc_id")
+    report["build_sec"] = round(time.time() - t0, 2)
+    report["band_rows"] = index.count_rows()
+    files_before = len(index._load_manifest(index.current_version())["files"])
+    report["index_files"] = files_before
+
+    victims = list(range(1000, 2000))  # contiguous ids -> few files hold them
+    t0 = time.time()
+    stats = dedup.remove_from_lsh_index(index, counts, victims)
+    report["takedown_sec"] = round(time.time() - t0, 2)
+    report.update(stats)
+    # how many files did the delete rewrite? (delete commits a rewritten
+    # file set; untouched files keep their path)
+    m_now = index._load_manifest(index.current_version())["files"]
+    m_prev = index._load_manifest(index.current_version() - 1)["files"]
+    report["files_rewritten"] = len(set(m_prev) - set(m_now))
+    report["files_kept_zero_copy"] = len(set(m_prev) & set(m_now))
+
+    # companion == fresh rebuild over the survivors, and replay converges
+    t0 = time.time()
+    fresh = dedup.lsh_bucket_counts(index.read())
+    mism = (
+        counts.read()
+        .join(fresh.withColumnRenamed("cnt", "f"), "bucket", "full")
+        .filter(
+            F.coalesce(F.col("cnt"), F.lit(-1)) != F.coalesce(F.col("f"), F.lit(-1))
+        )
+        .count()
+    )
+    report["companion_check_sec"] = round(time.time() - t0, 2)
+    report["companion_mismatches"] = mism
+    again = dedup.remove_from_lsh_index(index, counts, victims)
+    report["replay_docs_removed"] = again["docs_removed"]
+    print(json.dumps(report))
+
+
 def companion_decay_probe() -> None:
     """Companion cnt-clustering decay probe (`python scale_probe.py decay`;
     SCALE_DECAY_BUCKETS overrides N, default 2M): the (bucket, cnt)
@@ -2077,5 +2149,7 @@ if __name__ == "__main__":
         funnel_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "buckets":
         bucket_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "takedown":
+        takedown_probe()
     else:
         main()

@@ -91,6 +91,62 @@ def test_incremental_lsh_band_index_roundtrips_storage(spark, tmp_path, docs):
     assert none == []
 
 
+def test_remove_from_lsh_index_takedown(spark, tmp_path, docs):
+    """Takedown maintenance: removed docs leave no band rows, the
+    (bucket, cnt) companion equals a from-scratch rebuild of the
+    surviving corpus, emptied buckets disappear, and replay converges
+    (recount-based repair is idempotent)."""
+    from pyspark.sql import types as T
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    bands_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("bucket", T.StringType())]
+    )
+    counts_schema = T.StructType(
+        [T.StructField("bucket", T.StringType()), T.StructField("cnt", T.LongType())]
+    )
+    index = VersionedParquetTable(spark, str(tmp_path / "bands"), bands_schema)
+    counts = VersionedParquetTable(spark, str(tmp_path / "counts"), counts_schema)
+    bands = dedup.lsh_band_rows(docs, n_hashes=12, bands=6)
+    index.append(bands, txn_app="t", txn_id=0)
+    counts.append(dedup.lsh_bucket_counts(bands), txn_app="t", txn_id=0)
+
+    stats = dedup.remove_from_lsh_index(index, counts, [2, 5], "doc_id")
+    assert stats["docs_removed"] == 2 and stats["buckets_touched"] > 0
+    assert index.read().filter(F.col("doc_id").isin([2, 5])).count() == 0
+    # companion equals a fresh rebuild over the surviving docs
+    survivors = docs.filter(~F.col("doc_id").isin([2, 5]))
+    fresh = {
+        r["bucket"]: r["cnt"]
+        for r in dedup.lsh_bucket_counts(
+            dedup.lsh_band_rows(survivors, n_hashes=12, bands=6)
+        ).collect()
+    }
+    stored = {r["bucket"]: r["cnt"] for r in counts.read().collect()}
+    assert stored == fresh
+    # incremental dedup against the repaired index no longer pairs doc 6
+    # with the removed doc 5 (its exact dup), and replay is a no-op
+    batch = docs.filter(F.col("doc_id") == 6)
+    cands = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_incremental(
+            batch, index.read(), n_hashes=12, bands=6,
+            index_counts=counts.read(),
+        ).collect()
+    }
+    assert all(5 not in p and 2 not in p for p in cands)
+    again = dedup.remove_from_lsh_index(index, counts, [2, 5], "doc_id")
+    assert again["docs_removed"] == 0
+    assert {r["bucket"]: r["cnt"] for r in counts.read().collect()} == fresh
+    # empty takedown is a cheap no-op
+    assert dedup.remove_from_lsh_index(index, counts, [None], "doc_id") == {
+        "docs_removed": 0, "buckets_touched": 0, "buckets_emptied": 0,
+    }
+
+
 def test_incremental_lsh_counts_path_matches_recount(spark, docs):
     """With the stored (bucket, cnt) companion supplied, the O(batch) hot
     list must drop EXACTLY the buckets the O(corpus) recount drops — the
