@@ -8274,7 +8274,8 @@ def oracle_sql() -> dict[str, str]:
           FROM thr t CROSS JOIN cal c GROUP BY 1, 2
         ),
         cap AS (SELECT ceil(quantile_cont(cnt, 0.999))::BIGINT AS max_bucket FROM bc)
-        SELECT 12 AS n_hashes, 0.8 AS target_jaccard, 0.9 AS recall_floor,
+        SELECT 12 AS n_hashes, 0.8::DOUBLE AS target_jaccard,
+               0.9::DOUBLE AS recall_floor,
                band_choice.bands, band_choice.r, band_choice.p_at_target,
                m.est_threshold, m.est_recall_at_target, m.pairs_total,
                m.pairs_kept,
