@@ -379,3 +379,84 @@ def test_span_and_segment_dedup_properties_random_corpora(spark):
         assert 0 <= r["n_kept"] <= r["n_chunks"]
         if r["n_kept"] == r["n_chunks"]:
             assert r["text_dedup"] == t
+
+
+class TestStripBoilerplateProperty:
+    """strip_boilerplate_spans invariants over random corpora (batched:
+    one generated corpus, one Spark job per assertion set)."""
+
+    def _corpus(self, rng, n_docs=24, vocab=14, words=12):
+        rows = []
+        for i in range(n_docs):
+            toks = [f"w{int(rng.integers(vocab))}" for _ in range(int(rng.integers(3, words)))]
+            rows.append((i, " ".join(toks)))
+        return rows
+
+    def test_token_accounting_and_df_threshold(self, spark):
+        from penr_oz_agent_memory_rust_spark.operators import dedup
+
+        rng = np.random.default_rng(11)
+        rows = self._corpus(rng)
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        k, min_df = 3, 3
+        out = {r["doc_id"]: r for r in dedup.strip_boilerplate_spans(df, k=k, min_df=min_df).collect()}
+        # every doc present; removed + kept == original token count
+        assert set(out) == {i for i, _ in rows}
+        texts = dict(rows)
+        for i, r in out.items():
+            n_orig = len(texts[i].split(" "))
+            assert r["n_tokens"] == n_orig
+            n_kept = len(r["text_clean"].split(" ")) if r["text_clean"] else 0
+            assert n_kept + r["n_removed"] == n_orig
+        # grams with corpus df >= min_df never survive into cleaned text
+        from collections import defaultdict
+
+        pos = defaultdict(set)
+        for i, t in rows:
+            toks = t.lower().split(" ")
+            for s in range(max(1, len(toks) - k + 1)):
+                pos[" ".join(toks[s : s + k])].add(i)
+        hot = {g for g, d in pos.items() if len(d) >= min_df}
+        for i, r in out.items():
+            toks = r["text_clean"].split(" ") if r["text_clean"] else []
+            for s in range(max(0, len(toks) - k + 1)):
+                # a hot gram may REFORM when a cut splices distant tokens
+                # together, but it cannot be an original-position survivor;
+                # we assert the stronger invariant only on unmodified docs
+                if r["n_removed"] == 0:
+                    assert " ".join(toks[s : s + k]) not in hot
+
+    def test_permutation_of_doc_ids_is_stable(self, spark):
+        """Renaming doc ids (an order-preserving bijection) must not change
+        WHICH text gets stripped — df is id-agnostic (contrast
+        remove_dup_spans, whose keeper depends on id order)."""
+        from penr_oz_agent_memory_rust_spark.operators import dedup
+
+        rng = np.random.default_rng(13)
+        rows = self._corpus(rng)
+        df1 = spark.createDataFrame(rows, "doc_id bigint, text string")
+        shifted = [(i + 1000, t) for i, t in rows]
+        df2 = spark.createDataFrame(shifted, "doc_id bigint, text string")
+        a = {r["doc_id"]: r["text_clean"] for r in dedup.strip_boilerplate_spans(df1, k=3, min_df=3).collect()}
+        b = {r["doc_id"] - 1000: r["text_clean"] for r in dedup.strip_boilerplate_spans(df2, k=3, min_df=3).collect()}
+        assert a == b
+
+
+class TestShardChecksumProperty:
+    def test_checksum_is_input_partitioning_invariant(self, spark):
+        """The commutative wrapped-sum checksum must be identical however
+        the rows are physically partitioned (the distribution property the
+        operator's O(1) aggregation buffer relies on)."""
+        from penr_oz_agent_memory_rust_spark.operators import export
+
+        rng = np.random.default_rng(17)
+        rows = [
+            (i, "".join(chr(97 + int(rng.integers(26))) for _ in range(int(rng.integers(1, 40)))))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        sharded = export.assign_shards(df, "doc_id", rows_per_shard=50, salt="pp").persist()
+        one = {r["shard"]: r["checksum"] for r in export.shard_checksums(sharded.coalesce(1), F.col("text")).collect()}
+        many = {r["shard"]: r["checksum"] for r in export.shard_checksums(sharded.repartition(16), F.col("text")).collect()}
+        assert one == many
+        sharded.unpersist()
