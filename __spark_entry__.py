@@ -8250,7 +8250,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT (12 // r)::INT AS bands, r::INT AS r,
                    round(1.0 - pow(1.0 - pow(0.8, r), 12 // r), 6) AS p_at_target
             FROM (SELECT unnest([1, 2, 3, 4, 6, 12]) AS r)
-          ) ORDER BY (p_at_target >= 0.9) DESC, r DESC LIMIT 1
+          ) ORDER BY (p_at_target >= 0.9) DESC,
+                     (CASE WHEN p_at_target >= 0.9 THEN r ELSE -r END) DESC
+          LIMIT 1
         ),
         thr AS (
           SELECT round(k / 12.0, 6) AS est_threshold,
@@ -8268,10 +8270,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         measured AS (
           SELECT t.est_threshold, t.est_recall_at_target,
-                 sum(c.n_pairs)::BIGINT AS pairs_total,
-                 sum(CASE WHEN c.est_jaccard >= t.est_threshold
-                          THEN c.n_pairs ELSE 0 END)::BIGINT AS pairs_kept
-          FROM thr t CROSS JOIN cal c GROUP BY 1, 2
+                 coalesce(sum(c.n_pairs), 0)::BIGINT AS pairs_total,
+                 coalesce(sum(CASE WHEN c.est_jaccard >= t.est_threshold
+                          THEN c.n_pairs ELSE 0 END), 0)::BIGINT AS pairs_kept
+          FROM thr t LEFT JOIN cal c ON TRUE GROUP BY 1, 2
         ),
         cap AS (SELECT ceil(quantile_cont(cnt, 0.999))::BIGINT AS max_bucket FROM bc)
         SELECT 12 AS n_hashes, 0.8::DOUBLE AS target_jaccard,
@@ -8279,7 +8281,8 @@ def oracle_sql() -> dict[str, str]:
                band_choice.bands, band_choice.r, band_choice.p_at_target,
                m.est_threshold, m.est_recall_at_target, m.pairs_total,
                m.pairs_kept,
-               round(m.pairs_kept / m.pairs_total, 6) AS keep_frac,
+               CASE WHEN m.pairs_total > 0
+                    THEN round(m.pairs_kept / m.pairs_total, 6) END AS keep_frac,
                cap.max_bucket
         FROM band_choice, measured m, cap
     """

@@ -376,9 +376,14 @@ def plan_dedup_funnel(
     )
     chosen_band = (
         cand.withColumn("meets", F.col("p_at_target") >= F.lit(float(recall_floor)))
-        # steepest curve that still meets the floor; r=1 fallback sorts
-        # last among non-meeting rows only when NOTHING meets
-        .orderBy(F.col("meets").desc(), F.col("r").desc())
+        # steepest curve (largest r) that still meets the floor; when
+        # NOTHING meets, fall back to the SHALLOWEST curve (r=1, pure OR
+        # banding, maximum recall) — so the non-meeting branch sorts by r
+        # ASCENDING (negated under the shared DESC)
+        .orderBy(
+            F.col("meets").desc(),
+            F.when(F.col("meets"), F.col("r")).otherwise(-F.col("r")).desc(),
+        )
         .limit(1)
         .select("bands", "r", "p_at_target")
     )
@@ -403,17 +408,28 @@ def plan_dedup_funnel(
         )
     )
 
-    measured = thr.crossJoin(F.broadcast(calibration)).groupBy(
+    # LEFT join (not a cross join) so an EMPTY calibration frame — a probe
+    # banding that produced no candidate pairs at all — still yields the
+    # decision row: the closed-form knobs are data-independent, the
+    # measured columns fall back to 0 pairs / null keep_frac
+    measured = thr.join(F.broadcast(calibration), F.lit(True), "left").groupBy(
         "est_threshold", "est_recall_at_target"
     ).agg(
-        F.sum("n_pairs").alias("pairs_total"),
-        F.sum(
-            F.when(F.col("est_jaccard") >= F.col("est_threshold"), F.col("n_pairs"))
-            .otherwise(F.lit(0))
+        F.coalesce(F.sum("n_pairs"), F.lit(0)).alias("pairs_total"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("est_jaccard") >= F.col("est_threshold"), F.col("n_pairs")
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
         ).alias("pairs_kept"),
     ).withColumn(
         "keep_frac",
-        F.round(F.col("pairs_kept") / F.col("pairs_total"), 6),
+        F.when(
+            F.col("pairs_total") > 0,
+            F.round(F.col("pairs_kept") / F.col("pairs_total"), 6),
+        ),
     )
 
     cap = bucket_counts.agg(
@@ -565,45 +581,53 @@ def remove_from_lsh_index(
     and repairs the (bucket, cnt) companion for exactly the touched
     buckets.
 
-    The companion repair RECOUNTS the touched buckets from the
-    post-delete index instead of decrementing stored counts: a recount
-    is idempotent by construction (replaying after a crash converges to
-    the same values, where a blind decrement applied twice would
-    corrupt the hot-bucket list), and a crash BETWEEN the two commits
-    leaves counts stale-HIGH — conservative for every consumer (a
-    too-hot bucket is skipped by the stop-bucket cap, never wrongly
-    expanded). Buckets recounting to zero are deleted from the
-    companion. The recount scans the index filtered to the touched
-    buckets — file-pruned when the index is bucket-clustered
-    (OPTIMIZE sort_by='bucket'); takedown batches are small and
-    periodic, so this is a bounded maintenance job, not a per-request
-    path. Returns {"docs_removed", "buckets_touched", "buckets_emptied"}.
+    The companion repair RECOUNTS the touched buckets instead of
+    decrementing stored counts, and it runs BEFORE the band-row delete,
+    over the projected post-delete truth (touched buckets with the
+    victims excluded). That ordering is what makes a crashed takedown
+    replay-convergent: the recovery input — the victims' band rows — is
+    only destroyed in the LAST step, so replaying after a crash at any
+    point re-derives the same touched set and the same projected counts
+    (repairing the companion is a same-value no-op the second time) and
+    finishes the delete. A crash between the companion's two commits
+    (emptied-bucket delete vs alive-bucket upsert) is likewise repaired
+    by replay, and the only not-yet-repaired intermediate state has
+    counts stale-HIGH — conservative for every consumer (a too-hot
+    bucket is skipped by the stop-bucket cap, never wrongly expanded).
+    Buckets recounting to zero are deleted from the companion.
+
+    Both index scans go through read_pruned_keys (manifest stats + Bloom
+    sidecars): the victim scan prunes to the files holding the victims
+    on a doc_id-clustered index; the recount prunes on a
+    bucket-clustered one. Takedown batches are small and periodic, so
+    this is a bounded maintenance job, not a per-request path. Returns
+    {"docs_removed", "buckets_touched", "buckets_emptied"}.
     """
     doc_ids = [d for d in doc_ids if d is not None]
     if not doc_ids:
         return {"docs_removed": 0, "buckets_touched": 0, "buckets_emptied": 0}
-    idx = index.read()
     # ONE pre-delete scan collects both the touched-bucket set and the doc
     # count (a takedown batch touches O(|batch| x bands) buckets — driver-
-    # small); the victim scan itself is file-pruned on a doc_id-clustered
-    # index via read_pruned_keys-style stats, but stays correct unclustered
-    pre = (
-        idx.filter(F.col(id_col).isin(doc_ids))
-        .agg(
-            F.collect_set("bucket").alias("__b"),
-            F.count_distinct(F.col(id_col)).alias("__n"),
-        )
-        .first()
+    # small), reading only the files that can hold a victim
+    victims = index.read_pruned_keys(id_col, doc_ids).filter(
+        F.col(id_col).isin(doc_ids)
     )
+    pre = victims.agg(
+        F.collect_set("bucket").alias("__b"),
+        F.count_distinct(F.col(id_col)).alias("__n"),
+    ).first()
     touched, n_docs = list(pre["__b"]), int(pre["__n"])
-    index.delete_keys(doc_ids, id_col)
     if not touched:
+        # victims carry no band rows (never indexed, or a replay after a
+        # completed takedown): nothing to repair, nothing to delete
         return {"docs_removed": n_docs, "buckets_touched": 0, "buckets_emptied": 0}
-    spark = idx.sparkSession
+    # companion repair FIRST, from the projected post-delete truth
+    spark = victims.sparkSession
     tdf = spark.createDataFrame([(b,) for b in sorted(touched)], "bucket string")
     recount = (
-        index.read()
+        index.read_pruned_keys("bucket", touched)
         .join(F.broadcast(tdf), "bucket")
+        .filter(~F.col(id_col).isin(doc_ids))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     ).collect()
@@ -618,6 +642,8 @@ def remove_from_lsh_index(
             ),
             ["bucket"],
         )
+    # band rows last — destroying the recovery input is the final step
+    index.delete_keys(doc_ids, id_col)
     return {
         "docs_removed": n_docs,
         "buckets_touched": len(touched),
@@ -1626,6 +1652,10 @@ def _rewrite_without_cut_spans(
     def _rewrite(texts: pd.Series, cuts: pd.Series) -> pd.DataFrame:
         out_n, out_t = [], []
         for t, cs in zip(texts, cuts):
+            if t is None:  # null text passes through (matches _gram_hash_rows)
+                out_n.append(0)
+                out_t.append(None)
+                continue
             toks = t.lower().split(" ")
             if cs is None or len(cs) == 0:
                 out_n.append(0)

@@ -1790,11 +1790,22 @@ def bucket_probe() -> None:
 
     t0 = time.time()
     ranked = export.exact_global_rank(keyed, export.SHUFFLE_KEY, "doc_id", rank_col="r")
+    # count/min/max alone can't distinguish a dense rank from duplicates
+    # with compensating holes — count_distinct is the invariant the
+    # bucket-offset arithmetic could actually violate
     agg = ranked.agg(
-        F.count("*").alias("n"), F.min("r").alias("lo"), F.max("r").alias("hi")
+        F.count("*").alias("n"),
+        F.count_distinct("r").alias("nd"),
+        F.min("r").alias("lo"),
+        F.max("r").alias("hi"),
     ).collect()[0]
     report["adaptive_rank_sec"] = round(time.time() - t0, 2)
-    report["rank_exact"] = agg["n"] == n_rows and agg["lo"] == 0 and agg["hi"] == n_rows - 1
+    report["rank_exact"] = (
+        agg["n"] == n_rows
+        and agg["nd"] == n_rows
+        and agg["lo"] == 0
+        and agg["hi"] == n_rows - 1
+    )
     print(json.dumps(report))
 
 

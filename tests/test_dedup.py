@@ -1062,3 +1062,122 @@ def test_plan_dedup_funnel_high_floor_prefers_steeper_r(spark):
     assert (row["bands"], row["r"]) == (4, 3)
     with pytest.raises(ValueError, match="target_jaccard"):
         dedup.plan_dedup_funnel(cal, counts, 12, 1.5)
+
+
+def test_plan_dedup_funnel_no_floor_falls_back_to_r1(spark):
+    """When NO divisor pair clears the floor, the documented fallback is
+    r=1 (pure OR banding, MAXIMUM recall) — not the steepest curve, whose
+    recall at the target would be near zero. At t=0.1 the best any pair
+    manages is r=1's 1-(1-.1)^12 = .718 < .9."""
+    from penr_oz_agent_memory_rust_spark.operators import dedup
+
+    cal = spark.createDataFrame(
+        [(0.5, 2, 0.5, 0.5, 0.5)],
+        "est_jaccard double, n_pairs bigint, mean_exact double, "
+        "min_exact double, max_exact double",
+    )
+    counts = spark.createDataFrame([("b", 3)], "bucket string, cnt bigint")
+    row = dedup.plan_dedup_funnel(
+        cal, counts, n_hashes=12, target_jaccard=0.1, recall_floor=0.9
+    ).first()
+    assert (row["bands"], row["r"]) == (12, 1)
+    assert abs(row["p_at_target"] - round(1 - 0.9 ** 12, 6)) < 1e-9
+
+
+def test_plan_dedup_funnel_empty_calibration_still_plans(spark):
+    """A probe banding with zero candidate pairs (e.g. a fresh corpus)
+    must still yield the decision row — the closed-form knobs are
+    data-independent; the measured columns fall back to 0 / null."""
+    from penr_oz_agent_memory_rust_spark.operators import dedup
+
+    cal = spark.createDataFrame(
+        [],
+        "est_jaccard double, n_pairs bigint, mean_exact double, "
+        "min_exact double, max_exact double",
+    )
+    counts = spark.createDataFrame([], "bucket string, cnt bigint")
+    out = dedup.plan_dedup_funnel(
+        cal, counts, n_hashes=12, target_jaccard=0.8, recall_floor=0.9
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["bands"], row["r"]) == (4, 3)
+    assert (row["pairs_total"], row["pairs_kept"]) == (0, 0)
+    assert row["keep_frac"] is None and row["max_bucket"] is None
+
+
+def test_strip_boilerplate_null_text_passes_through(spark):
+    """A raw-crawl corpus can carry NULL text; the strip must not crash
+    the stage — null rows pass through with text_clean null and
+    contribute no grams to the df statistics."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.strip_boilerplate_spans(df, k=3, min_df=2).collect()
+    }
+    assert out[3]["text_clean"] is None and out[3]["n_removed"] == 0
+    assert out[1]["n_removed"] == 5 and out[2]["n_removed"] == 5
+
+
+def test_remove_from_lsh_index_replay_after_partial_failure(spark, tmp_path, docs):
+    """Crash-window convergence: the companion repairs BEFORE the band
+    rows are deleted, so a takedown that dies mid-flight (here: the final
+    index delete raises) leaves the victims' band rows intact as the
+    recovery input — a replay re-derives the same repair and finishes."""
+    from pyspark.sql import types as T
+
+    from penr_oz_agent_memory_rust_spark.sources.versioned_tables import (
+        VersionedParquetTable,
+    )
+
+    bands_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("bucket", T.StringType())]
+    )
+    counts_schema = T.StructType(
+        [T.StructField("bucket", T.StringType()), T.StructField("cnt", T.LongType())]
+    )
+    index = VersionedParquetTable(spark, str(tmp_path / "bands"), bands_schema)
+    counts = VersionedParquetTable(spark, str(tmp_path / "counts"), counts_schema)
+    bands = dedup.lsh_band_rows(docs, n_hashes=12, bands=6)
+    index.append(bands, txn_app="t", txn_id=0)
+    counts.append(dedup.lsh_bucket_counts(bands), txn_app="t", txn_id=0)
+
+    class _CrashingIndex:
+        """Delegates everything; the first delete_keys dies mid-takedown."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.crashed = False
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def delete_keys(self, keys, key_col):
+            if not self.crashed:
+                self.crashed = True
+                raise RuntimeError("injected crash before the band-row delete")
+            return self._inner.delete_keys(keys, key_col)
+
+    proxy = _CrashingIndex(index)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        dedup.remove_from_lsh_index(proxy, counts, [2, 5], "doc_id")
+    # intermediate state: companion already repaired, band rows intact
+    assert index.read().filter(F.col("doc_id").isin([2, 5])).count() > 0
+    # replay converges: delete completes, companion equals a fresh rebuild
+    stats = dedup.remove_from_lsh_index(proxy, counts, [2, 5], "doc_id")
+    assert stats["docs_removed"] == 2
+    assert index.read().filter(F.col("doc_id").isin([2, 5])).count() == 0
+    fresh = {
+        r["bucket"]: r["cnt"]
+        for r in dedup.lsh_bucket_counts(
+            dedup.lsh_band_rows(
+                docs.filter(~F.col("doc_id").isin([2, 5])), n_hashes=12, bands=6
+            )
+        ).collect()
+    }
+    assert {r["bucket"]: r["cnt"] for r in counts.read().collect()} == fresh

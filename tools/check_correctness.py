@@ -231,6 +231,27 @@ def main() -> None:
             )
             spark.stop()
             sys.exit(2)
+        if stale:
+            # FULL update: a registered query that failed this run still has
+            # a pin from the old sf_dir — rewriting the file's top-level
+            # sf_dir would silently relabel that hash's provenance, so the
+            # switch must abort; pins whose query is no longer registered
+            # are ownerless and simply dropped
+            registered_stale = {
+                k: v for k, v in stale.items() if k in qs and k not in oracles
+            }
+            if registered_stale:
+                print(
+                    f"ERROR: --update-selfcheck under sf_dir={sf_dir} could "
+                    f"not re-pin {len(registered_stale)} registered queries "
+                    f"(they errored this run) whose pins were recorded under "
+                    f"a different sf_dir (e.g. "
+                    f"{sorted(registered_stale.items())[0]}); fix the "
+                    "failures and re-run to switch sf_dir."
+                )
+                spark.stop()
+                sys.exit(2)
+            pinned = {k: v for k, v in pinned.items() if k not in stale}
         merged = dict(pinned)
         merged.update(fresh)
         with open(SELFCHECK_PATH, "w") as f:
