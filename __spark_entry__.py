@@ -8277,8 +8277,10 @@ def oracle_sql() -> dict[str, str]:
                    round(list_reduce(
                      list_prepend(CAST(0.0 AS DOUBLE),
                        list_transform(generate_series(k, 12),
-                         j -> factorial(12)
-                              / (factorial(j::INT) * factorial((12 - j)::INT))
+                         j -> (CASE WHEN j = 0 THEN CAST(1.0 AS DOUBLE)
+                               ELSE list_product(list_transform(
+                                 generate_series(1, j::INT),
+                                 i -> (12.0 - j + i) / i)) END)
                               * pow(0.8, j) * pow(0.19999999999999996, 12 - j))),
                      (acc, x) -> acc + x), 6) AS tail
             FROM (SELECT unnest(generate_series(0, 12)) AS k)

@@ -85,23 +85,24 @@ def main() -> None:
         target_jaccard=0.8,
         recall_floor=0.9,
     ).first()
-    n_bands, est_thr, max_bucket = plan["bands"], plan["est_threshold"], plan["max_bucket"]
+    n_bands, max_bucket = plan["bands"], plan["max_bucket"]
     print(
         f"funnel plan: bands={n_bands} r={plan['r']} "
         f"(candidate recall {plan['p_at_target']} at J=0.8), "
-        f"est_threshold={est_thr} (est recall {plan['est_recall_at_target']}, "
+        f"est_threshold={plan['est_threshold']} "
+        f"(est recall {plan['est_recall_at_target']}, "
         f"keeps {plan['keep_frac']} of candidates), max_bucket={max_bucket}"
     )
-    # the full funnel AT THE PLANNED KNOBS: LSH candidates + sketch
-    # estimate -> exact verify of ONLY the est survivors -> keep-best
-    # (the 10M-doc measured shape, PLANS.md round-8/9 funnel probes)
-    cands = dedup.minhash_est_pairs(
-        quality, n_hashes=12, bands=n_bands, threshold=est_thr,
-        max_bucket=max_bucket,
-    )
-    pairs = dedup.ngram_jaccard_verify(quality, cands, threshold=0.8)
-    kept = dedup.neardup_keep_best(
-        quality, pairs, text_ops.quality_score_expr(F.col("text"))
+    # the full funnel AT THE PLANNED KNOBS, consumed DIRECTLY: curate_funnel
+    # validates the decision row (bands*r == n_hashes, non-null knobs) and
+    # fails loudly on the empty-plan footgun, instead of hand-copying
+    # bands/est_threshold/max_bucket out of the row (r9 verdict ask #5).
+    # Funnel shape: LSH candidates + sketch estimate -> exact verify of
+    # ONLY the est survivors -> keep-best (the 10M-doc measured shape,
+    # PLANS.md round-8/9 funnel probes). strip is off: the demo corpus is
+    # boilerplate-free sf0.001, so min_df would never fire.
+    kept = dedup.curate_funnel(
+        seed, plan=plan, jaccard=0.8, strip_min_df=None, **GOPHER_KW
     ).select("doc_id")
     curated = quality.join(F.broadcast(kept), "doc_id")
     corpus.append(curated, txn_app="curate", txn_id=0)

@@ -160,16 +160,25 @@ def strip_common_lines(
     so |vocab| <= |distinct lines| / min_frac / |docs| ~ lines-per-doc /
     min_frac) and broadcast-joins back; the rewrite is
     filter(split(text)) + array_join — whole-stage-codegen, the corpus
-    never shuffles."""
+    never shuffles.
+
+    NULL text passes through explicitly (r9 ADVICE): output
+    (n_lines=0, n_removed=0, text_clean=NULL), matching the
+    _rewrite_without_cut_spans null contract of the gram-level sibling —
+    without the guard, split(NULL) made the counts config-dependent
+    (-1/0/null under legacy sizeOfNull vs ANSI). Null-text docs are also
+    excluded from the min_frac denominator: they contribute no lines, so
+    counting them would only deflate every line's frequency fraction."""
     if not 0.0 < min_frac <= 1.0:
         raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
     lines_arr = F.split(F.col(text_col), "\n")
-    exploded = docs.select(
+    nonnull = docs.filter(F.col(text_col).isNotNull())
+    exploded = nonnull.select(
         F.col(group_col),
         F.col(id_col),
         F.explode(F.array_distinct(lines_arr)).alias("__line"),
     )
-    group_n = docs.groupBy(group_col).agg(F.count("*").alias("__gn"))
+    group_n = nonnull.groupBy(group_col).agg(F.count("*").alias("__gn"))
     boiler = (
         exploded.groupBy(group_col, "__line")
         .agg(F.count_distinct(F.col(id_col)).alias("__df"))
@@ -184,14 +193,23 @@ def strip_common_lines(
     kept = F.filter(
         lines_arr, lambda l: ~F.coalesce(F.array_contains("__boiler", l), F.lit(False))
     )
+    is_null = F.col(text_col).isNull()
     return (
         docs.join(F.broadcast(boiler), group_col, "left")
         .select(
             F.col(id_col),
             F.col(group_col),
-            F.size(lines_arr).cast("bigint").alias("n_lines"),
-            (F.size(lines_arr) - F.size(kept)).cast("bigint").alias("n_removed"),
-            F.array_join(kept, "\n").alias("text_clean"),
+            F.when(is_null, F.lit(0))
+            .otherwise(F.size(lines_arr))
+            .cast("bigint")
+            .alias("n_lines"),
+            F.when(is_null, F.lit(0))
+            .otherwise(F.size(lines_arr) - F.size(kept))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.when(is_null, F.lit(None).cast("string"))
+            .otherwise(F.array_join(kept, "\n"))
+            .alias("text_clean"),
         )
     )
 

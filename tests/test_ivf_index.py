@@ -256,3 +256,210 @@ def test_snapshot_survives_compaction_inode_reuse(spark, sf_dir, tmp_path):
     snap_data = os.path.join(path, "snapshots", "v0001", "data")
     n = spark.read.parquet(snap_data).count()
     assert n == 200
+
+
+def test_takedown_removes_victims_rewrites_only_matched_files(spark, sf_dir, tmp_path):
+    """remove_from_ivf_index (r9 verdict ask #2): victims stop being
+    retrievable, survivors are untouched, and the rewrite cost is
+    O(matched files) — untouched files in touched cells are HARDLINKED
+    (same inode), clean cells never move."""
+    import glob
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(400)
+    path = str(tmp_path / "ivf_td")
+    ivf_index.build_ivf_index(emb, path, n_centroids=4, n_iters=2)
+    # several files per cell so "only matched files rewritten" is observable
+    for lo in (400, 450):  # embeddings sf0.001 carries vec_id 0..499
+        ivf_index.append_to_ivf_index(
+            load_table(spark, sf_dir, "embeddings")
+            .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)),
+            path,
+        )
+    data = os.path.join(path, "data")
+    files_before = {
+        f: os.stat(f).st_ino
+        for f in glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True)
+    }
+    n_before = spark.read.parquet(data).count()
+    victims = [0, 1, 2, 410, 470]
+    victim_vec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = ivf_index.remove_from_ivf_index(spark, path, victims)
+    assert out["docs_removed"] == len(victims)
+    assert 0 < out["files_rewritten"] < len(files_before)
+    # victims unreachable: full scan AND probe-limited search
+    post = spark.read.parquet(data)
+    assert post.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert post.count() == n_before - len(victims)
+    hits = ivf_index.search_ivf_index(
+        spark, path, list(victim_vec), k=5, n_probes=4
+    ).collect()
+    assert all(h["vec_id"] != 0 for h in hits)
+    # unmatched files in touched cells kept their inode (hardlink, no copy)
+    files_after = {
+        f: os.stat(f).st_ino
+        for f in glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True)
+    }
+    preserved = set(files_before) & set(files_after)
+    assert preserved and all(files_before[f] == files_after[f] for f in preserved)
+    assert len(preserved) == len(files_before) - out["files_rewritten"]
+    # no staging residue
+    assert not any(
+        os.path.exists(os.path.join(path, d))
+        for d in ("takedown-old", "takedown-staging-cells", "takedown-staging-rewrite")
+    )
+    # replay after completion is a no-op
+    again = ivf_index.remove_from_ivf_index(spark, path, victims)
+    assert again == {"docs_removed": 0, "files_rewritten": 0,
+                     "files_relinked": 0, "cells_touched": 0}
+
+
+def test_takedown_crash_replay_converges(spark, sf_dir, tmp_path, monkeypatch):
+    """Injected failure in the swap phase: crash after the victim cell is
+    parked but before the staged replacement is promoted (the worst
+    window — the cell is MISSING from the live index). The replay must
+    roll the interrupted swap forward and finish the takedown with no
+    survivor lost and no victim left."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    path = str(tmp_path / "ivf_crash")
+    ivf_index.build_ivf_index(emb, path, n_centroids=4, n_iters=2)
+    data = os.path.join(path, "data")
+    n_before = spark.read.parquet(data).count()
+    victims = [5, 6, 7]
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after park #1, before promote #1
+            raise OSError("injected crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected"):
+        ivf_index.remove_from_ivf_index(spark, path, victims)
+    monkeypatch.setattr(os, "rename", real_rename)
+    # intermediate state: one cell parked (missing live), staged exists
+    assert os.path.isdir(os.path.join(path, "takedown-old"))
+    # replay converges
+    out = ivf_index.remove_from_ivf_index(spark, path, victims)
+    post = spark.read.parquet(data)
+    assert post.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert post.count() == n_before - len(victims)
+    assert out["docs_removed"] >= 1  # the replay finished the remainder
+    assert not os.path.exists(os.path.join(path, "takedown-old"))
+    # second replay: clean no-op
+    assert ivf_index.remove_from_ivf_index(spark, path, victims)["docs_removed"] == 0
+
+
+def test_takedown_crash_before_any_swap_rolls_back_clean(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash during staging (before any live dir moves): the live index
+    is untouched; recovery just clears staging and the replay runs the
+    whole takedown."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    path = str(tmp_path / "ivf_crash2")
+    ivf_index.build_ivf_index(emb, path, n_centroids=2, n_iters=2)
+    data = os.path.join(path, "data")
+    n_before = spark.read.parquet(data).count()
+
+    real_link = os.link
+    def crashing_link(src, dst):
+        raise OSError("injected crash during staging")
+
+    monkeypatch.setattr(os, "link", crashing_link)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected"):
+        ivf_index.remove_from_ivf_index(spark, path, [3, 4])
+    monkeypatch.setattr(os, "link", real_link)
+    # live index untouched by the failed staging
+    assert spark.read.parquet(data).count() == n_before
+    out = ivf_index.remove_from_ivf_index(spark, path, [3, 4])
+    assert out["docs_removed"] == 2
+    assert spark.read.parquet(data).count() == n_before - 2
+
+
+def test_takedown_whole_cell_and_snapshot_purge(spark, sf_dir, tmp_path):
+    """(a) removing EVERY id of a cell leaves no stray partition dir;
+    (b) snapshots keep the victims (immutable history, hardlinked
+    inodes) until purge_ivf_snapshots rewrites them — after which the
+    victims are gone from history too, survivors intact, manifest
+    consistent, and a purge replay is a no-op."""
+    import glob
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    path = str(tmp_path / "ivf_purge")
+    ivf_index.build_ivf_index(emb, path, n_centroids=2, n_iters=2)
+    data = os.path.join(path, "data")
+    snap = ivf_index.snapshot_ivf_index(path, tag="pre-takedown")
+    # victim set = one entire cell + one id from the other
+    cells = sorted(
+        r["ivf_cell"]
+        for r in spark.read.parquet(data).select("ivf_cell").distinct().collect()
+    )
+    cell_ids = [
+        r["vec_id"]
+        for r in spark.read.parquet(data)
+        .filter(F.col("ivf_cell") == cells[0])
+        .select("vec_id")
+        .collect()
+    ]
+    other_id = (
+        spark.read.parquet(data)
+        .filter(F.col("ivf_cell") == cells[1])
+        .select("vec_id")
+        .first()["vec_id"]
+    )
+    victims = cell_ids + [other_id]
+    out = ivf_index.remove_from_ivf_index(spark, path, victims)
+    assert out["docs_removed"] == len(victims)
+    assert not os.path.exists(os.path.join(data, f"ivf_cell={cells[0]}"))
+    live = spark.read.parquet(data)
+    assert live.count() == 200 - len(victims)
+    # history still has them (immutability is the snapshot contract)...
+    sdata = os.path.join(path, "snapshots", "v0001", "data")
+    assert (
+        spark.read.parquet(sdata).filter(F.col("vec_id").isin(victims)).count()
+        == len(victims)
+    )
+    # ...until the erasure pass
+    purged = ivf_index.purge_ivf_snapshots(spark, path, victims)
+    assert purged["snapshots_touched"] == 1 and purged["files_rewritten"] >= 1
+    with open(os.path.join(path, "snapshots", "v0001", "manifest.json")) as f:
+        manifest = __import__("json").load(f)
+    on_disk = {
+        os.path.relpath(f, sdata)
+        for f in glob.glob(os.path.join(sdata, "**", "*.parquet"), recursive=True)
+    }
+    assert set(manifest["files"]) == on_disk  # manifest matches disk exactly
+    snap_rows = spark.read.parquet(sdata)
+    assert snap_rows.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert snap_rows.count() == 200 - len(victims)
+    # purge replay: converged no-op
+    again = ivf_index.purge_ivf_snapshots(spark, path, victims)
+    assert again["files_rewritten"] == 0 and again["orphans_gced"] == 0
+
+
+def test_ivfpq_takedown_delegates(spark, sf_dir, tmp_path):
+    """remove_from_ivfpq_index: a taken-down vector stops appearing in
+    ADC search of the persisted codes table."""
+    from penr_oz_agent_memory_rust_spark.operators import ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    path = str(tmp_path / "ivfpq_td")
+    ivfpq.build_ivfpq_index(emb, path, n_cells=4, m=8, ksub=16, n_iters=3)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 10).first()["embedding"]]
+    before = ivfpq.search_ivfpq_index(spark, path, qv, k=3, n_probes=4).collect()
+    assert before[0]["vec_id"] == 10  # self-match under ADC
+    out = ivfpq.remove_from_ivfpq_index(spark, path, [10])
+    assert out["docs_removed"] == 1
+    after = ivfpq.search_ivfpq_index(spark, path, qv, k=3, n_probes=4).collect()
+    assert all(h["vec_id"] != 10 for h in after)

@@ -447,6 +447,29 @@ def test_strip_common_lines_duplicated_line_inside_one_doc(spark):
     assert out[2]["text_clean"] == "body two" and out[2]["n_removed"] == 1
 
 
+def test_strip_common_lines_null_text_passes_through(spark):
+    """r9 ADVICE: NULL text must pass through with DEFINED output
+    (n_lines=0, n_removed=0, text_clean=NULL — the gram-level sibling's
+    null contract), not config-dependent -1/null from split(NULL); and a
+    null-text doc must not count toward the min_frac denominator (here:
+    with the null doc excluded, 'ad' hits 2/2 of s's non-null docs and
+    strips; counting the null doc would make it 2/3 < min_frac=0.9)."""
+    rows = [
+        ("s", 1, "ad\nbody one"),
+        ("s", 2, "ad\nbody two"),
+        ("s", 3, None),
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.strip_common_lines(docs, min_frac=0.9, min_docs=2).collect()
+    }
+    assert out[3]["n_lines"] == 0 and out[3]["n_removed"] == 0
+    assert out[3]["text_clean"] is None
+    assert out[1]["text_clean"] == "body one" and out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "body two"
+
+
 def test_strip_common_lines_min_frac_guard(spark):
     docs = spark.createDataFrame(
         [("s", 1, "a")], "source string, doc_id bigint, text string"
