@@ -5128,22 +5128,19 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "minhash_est_pairs": q_minhash_est_pairs,
         "minhash_calibration": q_minhash_calibration,
         "knn_self_all_pairs_expr": q_knn_self_all_pairs_expr,
-        # --- window: r9 rotation — the five r8 gates the r8 verdict asked
-        #     CORRECTNESS to certify (diagnose→remediate skew loop, the
-        #     funnel's est→exact verify handoff, domain-level source
-        #     curation ×2, and the by-less global as-of DuckDB ASOF oracle).
-        #     Rotated out to make room: bm25_search / hybrid_search_rrf /
-        #     quantized_search / bq_ann_rerank / mutual_knn (green + code-
-        #     unchanged since r2-r3; still in the 232-query local gate).
-        #     (The r8 verdict's ~177-of-232 certified-at-least-once
-        #     estimate counted merged-gate ancestors; the mechanical
-        #     union of names across CORRECTNESS_r01..r08 is lower — see
-        #     the r9 note below.)
-        "skew_salted_targeted": q_skew_salted_targeted,
-        "dedup_funnel_verify": q_dedup_funnel_verify,
-        "source_quality_profile": q_source_quality_profile,
-        "source_curation": q_source_curation,
-        "asof_global": q_asof_global,
+        # --- window: r10 rotation — five NEVER-driver-certified rows
+        #     swapped in per the r9 verdict's cadence ask #3 (dup-span
+        #     audit + removal, the shingle-clique leakage-safe split,
+        #     retrieval hard negatives, TPC-H Q10). Rotated out to make
+        #     room: skew_salted_targeted / dedup_funnel_verify /
+        #     source_quality_profile / source_curation / asof_global
+        #     (all five driver-certified in CORRECTNESS_r09, code
+        #     unchanged this round, still in the 237-query local gate).
+        "dup_span_coverage": q_dup_span_coverage,
+        "remove_dup_spans": q_remove_dup_spans,
+        "leakage_safe_split": q_leakage_safe_split,
+        "hard_negatives": q_hard_negatives,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
         # --- window: r9 NEW gates — the boilerplate-first candidate-mass
         #     remediation the r8 verdict asked to make the funnel's default
         #     posture (ask #2): the symmetric strip operator itself, and the
@@ -5153,15 +5150,16 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     make room, the bq_ann / bq_neardup siblings rotated out
         #     (green + code-unchanged since r2-r3, r8-certified, still in
         #     the local gate). Mechanical certified-at-least-once count —
-        #     the union of names across CORRECTNESS_r01..r08 plus this
-        #     full 50-row r9 window (these two + strip_common_lines +
-        #     funnel_plan + shard_checksums below) — is 117 of 237
-        #     registered queries under CURRENT naming: early windows
-        #     overlapped heavily and several merged gates renamed their
-        #     ancestors, so the honest cadence target is the 120
-        #     below-boundary rows that have never held a driver slot —
-        #     rotate ~5 of those in per round (all are checked by the
-        #     full local gate every round regardless).
+        #     the union of names across CORRECTNESS_r01..r09 plus the
+        #     five first-time rows in this r10 window (dup_span_coverage,
+        #     remove_dup_spans, leakage_safe_split, hard_negatives,
+        #     tpch_q10_returned_items) — is 122 of 237 registered queries
+        #     under CURRENT naming: early windows overlapped heavily and
+        #     several merged gates renamed their ancestors, so the honest
+        #     cadence target is the 115 below-boundary rows that have
+        #     never held a driver slot — rotate ~5 of those in per round
+        #     (all are checked by the full local gate every round
+        #     regardless).
         "strip_boilerplate": q_strip_boilerplate,
         "pipeline_curate_funnel": q_pipeline_curate_funnel,
         # --- window: r9 NEW gate — per-source common-LINE boilerplate
@@ -5182,14 +5180,14 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     semantic_decontaminate rotated out to make room (unchanged +
         #     green since r4, r8-certified, still in the local gate).
         "shard_checksums": q_shard_checksums,
-        # --- r10 rotation plan: once CORRECTNESS_r09 certifies the six
-        #     new r9 gates (strip_boilerplate, pipeline_curate_funnel,
-        #     strip_common_lines, funnel_plan, shard_checksums, plus the
-        #     five r8 gates above), swap ~5 of them out for never-
-        #     driver-certified below-boundary rows — e.g. dup_span_coverage,
-        #     remove_dup_spans, leakage_safe_split, hard_negatives,
-        #     tpch_q10_returned_items — continuing the cadence toward the
-        #     120 rows that have never held a driver slot.
+        # --- r11 rotation plan: once CORRECTNESS_r10 certifies the five
+        #     first-time rows above (plus funnel_plan's REVISED arithmetic
+        #     — kept in-window because the factorial fix changed both
+        #     engines this round), swap ~5 certified rows out for more
+        #     never-certified below-boundary rows — e.g. tpch_q4_order_priority,
+        #     tpch_q7_volume_shipping, preference_pairs, knn_pagerank,
+        #     line_dedup — continuing the cadence toward the 115 rows
+        #     that have never held a driver slot.
         # --- window boundary (~50) ---
         "sessionization": q_sessionization,
         "events_followup_day": q_events_followup_day,
@@ -5254,18 +5252,20 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "line_dedup": q_line_dedup,
-        "dup_span_coverage": q_dup_span_coverage,
-        "remove_dup_spans": q_remove_dup_spans,
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "approx_distinct_hll": q_approx_distinct_hll,
         "preference_pairs": q_preference_pairs,
-        "leakage_safe_split": q_leakage_safe_split,
         "knn_pagerank": q_knn_pagerank,
         "knn_kcore": q_knn_kcore,
         "lm_quality": q_lm_quality,
-        "hard_negatives": q_hard_negatives,
         "funnel_conversion": q_funnel_conversion,
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        # --- r10 rotation: the five r8 gates moved below the boundary
+        #     (driver-certified in CORRECTNESS_r09, code unchanged)
+        "skew_salted_targeted": q_skew_salted_targeted,
+        "dedup_funnel_verify": q_dedup_funnel_verify,
+        "source_quality_profile": q_source_quality_profile,
+        "source_curation": q_source_curation,
+        "asof_global": q_asof_global,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
         "tpch_q13_order_distribution": q_tpch_q13_order_distribution,

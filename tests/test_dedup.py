@@ -1287,3 +1287,58 @@ def test_remove_from_lsh_index_replay_after_partial_failure(spark, tmp_path, doc
         ).collect()
     }
     assert {r["bucket"]: r["cnt"] for r in counts.read().collect()} == fresh
+
+
+def test_minhash_est_jaccard_matches_pure_python(spark):
+    """Independent pin (r9 verdict ask #6): the minhash_est_pairs /
+    minhash_calibration oracles REPLAY the engine's seeded-md5 slice
+    arithmetic in SQL, so the gate cannot catch a bug both sides share.
+    This pin rebuilds the signature spec from scratch with hashlib —
+    distinct word-3-shingles of the lowered text, hash j = bigint of the
+    5-hex-char slice [5*(j%6), 5*(j%6)+5) of md5(f"{j//6}|{shingle}"),
+    signature = per-hash min — and checks est_jaccard exactly."""
+    import hashlib
+    import itertools
+
+    from penr_oz_agent_memory_rust_spark.operators import dedup
+
+    N = 12
+
+    def py_sig(text):
+        toks = text.lower().split(" ")
+        if len(toks) <= 3:
+            shingles = {" ".join(toks)}
+        else:
+            shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        sig = []
+        for j in range(N):
+            g, off = j // 6, 5 * (j % 6)
+            sig.append(
+                min(
+                    int(hashlib.md5(f"{g}|{s}".encode()).hexdigest()[off : off + 5], 16)
+                    for s in shingles
+                )
+            )
+        return sig
+
+    texts = {
+        1: "a b c d e f g h i j",
+        2: "a b c d e f g h i zz",   # near dup of 1
+        3: "a b c d e f g h i j",    # exact dup of 1: est must be 1.0
+        4: "q w r t y u i o p zz",   # unrelated
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    # bands = n_hashes -> r=1 (pure OR banding): candidacy iff ANY hash agrees,
+    # so the pin can predict membership as well as the estimate
+    got = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in dedup.minhash_est_pairs(docs, n_hashes=N, bands=N).collect()
+    }
+    sigs = {i: py_sig(t) for i, t in texts.items()}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        agree = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        if agree > 0:
+            assert got[(a, b)] == round(agree / N, 6), (a, b)
+        else:
+            assert (a, b) not in got, (a, b)
+    assert got[(1, 3)] == 1.0

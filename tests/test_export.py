@@ -362,3 +362,27 @@ def test_assign_shards_by_bytes_contiguous_and_deterministic(spark):
         df, "id", 4096, F2.col("nb"), salt="z"
     ).collect()
     assert sorted(map(str, out)) == sorted(map(str, out2))
+
+
+def test_shard_checksums_match_pure_python(spark):
+    """Independent pin (r9 verdict ask #6): the shard_checksums oracle
+    replays the engine's md5-sum arithmetic in SQL, so a shared bug would
+    pass the gate green. This pin computes the expected manifest from
+    scratch with hashlib — a third implementation outside both engines."""
+    import hashlib
+
+    rows = [(0, 0, "alpha"), (0, 1, "beta"), (1, 0, "gamma"), (1, 1, "δμ")]
+    df = spark.createDataFrame(rows, "shard int, pos_in_shard bigint, payload string")
+    got = {r["shard"]: r for r in export.shard_checksums(df, F.col("payload")).collect()}
+
+    def h(pos, payload):
+        return int(hashlib.md5(f"{pos}|{payload}".encode()).hexdigest()[:15], 16)
+
+    for shard in (0, 1):
+        members = [(p, pl) for s, p, pl in rows if s == shard]
+        total = sum(h(p, pl) for p, pl in members) % (1 << 64)
+        if total >= 1 << 63:
+            total -= 1 << 64
+        assert got[shard]["checksum"] == total
+        assert got[shard]["n_rows"] == len(members)
+        assert got[shard]["n_bytes"] == sum(len(pl.encode()) for _, pl in members)

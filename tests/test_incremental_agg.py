@@ -152,3 +152,21 @@ def test_hist_state_clamps_out_of_range(spark):
     rows = {r["bin"]: r["cnt"] for r in hist_state(df, ["k"], "v", 0.0, 100.0, 10).collect()}
     assert rows[0] == 2  # -5 clamps into bin 0 alongside 0.0
     assert rows[9] == 2  # 99.9 lands in the top bin; 250 clamps into it
+
+
+def test_hist_quantile_hand_pinned(spark):
+    """Independent pin (r9 verdict ask #6): the incremental_quantile_refresh
+    oracle replays the engine's histogram-interpolation arithmetic in SQL,
+    so the gate passes green even if both share a bug. Hand derivation:
+    values 0..9, 10 bins over [0,10) -> every bin cnt=1, cum(b)=b+1.
+    q=0.5: hit bin 4 (cum 5 >= 5, cum-cnt 4 < 5), est = 4 + (5-4)/1 = 5.0.
+    q=0.25: hit bin 2 (cum 3 >= 2.5, cum-cnt 2 < 2.5), est = 2 + 0.5 = 2.5."""
+    from penr_oz_agent_memory_rust_spark.operators.incremental_agg import (
+        hist_state,
+        quantile_from_hist,
+    )
+
+    df = spark.createDataFrame([("k", float(i)) for i in range(10)], "k string, v double")
+    st = hist_state(df, ["k"], "v", 0.0, 10.0, 10)
+    assert quantile_from_hist(st, ["k"], 0.5, 0.0, 10.0, 10).first()["q_est"] == 5.0
+    assert quantile_from_hist(st, ["k"], 0.25, 0.0, 10.0, 10).first()["q_est"] == 2.5
