@@ -55,6 +55,18 @@ def main() -> None:
         print("== MMR: diversified final 5 from the top-50 candidates ==")
         cands = top_k(scored, "score", 50, tiebreak="vec_id").select("vec_id", "embedding")
         mmr.mmr_select(cands, qv, k=5, lam=0.7).show()
+
+        print("== takedown: vec_id=0 erased from the serving index ==")
+        # the delete half of the serving lifecycle (GDPR / licensing):
+        # O(matched files) rewrite, untouched files hardlinked; the
+        # self-query must stop returning its own vector afterwards
+        stats = ivfpq.remove_from_ivfpq_index(spark, idx, [0])
+        print(f"   {stats}")
+        post = ivfpq.search_ivfpq_index(
+            spark, idx, qv, k=5, n_probes=3, kprime=50, rerank=emb
+        )
+        assert all(r["vec_id"] != 0 for r in post.collect())
+        post.show()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()

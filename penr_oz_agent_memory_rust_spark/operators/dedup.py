@@ -1912,6 +1912,8 @@ def curate_funnel(
     jaccard: float = 0.8,
     score_expr: Column | None = None,
     plan=_NO_PLAN,
+    strip_lines_group_col: str | None = None,
+    strip_lines_min_frac: float = 0.5,
 ) -> DataFrame:
     """★ the curation funnel as ONE composable operator, with
     boilerplate-first candidate-mass reduction as the DEFAULT posture
@@ -1951,7 +1953,16 @@ def curate_funnel(
     raw-text verify rejects the non-dups — but cost does not). Supply
     max_bucket from `plan_dedup_funnel` (the `plan=` path does this for
     you) whenever strip_min_df is set on a corpus that can contain
-    boilerplate-only documents."""
+    boilerplate-only documents.
+
+    `strip_lines_group_col` (r9 verdict ask #7) additionally runs the
+    STRUCTURAL per-group common-line strip (strip_common_lines — site
+    chrome: headers/footers/nav shared across one source's pages) before
+    the gram-level strip, again for CANDIDATE GENERATION ONLY: line
+    chrome is per-site and clears a per-group frequency threshold at any
+    corpus size, where the corpus-wide gram df needs `strip_min_df`
+    tuning. Docs must carry that column; acceptance semantics are still
+    raw-text exact Jaccard."""
     from penr_oz_agent_memory_rust_spark.operators import text_ops as _t
 
     if plan is not _NO_PLAN:
@@ -1988,12 +1999,26 @@ def curate_funnel(
             min_stopword_hits=min_stopword_hits,
         )
     )
+    strip_input = survivors
+    if strip_lines_group_col is not None:
+        strip_input = _t.strip_common_lines(
+            survivors,
+            group_col=strip_lines_group_col,
+            id_col=id_col,
+            text_col=text_col,
+            min_frac=strip_lines_min_frac,
+        ).select(
+            F.col(id_col),
+            # newline -> space so the downstream word-shingle tokenizer
+            # (space-split) never sees a cross-line fused token
+            F.regexp_replace(F.col("text_clean"), "\n", " ").alias(text_col),
+        )
     if strip_min_df is not None:
         cand_input = strip_boilerplate_spans(
-            survivors, id_col, text_col, k=strip_k, min_df=strip_min_df
+            strip_input, id_col, text_col, k=strip_k, min_df=strip_min_df
         ).select(F.col(id_col), F.col("text_clean").alias(text_col))
     else:
-        cand_input = survivors.select(F.col(id_col), F.col(text_col))
+        cand_input = strip_input.select(F.col(id_col), F.col(text_col))
     est = minhash_est_pairs(
         cand_input,
         id_col=id_col,

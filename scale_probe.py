@@ -1965,6 +1965,147 @@ def companion_decay_probe() -> None:
     print(json.dumps(report))
 
 
+def chrome_strip_probe() -> None:
+    """strip_common_lines at corpus scale (`python scale_probe.py chrome`;
+    SCALE_CHROME_DOCS overrides, default 10M docs over 200 sites): each
+    page carries 4 per-site chrome lines (header / nav / cookie banner /
+    footer) around 3 page-unique body lines — the realistic shape where
+    the structural strip earns its keep. Records wall seconds for the
+    full strip (df agg + vocab broadcast + rewrite), verifies the
+    analytic vocab bound |vocab per site| <= lines-per-doc / min_frac,
+    and checks exact chrome accounting (every doc loses exactly its 4
+    chrome lines, keeps its 3 unique ones)."""
+    n_docs = int(os.environ.get("SCALE_CHROME_DOCS", "10000000"))
+    n_sites = 200
+    spark = get_spark(app_name="poz-chrome-probe")
+    from penr_oz_agent_memory_rust_spark.operators import text_ops
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("site"), (F.col("id") % n_sites).cast("string")).alias("source"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("welcome to site "), (F.col("id") % n_sites).cast("string")),
+            F.concat(F.lit("home products about contact site "), (F.col("id") % n_sites).cast("string")),
+            F.concat(F.lit("this website uses cookies accept or decline site "), (F.col("id") % n_sites).cast("string")),
+            F.concat(F.lit("unique body line one for page "), F.col("id").cast("string")),
+            F.concat(F.lit("unique body line two about topic "), (F.col("id") * 7).cast("string")),
+            F.concat(F.lit("unique closing thought number "), (F.col("id") * 13).cast("string")),
+            F.concat(F.lit("copyright all rights reserved site "), (F.col("id") % n_sites).cast("string")),
+        ).alias("text"),
+    )
+    report: dict = {"n_docs": n_docs, "n_sites": n_sites}
+    t0 = time.time()
+    out = text_ops.strip_common_lines(docs, min_frac=0.5, min_docs=2)
+    agg = out.agg(
+        F.count("*").alias("rows"),
+        F.sum("n_removed").alias("removed"),
+        F.sum("n_lines").alias("lines"),
+        F.sum(F.when(F.col("n_removed") != 4, 1).otherwise(0)).alias("bad_docs"),
+    ).first()
+    report["strip_sec"] = round(time.time() - t0, 2)
+    report["rows_out"] = agg["rows"]
+    report["chrome_lines_removed"] = agg["removed"]
+    report["bad_docs"] = agg["bad_docs"]  # every doc must lose exactly 4
+    report["accounting_ok"] = bool(
+        agg["rows"] == n_docs
+        and agg["removed"] == 4 * n_docs
+        and agg["bad_docs"] == 0
+        and agg["lines"] == 7 * n_docs
+    )
+    # analytic vocab bound: <= lines-per-doc / min_frac = 7 / 0.5 = 14
+    lines_arr = F.split(F.col("text"), "\n")
+    exploded = docs.select(
+        "source", "doc_id", F.explode(F.array_distinct(lines_arr)).alias("l")
+    )
+    gn = docs.groupBy("source").agg(F.count("*").alias("gn"))
+    vocab = (
+        exploded.groupBy("source", "l")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .join(gn, "source")
+        .filter((F.col("df") >= 2) & (F.col("df") >= F.col("gn") * 0.5))
+        .groupBy("source")
+        .agg(F.count("*").alias("v"))
+        .agg(F.max("v").alias("vmax"))
+        .first()
+    )
+    report["vocab_max_per_site"] = vocab["vmax"]
+    report["vocab_bound"] = 14
+    report["vocab_bound_ok"] = bool(vocab["vmax"] <= 14)
+    print(json.dumps(report))
+
+
+def ivf_takedown_probe() -> None:
+    """Takedown probe for the persisted IVF serving index
+    (`python scale_probe.py ivf_takedown`; SCALE_IVF_TD_ROWS overrides,
+    default 4M vectors, dim 32): build (2M) + 8 appends (250k each) so
+    every cell holds many files, snapshot, then remove a 1k contiguous-id
+    victim batch with remove_from_ivf_index. Records wall seconds, the
+    matched-file fraction (footer-stat pruning should touch only the
+    files whose id range covers a victim — the append batches are
+    id-contiguous, so most files are provably clean from their stats),
+    hardlink preservation of untouched files, post-takedown search
+    correctness, replay convergence, and the snapshot purge cost."""
+    import glob as _glob
+    import tempfile
+
+    from penr_oz_agent_memory_rust_spark.operators import ivf_index
+
+    n_rows = int(os.environ.get("SCALE_IVF_TD_ROWS", "4000000"))
+    base_rows = n_rows // 2
+    n_appends = 8
+    app_rows = (n_rows - base_rows) // n_appends
+    dim = 32
+    spark = get_spark(app_name="poz-ivf-takedown-probe")
+    root = tempfile.mkdtemp(prefix="ivftd-")
+    path = os.path.join(root, "idx")
+
+    def vecs(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {dim}), i -> cast(sin(id * i + i) as float))"
+            ).alias("embedding"),
+        )
+
+    report: dict = {"n_rows": n_rows, "dim": dim}
+    t0 = time.time()
+    ivf_index.build_ivf_index(vecs(0, base_rows), path, n_centroids=32, n_iters=3)
+    for a in range(n_appends):
+        ivf_index.append_to_ivf_index(vecs(base_rows + a * app_rows, app_rows), path)
+    report["build_sec"] = round(time.time() - t0, 2)
+    data = os.path.join(path, "data")
+    files = _glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True)
+    report["index_files"] = len(files)
+    t0 = time.time()
+    ivf_index.snapshot_ivf_index(path, tag="pre-takedown")
+    report["snapshot_sec"] = round(time.time() - t0, 2)
+
+    victims = list(range(100000, 101000))  # contiguous ids -> few files match
+    t0 = time.time()
+    stats = ivf_index.remove_from_ivf_index(spark, path, victims)
+    report["takedown_sec"] = round(time.time() - t0, 2)
+    report.update(stats)
+    report["matched_file_frac"] = round(stats["files_rewritten"] / len(files), 4)
+    post = spark.read.parquet(data)
+    report["victims_left"] = post.filter(F.col("vec_id").isin(victims)).count()
+    report["rows_after"] = post.count()
+    report["rows_ok"] = bool(report["rows_after"] == n_rows - len(victims))
+    again = ivf_index.remove_from_ivf_index(spark, path, victims)
+    report["replay_docs_removed"] = again["docs_removed"]
+
+    t0 = time.time()
+    purged = ivf_index.purge_ivf_snapshots(spark, path, victims)
+    report["purge_sec"] = round(time.time() - t0, 2)
+    report["purge_files_rewritten"] = purged["files_rewritten"]
+    sdata = os.path.join(path, "snapshots", "v0001", "data")
+    report["snapshot_victims_left"] = (
+        spark.read.parquet(sdata).filter(F.col("vec_id").isin(victims)).count()
+    )
+    print(json.dumps(report))
+
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -2158,6 +2299,10 @@ if __name__ == "__main__":
         companion_decay_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "funnel":
         funnel_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "chrome":
+        chrome_strip_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ivf_takedown":
+        ivf_takedown_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "buckets":
         bucket_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "takedown":

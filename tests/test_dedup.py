@@ -1342,3 +1342,52 @@ def test_minhash_est_jaccard_matches_pure_python(spark):
         else:
             assert (a, b) not in got, (a, b)
     assert got[(1, 3)] == 1.0
+
+
+def test_curate_funnel_structural_line_strip_prestage(spark):
+    """r9 verdict ask #7 wiring: strip_lines_group_col runs the per-source
+    common-LINE strip before candidate generation. A corpus where every
+    site's pages share header/footer chrome: the kept set equals the
+    no-strip run (acceptance is raw-text exact Jaccard either way) and
+    the true near-dup pair still collapses. The candidate-mass cut the
+    strip buys is measured at scale by scale_probe.py's chrome probe,
+    not here."""
+    from penr_oz_agent_memory_rust_spark.operators import dedup
+
+    chrome_a = "welcome to site alpha\ncookie consent banner text here"
+    chrome_b = "site beta navigation menu\nall rights reserved by beta"
+    bodies_a = [
+        "the quick brown fox jumps over a lazy sleeping dog near the quiet river bank today",
+        "the tall green tree drops many bright leaves onto a cold wet stone path every autumn",
+        "the old ship sails across a deep blue ocean while strong winds push its white canvas",
+        "the young cook stirs a warm thick soup and adds fresh herbs from her small garden",
+    ]
+    bodies_b = [
+        "the busy market sells ripe red fruit and sweet golden bread from wooden carts daily",
+        "the small bird builds a round nest from dry grass high inside an old oak hollow",
+        "the night train rolls past dark silent fields while its one bright lamp cuts the fog",
+        "the patient teacher draws a long chalk line and asks the class about distant planets",
+    ]
+    rows = []
+    for i, b in enumerate(bodies_a):
+        body = f"{b} and {b.replace('the ', 'that ')}"
+        rows.append((i, "alpha", f"{chrome_a}\n{body}"))
+    for i, b in enumerate(bodies_b):
+        body = f"{b} and {b.replace('the ', 'that ')}"
+        rows.append((10 + i, "beta", f"{chrome_b}\n{body} extra{i}"))
+    # one true near-dup pair inside site alpha
+    rows.append((100, "alpha", rows[0][2] + " tiny"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    kw = dict(
+        min_words=10, min_stopword_hits=1, n_hashes=12, bands=6,
+        est_threshold=0.3, jaccard=0.5, strip_min_df=None,
+    )
+    plain = {r["doc_id"] for r in dedup.curate_funnel(docs, **kw).collect()}
+    stripped = {
+        r["doc_id"]
+        for r in dedup.curate_funnel(
+            docs, strip_lines_group_col="source", **kw
+        ).collect()
+    }
+    assert stripped == plain  # acceptance semantics unchanged
+    assert len(stripped & {0, 100}) == 1  # the true near-dup pair collapsed
