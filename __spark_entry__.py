@@ -3761,6 +3761,72 @@ def q_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export.shard_checksums(sharded, F.col("text"))
 
 
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL injection over documents (the corpus has
+    no URL column — same injection device as text_normalize /
+    strip_common_lines): every doc_id gets a URL whose scheme casing,
+    www prefix, default port, trailing slash, tracking params, param
+    order, and fragment vary by doc_id residues, while doc_id % 50 picks
+    the underlying page — so ~10 docs per source collapse to one
+    canonical page."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("HTTP://WWW."))
+            .when(F.col("doc_id") % 4 == 1, F.lit("http://"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("https://"))
+            .otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".example.com"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/Page/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("?utm_source=x&b=2&a=1#frag")
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ URL canonicalization — the crawl pipeline's front dedup stage
+    (operators/urls.py): scheme/host lowercased, www + default ports +
+    fragments stripped, tracking params dropped, surviving params
+    sorted, trailing slashes removed; host + registrable-domain
+    heuristic alongside. Pure JVM regexp/array expressions; the oracle
+    mirrors each step function-for-function in DuckDB."""
+    from penr_oz_agent_memory_rust_spark.operators import urls
+
+    m = _messy_urls(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        "url",
+        urls.canonicalize_url_expr(F.col("url")).alias("canonical_url"),
+        urls.url_host_expr(F.col("url")).alias("host"),
+        urls.url_domain_expr(F.col("url")).alias("domain"),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ canonical-URL dedup with keep-best policy (url_dedup_keep_best):
+    recrawl variants of the same page collapse to one canonical key; the
+    highest-n_chars capture survives (ties to smallest doc_id). One
+    shuffle on the canonical string, min_by-struct argmax, no window
+    function (operators/urls.py)."""
+    from penr_oz_agent_memory_rust_spark.operators import urls
+
+    docs = _docs(spark, sf_dir)
+    m = _messy_urls(spark, sf_dir).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    return urls.url_dedup_keep_best(
+        m, F.col("n_chars").cast("double"), url_col="url", id_col="doc_id"
+    )
+
+
 def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ deterministic training-shard assignment: global shuffle order by
     md5('r2' || doc_id), exact fixed-size shards of 64 via the bucketed
@@ -5123,8 +5189,15 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- window: r8 rotation — the r7-tail gates the r7 verdict asked
         #     CORRECTNESS to certify (plus asof_join_suite above, whose
         #     oracle grew to 4 direction variants in r7)
-        "webdataset_roundtrip": q_webdataset_roundtrip,
-        "skew_report": q_skew_report,
+        # --- window: r10 NEW gates — URL canonicalization + canonical-URL
+        #     keep-best dedup (the crawl pipeline's front dedup stage,
+        #     operators/urls.py; oracle mirrors every normalization step
+        #     function-for-function). New code ships driver-certified; to
+        #     make room, webdataset_roundtrip / skew_report rotated out
+        #     (certified r8 AND r9, code unchanged this round, still in
+        #     the local gate).
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
         "minhash_est_pairs": q_minhash_est_pairs,
         "minhash_calibration": q_minhash_calibration,
         "knn_self_all_pairs_expr": q_knn_self_all_pairs_expr,
@@ -5153,7 +5226,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #     the union of names across CORRECTNESS_r01..r09 plus the
         #     five first-time rows in this r10 window (dup_span_coverage,
         #     remove_dup_spans, leakage_safe_split, hard_negatives,
-        #     tpch_q10_returned_items) — is 122 of 237 registered queries
+        #     tpch_q10_returned_items) — is 124 of 239 registered queries
+        #     (the two r10 URL gates ship in-window, certified on arrival)
         #     under CURRENT naming: early windows overlapped heavily and
         #     several merged gates renamed their ancestors, so the honest
         #     cadence target is the 115 below-boundary rows that have
@@ -5266,6 +5340,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "source_quality_profile": q_source_quality_profile,
         "source_curation": q_source_curation,
         "asof_global": q_asof_global,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
+        "skew_report": q_skew_report,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
         "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
@@ -8461,6 +8537,75 @@ def oracle_sql() -> dict[str, str]:
                              x -> NOT coalesce(list_contains(b.bl, x), FALSE)),
                  chr(10)) AS text_clean
         FROM messy m LEFT JOIN bset b ON m.source = b.source
+    """
+    _messy_url_sql = """
+        SELECT doc_id,
+               (CASE doc_id % 4 WHEN 0 THEN 'HTTP://WWW.'
+                                WHEN 1 THEN 'http://'
+                                WHEN 2 THEN 'https://' ELSE '' END)
+               || source || '.example.com'
+               || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+               || '/Page/' || (doc_id % 50)::VARCHAR
+               || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+               || (CASE doc_id % 3 WHEN 0 THEN '?utm_source=x&b=2&a=1#frag'
+                                   WHEN 1 THEN '?a=1&b=2' ELSE '' END) AS url
+        FROM documents
+    """
+    # canonicalization mirrored function-for-function (operators/urls.py);
+    # DuckDB lateral column aliases keep the steps readable
+    _url_canon_steps = """
+          SELECT doc_id, url,
+                 CASE WHEN regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                      THEN url ELSE 'http://' || url END AS ws,
+                 regexp_replace(trim(ws), '#.*$', '') AS u,
+                 lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest,
+                 regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                                '^www\\.', '') AS hostport,
+                 CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                      ELSE hostport END AS host,
+                 regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1),
+                                '/+$', '') AS path,
+                 CASE WHEN strpos(rest, '?') > 0
+                      THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END AS qraw,
+                 array_to_string(list_sort(list_filter(string_split(qraw, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid)(=.*)?$'))),
+                   '&') AS sq,
+                 scheme || '://' || host || path
+                   || (CASE WHEN sq <> '' THEN '?' || sq ELSE '' END) AS canonical_url,
+                 regexp_replace(hostport, ':[0-9]+$', '') AS bare_host,
+                 string_split(bare_host, '.') AS labels,
+                 len(labels) AS nl,
+                 (nl >= 3
+                  AND regexp_matches(labels[nl - 1], '^(co|com|net|org|ac|gov|edu)$')
+                  AND regexp_matches(labels[nl], '^[a-z]{2}$')) AS take3,
+                 CASE WHEN take3 THEN 3 ELSE 2 END AS kk,
+                 CASE WHEN regexp_matches(bare_host, '^[0-9.]+$') OR nl <= 2
+                      THEN bare_host
+                      ELSE array_to_string(labels[nl - kk + 1 : nl], '.') END AS domain
+    """
+    d["url_canonicalize"] = f"""
+        WITH m AS ({_messy_url_sql}),
+        c AS ({_url_canon_steps} FROM m)
+        SELECT doc_id, url, canonical_url, bare_host AS host, domain FROM c
+    """
+    d["url_dedup"] = f"""
+        WITH m AS ({_messy_url_sql}),
+        c AS ({_url_canon_steps} FROM m),
+        s AS (
+          SELECT c.doc_id, c.canonical_url, d.n_chars::DOUBLE AS sc
+          FROM c JOIN documents d ON c.doc_id = d.doc_id
+        )
+        SELECT doc_id, canonical_url, dup_count, score FROM (
+          SELECT doc_id, canonical_url,
+                 count(*) OVER w AS dup_count,
+                 max(sc) OVER w AS score,
+                 row_number() OVER (PARTITION BY canonical_url
+                                    ORDER BY sc DESC, doc_id) AS rn
+          FROM s WINDOW w AS (PARTITION BY canonical_url)
+        ) WHERE rn = 1
     """
     d["hard_negatives"] = f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 12),

@@ -180,6 +180,19 @@ def search_ivf_index_batch(
     return top_k_per_group(scored, [query_id], "score", k, tiebreak=id_col)
 
 
+def _uri_to_local(uri: str) -> str:
+    """`_metadata.file_path` to a local filesystem path. Hadoop renders
+    local URIs as `file:/root/...` today, but `file:///root/...` is the
+    equally-valid RFC form — a naive prefix strip of the latter leaves
+    `///root/...`, which string-compares unequal to glob results and
+    would make every matched file look unmatched (hardlinked AND
+    rewritten → silently duplicated survivors). Normalize both forms."""
+    if uri.startswith("file:"):
+        rest = uri[len("file:"):]
+        return "/" + rest.lstrip("/")
+    return uri
+
+
 def _recover_interrupted_takedown(path: str) -> None:
     """Bring a possibly crash-interrupted takedown to a consistent state
     before (re)starting one. The swap phase only begins after EVERY
@@ -279,10 +292,7 @@ def remove_from_ivf_index(
         return {"docs_removed": 0, "files_rewritten": 0,
                 "files_relinked": 0, "cells_touched": 0}
 
-    def _local(uri: str) -> str:
-        return uri[len("file:"):] if uri.startswith("file:") else uri
-
-    matched = {_local(u) for u in matched_uris}
+    matched = {_uri_to_local(u) for u in matched_uris}
     touched = sorted({os.path.basename(os.path.dirname(f)) for f in matched})
 
     # one job: survivors of the matched files, one output file per cell
@@ -397,7 +407,7 @@ def purge_ivf_snapshots(
         n_touched += 1
         renames = {}
         for uri in matched_uris:
-            local = uri[len("file:"):] if uri.startswith("file:") else uri
+            local = _uri_to_local(uri)
             rel = os.path.relpath(local, sdata)
             keep = (
                 spark.read.option("basePath", sdata)

@@ -1,0 +1,86 @@
+"""URL canonicalization + canonical-URL dedup (operators/urls.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from penr_oz_agent_memory_rust_spark.operators import urls
+
+
+def _canon(spark, raw):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(raw)], "i int, url string")
+    rows = df.select("i", urls.canonicalize_url_expr(F.col("url")).alias("c")).collect()
+    return [r["c"] for r in sorted(rows, key=lambda r: r["i"])]
+
+
+def test_canonicalize_url_normal_form(spark):
+    got = _canon(spark, [
+        "HTTP://WWW.Example.com:80/a/b/?utm_source=x&id=3#frag",
+        "http://example.com/a/b?id=3",
+        "https://Example.COM:443/Path/",           # https default port, case path
+        "https://example.com/Path",
+        "example.com/x?b=2&a=1",                   # no scheme, params sorted
+        "http://example.com/x?a=1&b=2",
+        "http://sub.example.com/?gclid=zzz&fbclid=y&ref=z",  # tracking-only query
+        "http://example.com:8080/x",               # NON-default port kept
+        None,
+    ])
+    assert got[0] == got[1] == "http://example.com/a/b?id=3"
+    assert got[2] == got[3] == "https://example.com/Path"
+    assert got[4] == got[5] == "http://example.com/x?a=1&b=2"
+    assert got[6] == "http://sub.example.com"
+    assert got[7] == "http://example.com:8080/x"
+    assert got[8] is None
+
+
+def test_url_host_and_domain_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://deep.sub.example.com/x"),
+            (2, "http://www.example.co.uk:80/y"),
+            (3, "http://192.168.0.1:8080/z"),
+            (4, "http://localhost/q"),
+        ],
+        "i int, url string",
+    )
+    rows = {
+        r["i"]: (r["h"], r["d"])
+        for r in df.select(
+            "i",
+            urls.url_host_expr(F.col("url")).alias("h"),
+            urls.url_domain_expr(F.col("url")).alias("d"),
+        ).collect()
+    }
+    assert rows[1] == ("deep.sub.example.com", "example.com")
+    assert rows[2] == ("example.co.uk", "example.co.uk")
+    assert rows[3] == ("192.168.0.1", "192.168.0.1")
+    assert rows[4] == ("localhost", "localhost")
+
+
+def test_url_dedup_keep_best(spark):
+    from penr_oz_agent_memory_rust_spark.plans import explain
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.a.com/p?utm_source=x", 5.0),
+            (2, "http://a.com/p", 9.0),            # best of the cluster
+            (3, "http://a.com/p/", 9.0),           # tie -> smaller id wins (2)
+            (4, "http://b.com/q", 1.0),
+            (5, None, 1.0),                        # null URL: own singleton
+            (6, None, 2.0),                        # ...and so is this one
+        ],
+        "doc_id bigint, url string, score double",
+    )
+    out = {r["doc_id"]: r for r in urls.url_dedup_keep_best(df, F.col("score")).collect()}
+    assert set(out) == {2, 4, 5, 6}
+    assert out[2]["dup_count"] == 3 and out[2]["score"] == 9.0
+    assert out[2]["canonical_url"] == "http://a.com/p"
+    assert out[4]["dup_count"] == 1
+    assert out[5]["canonical_url"] is None and out[5]["dup_count"] == 1
+    # min_by-struct argmax: one shuffle on the canonical key, NO window
+    # function (same plan family as exact_dedup_keep_best — Spark's
+    # min_by evaluates as a sort-based aggregate, which sorts within
+    # the group partitions only; the scale hazard is a global Window)
+    plan = explain.physical_plan(urls.url_dedup_keep_best(df, F.col("score")))
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # partial agg -> one shuffle -> final
