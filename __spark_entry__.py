@@ -8555,9 +8555,10 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB lateral column aliases keep the steps readable
     _url_canon_steps = """
           SELECT doc_id, url,
-                 CASE WHEN regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
-                      THEN url ELSE 'http://' || url END AS ws,
-                 regexp_replace(trim(ws), '#.*$', '') AS u,
+                 trim(url) AS tu,
+                 CASE WHEN regexp_matches(tu, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                      THEN tu ELSE 'http://' || tu END AS ws,
+                 regexp_replace(ws, '#.*$', '') AS u,
                  lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
                  regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest,
                  regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),

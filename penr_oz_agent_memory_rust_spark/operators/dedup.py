@@ -352,6 +352,8 @@ def plan_dedup_funnel(
     pairs_kept, keep_frac, max_bucket."""
     if not 0.0 < target_jaccard < 1.0:
         raise ValueError(f"target_jaccard must be in (0,1), got {target_jaccard}")
+    if int(n_hashes) < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
     spark = calibration.sparkSession
     t = float(target_jaccard)
     n = int(n_hashes)

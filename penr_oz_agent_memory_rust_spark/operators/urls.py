@@ -36,10 +36,14 @@ def canonicalize_url_expr(url: Column) -> Column:
     """The canonical-URL column expression (see module docstring for the
     exact normal form). Composable: use directly in a select, or via
     url_dedup_keep_best for the dedup policy."""
+    # trim FIRST: a padded " http://x" must match the scheme test, not
+    # get a second scheme prepended onto garbage (caught in the r10
+    # self-review — the oracle mirrored the wrong order identically)
+    t = F.trim(url)
     with_scheme = F.when(
-        url.rlike(_SCHEME_RE), url
-    ).otherwise(F.concat(F.lit("http://"), url))
-    u = F.regexp_replace(F.trim(with_scheme), "#.*$", "")
+        t.rlike(_SCHEME_RE), t
+    ).otherwise(F.concat(F.lit("http://"), t))
+    u = F.regexp_replace(with_scheme, "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, _SCHEME_RE, "")
     hostport = F.regexp_replace(
@@ -72,10 +76,11 @@ def canonicalize_url_expr(url: Column) -> Column:
 
 def url_host_expr(url: Column) -> Column:
     """Lowercased host (www. and port stripped) of the canonical form."""
-    with_scheme = F.when(url.rlike(_SCHEME_RE), url).otherwise(
-        F.concat(F.lit("http://"), url)
+    t = F.trim(url)
+    with_scheme = F.when(t.rlike(_SCHEME_RE), t).otherwise(
+        F.concat(F.lit("http://"), t)
     )
-    rest = F.regexp_replace(F.regexp_replace(F.trim(with_scheme), "#.*$", ""), _SCHEME_RE, "")
+    rest = F.regexp_replace(F.regexp_replace(with_scheme, "#.*$", ""), _SCHEME_RE, "")
     hostport = F.regexp_replace(
         F.lower(F.regexp_extract(rest, "^([^/?]*)", 1)), "^www\\.", ""
     )

@@ -24,6 +24,8 @@ def test_canonicalize_url_normal_form(spark):
         "http://sub.example.com/?gclid=zzz&fbclid=y&ref=z",  # tracking-only query
         "http://example.com:8080/x",               # NON-default port kept
         None,
+        "  http://example.com/pad  ",              # padded: trim FIRST
+        "http://example.com/pad",
     ])
     assert got[0] == got[1] == "http://example.com/a/b?id=3"
     assert got[2] == got[3] == "https://example.com/Path"
@@ -31,6 +33,7 @@ def test_canonicalize_url_normal_form(spark):
     assert got[6] == "http://sub.example.com"
     assert got[7] == "http://example.com:8080/x"
     assert got[8] is None
+    assert got[9] == got[10] == "http://example.com/pad"
 
 
 def test_url_host_and_domain_heuristic(spark):
