@@ -54,6 +54,8 @@ HEADLINE = [
     "distance_metrics",
     "sql_api_search",
     "dedup_exact_suite",
+    "url_canonicalize",
+    "url_dedup",
     "dedup_minhash_lsh",
     "dedup_ngram_suite",
     "dedup_simhash",
