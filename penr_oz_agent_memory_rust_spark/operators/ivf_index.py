@@ -45,9 +45,20 @@ def build_ivf_index(
     )
     indexed = corpus.withColumn("ivf_cell", knn.ivf_assign_expr(F.col(vec_col), cents))
     indexed.write.mode("overwrite").partitionBy("ivf_cell").parquet(os.path.join(path, "data"))
-    with open(os.path.join(path, "centroids.json"), "w") as f:
-        json.dump(cents.tolist(), f)
+    _write_sidecar_atomic(os.path.join(path, "centroids.json"), cents.tolist())
     return cents
+
+
+def _write_sidecar_atomic(dest: str, obj) -> None:
+    """Write a JSON sidecar via tmp + os.replace — NEVER open(dest, 'w'):
+    snapshots HARDLINK the live sidecar, and an in-place truncate writes
+    through the shared inode, silently corrupting every snapshot's copy
+    (caught by the r10 rollback-after-retrain test). replace() points the
+    live name at a fresh inode; snapshot links keep the old bytes."""
+    tmp = dest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, dest)
 
 
 def load_centroids(path: str) -> np.ndarray:
@@ -477,9 +488,11 @@ def snapshot_ivf_index(path: str, tag: str | None = None) -> dict:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.link(src, dst)
         files.append(rel)
-    cent_src = os.path.join(path, "centroids.json")
-    if os.path.exists(cent_src):
-        os.link(cent_src, os.path.join(snapdir, "centroids.json"))
+    # every root-level JSON sidecar snapshots with the data: centroids.json
+    # for the raw-vector index, model.json for the IVF-PQ codes table —
+    # an index restored without its quantizer model is unreadable
+    for sc in glob.glob(os.path.join(path, "*.json")):
+        os.link(sc, os.path.join(snapdir, os.path.basename(sc)))
     manifest = {
         "version": version,
         "tag": tag,
@@ -527,10 +540,14 @@ def rollback_ivf_index(path: str, version: int) -> dict:
     os.rename(data, old)
     os.rename(staging, data)
     shutil.rmtree(old, ignore_errors=True)
-    cent_snap = os.path.join(snapdir, "centroids.json")
-    if os.path.exists(cent_snap):
-        cent_live = os.path.join(path, "centroids.json")
-        if os.path.exists(cent_live):
-            os.remove(cent_live)
-        os.link(cent_snap, cent_live)
+    # restore every snapshotted root-level sidecar (centroids.json /
+    # model.json), replacing the live copy
+    for sc in glob.glob(os.path.join(snapdir, "*.json")):
+        base = os.path.basename(sc)
+        if base == "manifest.json":
+            continue
+        live = os.path.join(path, base)
+        if os.path.exists(live):
+            os.remove(live)
+        os.link(sc, live)
     return manifest

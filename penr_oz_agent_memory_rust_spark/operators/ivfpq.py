@@ -105,30 +105,17 @@ def train_ivfpq(
     return coarse, books
 
 
-def build_ivfpq_index(
-    corpus: DataFrame,
-    path: str,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_cells: int = 16,
-    m: int = 8,
-    ksub: int = 256,
-    n_iters: int = 8,
-    seed: int = 42,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Train, then ONE Arrow pass (assign cell -> residual -> PQ codes per
-    batch, all BLAS) and a write partitioned by cell. The corpus never
-    shuffles — every task encodes its own scan split and the partitioned
-    write fans rows into cell directories. Sidecar `model.json` holds the
-    coarse centroids + codebooks (a few hundred KB) beside the data dir,
-    never inside it (a non-parquet file in the table root corrupts the
-    listing — ivf_index.py:38-41)."""
-    coarse, books = train_ivfpq(
-        corpus, vec_col=vec_col, n_cells=n_cells, m=m, ksub=ksub,
-        n_iters=n_iters, seed=seed,
-    )
-    sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast((coarse, books))
+def _encode_with_model(
+    df: DataFrame,
+    coarse: np.ndarray,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Arrow pass: assign coarse cell -> residual -> PQ codes per
+    batch, all BLAS; shared by the initial build and the incremental
+    append (same model, byte-identical codes for the same vector)."""
+    bc = df.sparkSession.sparkContext.broadcast((coarse, books))
     mm, _, dsub = books.shape
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -159,10 +146,63 @@ def build_ivfpq_index(
             )
 
     out_schema = f"{id_col} bigint, ivf_cell int, codes array<smallint>"
-    encoded = corpus.select(id_col, vec_col).mapInPandas(enc, schema=out_schema)
+    return df.select(id_col, vec_col).mapInPandas(enc, schema=out_schema)
+
+
+def append_to_ivfpq_index(
+    new_rows: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental codes-table maintenance: encode new vectors with the
+    STORED model (no retraining — the FAISS `add` semantics, mirroring
+    ivf_index.append_to_ivf_index) and append into their cell partition
+    directories. Codebook drift from a shifting corpus distribution is
+    handled by periodic build_ivfpq_index retrains, not per-batch; the
+    snapshot/rollback machinery (ivf_index.snapshot_ivf_index — which
+    snapshots model.json alongside the data since r10) brackets those
+    retrains."""
+    coarse, books = load_ivfpq_model(path)
+    _encode_with_model(new_rows, coarse, books, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("ivf_cell").parquet(os.path.join(path, "data"))
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    n_iters: int = 8,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train, then ONE Arrow pass (assign cell -> residual -> PQ codes per
+    batch, all BLAS) and a write partitioned by cell. The corpus never
+    shuffles — every task encodes its own scan split and the partitioned
+    write fans rows into cell directories. Sidecar `model.json` holds the
+    coarse centroids + codebooks (a few hundred KB) beside the data dir,
+    never inside it (a non-parquet file in the table root corrupts the
+    listing — ivf_index.py:38-41)."""
+    coarse, books = train_ivfpq(
+        corpus, vec_col=vec_col, n_cells=n_cells, m=m, ksub=ksub,
+        n_iters=n_iters, seed=seed,
+    )
+    encoded = _encode_with_model(corpus, coarse, books, id_col, vec_col)
     encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(os.path.join(path, "data"))
-    with open(os.path.join(path, "model.json"), "w") as f:
-        json.dump({"coarse": coarse.tolist(), "books": books.tolist()}, f)
+    # atomic replace, never open('w'): snapshots hardlink the sidecar and
+    # an in-place truncate corrupts their copy (ivf_index._write_sidecar_atomic)
+    from penr_oz_agent_memory_rust_spark.operators.ivf_index import (
+        _write_sidecar_atomic,
+    )
+
+    _write_sidecar_atomic(
+        os.path.join(path, "model.json"),
+        {"coarse": coarse.tolist(), "books": books.tolist()},
+    )
     return coarse, books
 
 

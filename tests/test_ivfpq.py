@@ -115,3 +115,51 @@ def test_residual_codes_beat_plain_pq(emb):
 def test_query_dim_mismatch_raises(spark, index_path):
     with pytest.raises(ValueError, match="query dim"):
         ivfpq.search_ivfpq_index(spark, index_path, [0.0] * 10)
+
+
+def test_ivfpq_append_searchable_without_retrain(spark, sf_dir, tmp_path):
+    """append_to_ivfpq_index: new vectors are encoded with the STORED
+    model (shared _encode_with_model — byte-identical codes to a build
+    over the same rows) and become immediately searchable."""
+    emb300 = load_table(spark, sf_dir, "embeddings").limit(300)
+    path = str(tmp_path / "ivfpq_app")
+    ivfpq.build_ivfpq_index(emb300, path, n_cells=4, m=8, ksub=16, n_iters=3)
+    extra = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 350)
+    )
+    ivfpq.append_to_ivfpq_index(extra, path)
+    qv = [float(x) for x in extra.filter(F.col("vec_id") == 320).first()["embedding"]]
+    hits = ivfpq.search_ivfpq_index(spark, path, qv, k=3, n_probes=4).collect()
+    assert hits[0]["vec_id"] == 320  # ADC self-match on the appended row
+
+
+def test_ivfpq_snapshot_carries_model_and_rollback_restores_it(spark, sf_dir, tmp_path):
+    """The r10 sidecar generalization: a snapshot must carry model.json
+    (an IVF-PQ index restored without its quantizer is unreadable), and
+    rollback after a RETRAIN — which rewrites both the codes AND the
+    model — must restore byte-identical search results."""
+    from penr_oz_agent_memory_rust_spark.operators import ivf_index
+
+    emb300 = load_table(spark, sf_dir, "embeddings").limit(300)
+    path = str(tmp_path / "ivfpq_snap")
+    ivfpq.build_ivfpq_index(emb300, path, n_cells=4, m=8, ksub=16, n_iters=3)
+    qv = [float(x) for x in emb300.filter(F.col("vec_id") == 7).first()["embedding"]]
+    before = [
+        (r["vec_id"], r["adc"])
+        for r in ivfpq.search_ivfpq_index(spark, path, qv, k=5, n_probes=4).collect()
+    ]
+    m = ivf_index.snapshot_ivf_index(path, tag="pre-retrain")
+    assert os.path.exists(os.path.join(path, "snapshots", "v0001", "model.json"))
+    # retrain with DIFFERENT geometry: model.json and the codes both change
+    ivfpq.build_ivfpq_index(emb300, path, n_cells=2, m=4, ksub=8, n_iters=2)
+    mutated = [
+        (r["vec_id"], r["adc"])
+        for r in ivfpq.search_ivfpq_index(spark, path, qv, k=5, n_probes=2).collect()
+    ]
+    ivf_index.rollback_ivf_index(path, m["version"])
+    after = [
+        (r["vec_id"], r["adc"])
+        for r in ivfpq.search_ivfpq_index(spark, path, qv, k=5, n_probes=4).collect()
+    ]
+    assert after == before
+    assert mutated != before or len(mutated) == len(before)
