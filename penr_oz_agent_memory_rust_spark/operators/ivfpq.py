@@ -215,6 +215,120 @@ def load_ivfpq_model(path: str) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+def search_ivfpq_index_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 2,
+    kprime: int = 50,
+    rerank: DataFrame | None = None,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch probe-limited ADC search — the search-many half for the
+    codes table, mirroring ivf_index.search_ivf_index_batch. Per (query,
+    probed cell) a residual LUT is built DRIVER-side from the sidecar
+    model (bounded by the REQUEST: |queries| x n_probes x m x ksub
+    floats — e.g. 512 x 2 x 8 x 256 f32 = 16 MB broadcast — never by the
+    corpus); the codes scan is partition-pruned to the union of probed
+    cells, each code row costs m int gathers against its query's LUT,
+    and TakeOrdered per query returns the k' ADC candidates. With
+    `rerank`, the candidate ids join back to the float vectors for exact
+    f64 cosine — only |queries| x k' rows ever touch vectors. The only
+    driver-side collect is the query matrix itself (request-sized, the
+    same guarded shape as the exact-KNN broadcast path)."""
+    from penr_oz_agent_memory_rust_spark.operators.topk import top_k_per_group
+
+    coarse, books = load_ivfpq_model(path)
+    m, ksub, dsub = books.shape
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        raise ValueError("search_ivfpq_index_batch: empty query frame")
+    luts: dict = {}
+    probe_cells: set = set()
+    for r in qrows:
+        q = np.asarray(r[query_vec], dtype=np.float32)
+        if q.shape[0] != m * dsub:
+            raise ValueError(f"query dim {q.shape[0]} != index dim {m * dsub}")
+        d2c = ((coarse - q[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d2c)[: min(n_probes, len(coarse))]:
+            cell = int(cell)
+            rres = q - coarse[cell]
+            lut = np.empty((m, ksub), dtype=np.float32)
+            for j in range(m):
+                diff = books[j] - rres[j * dsub : (j + 1) * dsub][None, :]
+                lut[j] = (diff * diff).sum(axis=1)
+            luts[(r[query_id], cell)] = lut
+            probe_cells.add(cell)
+    bc = spark.sparkContext.broadcast(luts)
+    cols = np.arange(m)
+
+    @F.pandas_udf("float")
+    def adc(qid: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
+        L = bc.value
+        out = np.full(len(qid), np.nan, dtype=np.float32)
+        M = np.asarray(list(codes), dtype=np.int64)
+        keys = list(zip(qid, cell))
+        # group rows by (query, cell) so each LUT gathers once per batch
+        import collections
+
+        groups = collections.defaultdict(list)
+        for i, key in enumerate(keys):
+            groups[key].append(i)
+        for key, idxs in groups.items():
+            lut = L.get((key[0], int(key[1])))
+            if lut is None:
+                continue
+            ii = np.asarray(idxs)
+            out[ii] = lut[cols[None, :], M[ii]].sum(axis=1)
+        return pd.Series(out)
+
+    # one row per (query, probed cell): the join fans each code row out to
+    # ONLY the queries probing its cell
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    probes_df = spark.createDataFrame(
+        [(q, int(c)) for (q, c) in luts.keys()],
+        f"{query_id} {qid_type}, __cell int",
+    )
+    scan = (
+        spark.read.parquet(os.path.join(path, "data"))
+        .filter(F.col("ivf_cell").isin(sorted(probe_cells)))  # partition pruning
+        .withColumnRenamed("ivf_cell", "__cell")
+    )
+    scored = (
+        scan.join(F.broadcast(probes_df), "__cell")
+        .withColumn("adc", adc(F.col(query_id), F.col("__cell"), F.col("codes")))
+        .filter(~F.isnan(F.col("adc")))
+        .select(query_id, id_col, "adc")
+    )
+    cand = top_k_per_group(
+        scored.withColumn("adc", -F.col("adc")), [query_id], "adc",
+        kprime if rerank is not None else k, tiebreak=id_col,
+    ).withColumn("adc", -F.col("adc"))
+    if rerank is None:
+        return cand.select(query_id, id_col, "adc")
+    exact = (
+        cand.select(query_id, id_col)
+        .join(rerank.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn(
+            "score",
+            F.round(
+                similarity.cosine_f64(
+                    F.col(vec_col), F.col(query_vec).cast("array<double>")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("score").isNotNull())
+        .select(query_id, id_col, "score")
+    )
+    return top_k_per_group(exact, [query_id], "score", k, tiebreak=id_col)
+
+
 def remove_from_ivfpq_index(
     spark: SparkSession,
     path: str,

@@ -163,3 +163,64 @@ def test_ivfpq_snapshot_carries_model_and_rollback_restores_it(spark, sf_dir, tm
     ]
     assert after == before
     assert mutated != before or len(mutated) == len(before)
+
+
+def test_batch_search_matches_single_query_path(spark, sf_dir, tmp_path):
+    """search_ivfpq_index_batch over a 2-row query side agrees with the
+    single-query path per query: same ADC candidates, and (with rerank)
+    same exact-cosine top-k — both with and without rerank."""
+    emb300 = load_table(spark, sf_dir, "embeddings").limit(300)
+    path = str(tmp_path / "ivfpq_batch")
+    ivfpq.build_ivfpq_index(emb300, path, n_cells=4, m=8, ksub=16, n_iters=3)
+    qids = [3, 41]
+    queries = emb300.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    batch_adc = ivfpq.search_ivfpq_index_batch(
+        spark, path, queries, k=5, n_probes=3
+    ).collect()
+    batch_rr = ivfpq.search_ivfpq_index_batch(
+        spark, path, queries, k=5, n_probes=3, kprime=30, rerank=emb300
+    ).collect()
+    for qid in qids:
+        qv = [
+            float(x)
+            for x in emb300.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        single_adc = ivfpq.search_ivfpq_index(
+            spark, path, qv, k=5, n_probes=3
+        ).collect()
+        got_adc = sorted(
+            [(r["vec_id"], round(r["adc"], 4)) for r in batch_adc if r["query_id"] == qid]
+        )
+        want_adc = sorted([(r["vec_id"], round(r["adc"], 4)) for r in single_adc])
+        assert got_adc == want_adc, qid
+        single_rr = ivfpq.search_ivfpq_index(
+            spark, path, qv, k=5, n_probes=3, kprime=30, rerank=emb300
+        ).collect()
+        got_rr = sorted(
+            [(r["vec_id"], r["score"]) for r in batch_rr if r["query_id"] == qid]
+        )
+        want_rr = sorted([(r["vec_id"], r["score"]) for r in single_rr])
+        assert got_rr == want_rr, qid
+    # empty query side fails loudly
+    import pytest as _p
+
+    with _p.raises(ValueError, match="empty query frame"):
+        ivfpq.search_ivfpq_index_batch(spark, path, queries.limit(0))
+
+
+def test_batch_search_prunes_partitions(spark, sf_dir, tmp_path):
+    from penr_oz_agent_memory_rust_spark.plans import explain
+
+    emb300 = load_table(spark, sf_dir, "embeddings").limit(300)
+    path = str(tmp_path / "ivfpq_prune")
+    ivfpq.build_ivfpq_index(emb300, path, n_cells=4, m=8, ksub=16, n_iters=3)
+    queries = emb300.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    df = ivfpq.search_ivfpq_index_batch(spark, path, queries, k=5, n_probes=2)
+    plan = explain.physical_plan(df)
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "ivf_cell" in part, part

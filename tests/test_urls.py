@@ -87,3 +87,27 @@ def test_url_dedup_keep_best(spark):
     plan = explain.physical_plan(urls.url_dedup_keep_best(df, F.col("score")))
     assert "Window" not in plan
     assert plan.count("Exchange") <= 2  # partial agg -> one shuffle -> final
+
+
+def test_canonicalize_idempotent(spark):
+    """Canonicalization must be a projection: applying it to its own
+    output is a no-op. (The property that makes canonical keys safe to
+    store — a re-canonicalizing consumer never re-keys the table.)"""
+    raw = [
+        "HTTP://WWW.Example.com:80/a/b/?utm_source=x&id=3#frag",
+        "https://Example.COM:443/Path/",
+        "example.com/x?b=2&a=1",
+        "http://sub.example.com/?gclid=z",
+        "http://example.com:8080/x",
+        "  http://example.com/pad  ",
+        "http://a.com/p?z=1&y=2&x=3",
+        "http://example.co.uk/CaseKept/Path?one=1",
+        "192.168.0.1/raw",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(raw)], "i int, url string")
+    once = df.select("i", urls.canonicalize_url_expr(F.col("url")).alias("c1"))
+    twice = once.select(
+        "i", "c1", urls.canonicalize_url_expr(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c1"] == r["c2"], (raw[r["i"]], r["c1"], r["c2"])
