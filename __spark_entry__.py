@@ -3827,6 +3827,34 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_domain_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ domain-blocklist filter (urls.block_by_domain): registrable-
+    level broadcast anti-join drops blocked domains INCLUDING their
+    subdomain hosts (www. / deep.sub. variants injected per doc_id
+    residue). The oracle derives each doc's domain INDEPENDENTLY from
+    the generative structure (source || '.com') rather than mirroring
+    the host heuristic — a ground-truth oracle, not a mirror."""
+    from penr_oz_agent_memory_rust_spark.operators import urls
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("http://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+            .when(F.col("doc_id") % 3 == 1, F.lit("deep.sub."))
+            .otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [("src0.com",), ("src3.com",), ("src7.com",)], "domain string"
+    )
+    return urls.block_by_domain(docs, bl).select("doc_id", "source", "url")
+
+
 def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ deterministic training-shard assignment: global shuffle order by
     md5('r2' || doc_id), exact fixed-size shards of 64 via the bucketed
@@ -5340,6 +5368,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "source_quality_profile": q_source_quality_profile,
         "source_curation": q_source_curation,
         "asof_global": q_asof_global,
+        "url_domain_block": q_url_domain_block,
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "skew_report": q_skew_report,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
@@ -8607,6 +8636,18 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY sc DESC, doc_id) AS rn
           FROM s WINDOW w AS (PARTITION BY canonical_url)
         ) WHERE rn = 1
+    """
+    d["url_domain_block"] = """
+        WITH m AS (
+          SELECT doc_id, source,
+                 'http://'
+                 || (CASE doc_id % 3 WHEN 0 THEN 'www.'
+                                     WHEN 1 THEN 'deep.sub.' ELSE '' END)
+                 || source || '.com/p/' || doc_id::VARCHAR AS url
+          FROM documents
+        )
+        SELECT doc_id, source, url FROM m
+        WHERE source || '.com' NOT IN ('src0.com', 'src3.com', 'src7.com')
     """
     d["hard_negatives"] = f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 12),

@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_exact_suite",
     "url_canonicalize",
     "url_dedup",
+    "url_domain_block",
     "dedup_minhash_lsh",
     "dedup_ngram_suite",
     "dedup_simhash",

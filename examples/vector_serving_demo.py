@@ -67,6 +67,14 @@ def main() -> None:
         )
         assert all(r["vec_id"] != 0 for r in post.collect())
         post.show()
+
+        print("== batch serving: 3 queries in one probe-pruned pass ==")
+        queries = emb.filter(F.col("vec_id").isin([5, 17, 42])).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        ivfpq.search_ivfpq_index_batch(
+            spark, idx, queries, k=3, n_probes=3, kprime=30, rerank=emb
+        ).orderBy("query_id", F.col("score").desc()).show()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()

@@ -154,3 +154,29 @@ def url_dedup_keep_best(
             "score",
         )
     )
+
+
+def block_by_domain(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Domain-level blocklist filter — the robots-retro / licensing /
+    abuse-list gate every crawl pipeline runs before content ever enters
+    curation. Drops every document whose REGISTRABLE domain
+    (url_domain_expr heuristic) appears in `blocklist`; matching at the
+    registrable level means blocking example.com also blocks
+    deep.sub.example.com, which host-exact matching silently misses.
+
+    Shape: the blocklist (thousands of rows, not corpus-scale) is
+    distinct-projected and BROADCAST; the corpus side is one anti-join —
+    no shuffle of the corpus, domain extraction is pure JVM regexp.
+    Output: the surviving docs, original columns unchanged."""
+    dom = url_domain_expr(F.col(url_col))
+    bl = F.broadcast(
+        blocklist.select(F.col(domain_col).alias("__dom")).distinct()
+    )
+    return (
+        docs.withColumn("__dom", dom).join(bl, "__dom", "anti").drop("__dom")
+    )

@@ -111,3 +111,25 @@ def test_canonicalize_idempotent(spark):
     ).collect()
     for r in twice:
         assert r["c1"] == r["c2"], (raw[r["i"]], r["c1"], r["c2"])
+
+
+def test_block_by_domain_registrable_level(spark):
+    """Blocking a registrable domain removes its subdomain hosts too;
+    the blocklist broadcasts (corpus side never shuffles)."""
+    from penr_oz_agent_memory_rust_spark.plans import explain
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://www.bad.com/a"),
+            (2, "https://deep.sub.bad.com/b"),     # subdomain of blocked
+            (3, "http://good.com/c"),
+            (4, "http://bad.co.uk/d"),             # cc-2LD blocked entry
+            (5, "http://goodbad.com/e"),           # NOT blocked (different domain)
+        ],
+        "doc_id bigint, url string",
+    )
+    bl = spark.createDataFrame([("bad.com",), ("bad.co.uk",)], "domain string")
+    out = urls.block_by_domain(docs, bl)
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 5]
+    plan = explain.physical_plan(urls.block_by_domain(docs, bl))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
