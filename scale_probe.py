@@ -2106,6 +2106,62 @@ def ivf_takedown_probe() -> None:
 
 
 
+def url_probe() -> None:
+    """URL canonicalization + canonical-URL dedup at crawl scale
+    (`python scale_probe.py urls`; SCALE_URL_ROWS overrides, default
+    50M): synthesized recrawl variants (5 URL spellings per underlying
+    page — case/www/port/tracking/fragment/slash/param-order noise over
+    10M distinct pages). Records wall seconds for (a) canonicalization
+    alone (pure JVM regexp/array expressions — map-only) and (b) the
+    full keep-best dedup (one shuffle on the canonical key), plus the
+    exactness check: every page collapses to exactly one survivor."""
+    from penr_oz_agent_memory_rust_spark.operators import urls
+
+    n = int(os.environ.get("SCALE_URL_ROWS", "50000000"))
+    spark = get_spark(app_name="poz-url-probe")
+    pages = n // 5
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 5 == 0, F.lit("HTTP://WWW."))
+            .when(F.col("id") % 5 == 1, F.lit("http://"))
+            .when(F.col("id") % 5 == 2, F.lit("https://"))
+            .when(F.col("id") % 5 == 3, F.lit("http://www."))
+            .otherwise(F.lit("")),
+            F.lit("site"), (F.col("id") % 1000).cast("string"),
+            F.lit(".example.com"),
+            F.when(F.col("id") % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/page/"), ((F.col("id") / 5).cast("bigint") % (pages // 1000 + 1)).cast("string"),
+            F.when(F.col("id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("id") % 3 == 0, F.lit("?utm_source=x&b=2&a=1#f"))
+            .when(F.col("id") % 3 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+        (F.col("id") % 97).cast("double").alias("score"),
+    )
+    report: dict = {"n_rows": n}
+    t0 = time.time()
+    n_canon = docs.select(
+        urls.canonicalize_url_expr(F.col("url")).alias("c")
+    ).filter(F.col("c").isNotNull()).count()
+    report["canonicalize_sec"] = round(time.time() - t0, 2)
+    report["rows_canonicalized"] = n_canon
+    t0 = time.time()
+    kept = urls.url_dedup_keep_best(docs, F.col("score"))
+    agg = kept.agg(
+        F.count("*").alias("survivors"),
+        F.sum("dup_count").alias("total"),
+        F.max("dup_count").alias("max_cluster"),
+    ).first()
+    report["dedup_sec"] = round(time.time() - t0, 2)
+    report["survivors"] = agg["survivors"]
+    report["rows_accounted"] = agg["total"]
+    report["max_cluster"] = agg["max_cluster"]
+    report["accounting_ok"] = bool(agg["total"] == n)
+    print(json.dumps(report))
+
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -2303,6 +2359,8 @@ if __name__ == "__main__":
         chrome_strip_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "ivf_takedown":
         ivf_takedown_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "urls":
+        url_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "buckets":
         bucket_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "takedown":
