@@ -133,3 +133,39 @@ def test_block_by_domain_registrable_level(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [3, 5]
     plan = explain.physical_plan(urls.block_by_domain(docs, bl))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_canonicalize_edge_cases_total_and_idempotent(spark):
+    """Adversarial inputs: canonicalization must be TOTAL (no exception,
+    garbage in -> deterministic garbage out) and idempotent on every
+    input; representative normalizations pinned."""
+    edges = [
+        "", " ", "?", "#", "http://", ":80", "http://?q=1", "http://#f",
+        "a b", "http://exämple.com/päth?ü=1", "ftp://files.example.com/x",
+        "http://h/?", "http://h?&&", "http://h/p?=v",
+        "http://h//double//slash//", "HTTP://WWW.", "www.example.com",
+        "http://[::1]:8080/v6", "//protocol-relative.com/x",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(edges)], "i int, url string"
+    )
+    rows = {
+        r["i"]: (r["c1"], r["c2"])
+        for r in df.select(
+            "i", urls.canonicalize_url_expr(F.col("url")).alias("c1")
+        )
+        .select("i", "c1", urls.canonicalize_url_expr(F.col("c1")).alias("c2"))
+        .collect()
+    }
+    for i, u in enumerate(edges):
+        c1, c2 = rows[i]
+        assert c1 is not None and c1 == c2, (u, c1, c2)
+    got = {edges[i]: rows[i][0] for i in rows}
+    assert got[""] == "http://"
+    assert got["http://h/?"] == "http://h"
+    assert got["http://h?&&"] == "http://h"
+    assert got["http://h//double//slash//"] == "http://h//double//slash"
+    assert got["www.example.com"] == "http://example.com"
+    assert got["ftp://files.example.com/x"] == "ftp://files.example.com/x"
+    assert got["http://[::1]:8080/v6"] == "http://[::1]:8080/v6"
+    assert got["http://exämple.com/päth?ü=1"] == "http://exämple.com/päth?ü=1"
