@@ -463,3 +463,82 @@ def test_ivfpq_takedown_delegates(spark, sf_dir, tmp_path):
     assert out["docs_removed"] == 1
     after = ivfpq.search_ivfpq_index(spark, path, qv, k=3, n_probes=4).collect()
     assert all(h["vec_id"] != 10 for h in after)
+
+
+def test_purge_crash_before_manifest_swap_replays_clean(spark, sf_dir, tmp_path, monkeypatch):
+    """Purge crash window 1: replacement file written + renamed in, crash
+    BEFORE the manifest swap. The replay's orphan GC must remove the
+    unreferenced replacement (manifest is the sole source of truth),
+    re-rewrite from the intact originals, and converge with no survivor
+    duplicated and no victim left."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    path = str(tmp_path / "ivf_purge_crash1")
+    ivf_index.build_ivf_index(emb, path, n_centroids=2, n_iters=2)
+    ivf_index.snapshot_ivf_index(path)
+    victims = [1, 2, 3]
+
+    real_replace = os.replace
+    def crashing_replace(src, dst):
+        if dst.endswith("manifest.json"):
+            raise OSError("injected crash before manifest swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crashing_replace)
+    import pytest as _p
+
+    with _p.raises(OSError, match="injected"):
+        ivf_index.purge_ivf_snapshots(spark, path, victims)
+    monkeypatch.setattr(os, "replace", real_replace)
+    out = ivf_index.purge_ivf_snapshots(spark, path, victims)
+    assert out["orphans_gced"] >= 1  # the unreferenced replacement
+    sdata = os.path.join(path, "snapshots", "v0001", "data")
+    snap = spark.read.parquet(sdata)
+    assert snap.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert snap.count() == 200 - len(victims)  # survivors never duplicated
+    again = ivf_index.purge_ivf_snapshots(spark, path, victims)
+    assert again["files_rewritten"] == 0 and again["orphans_gced"] == 0
+
+
+def test_purge_crash_after_manifest_swap_gc_completes_erasure(spark, sf_dir, tmp_path, monkeypatch):
+    """Purge crash window 2: manifest swapped to the replacements, crash
+    BEFORE the victim-bearing originals are unlinked. The replay's GC
+    must unlink the now-orphaned originals — completing the erasure —
+    with zero re-rewrites (the manifest's files are already clean)."""
+    import glob
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    path = str(tmp_path / "ivf_purge_crash2")
+    ivf_index.build_ivf_index(emb, path, n_centroids=2, n_iters=2)
+    ivf_index.snapshot_ivf_index(path)
+    victims = [5, 6]
+
+    real_remove = os.remove
+    def crashing_remove(p):
+        raise OSError("injected crash before original unlink")
+
+    monkeypatch.setattr(os, "remove", crashing_remove)
+    import pytest as _p
+
+    with _p.raises(OSError, match="injected"):
+        ivf_index.purge_ivf_snapshots(spark, path, victims)
+    monkeypatch.setattr(os, "remove", real_remove)
+    sdata = os.path.join(path, "snapshots", "v0001", "data")
+    # originals still on disk (erasure INCOMPLETE until replay)
+    import json as _json
+
+    with open(os.path.join(path, "snapshots", "v0001", "manifest.json")) as f:
+        listed = set(_json.load(f)["files"])
+    on_disk = {
+        os.path.relpath(f, sdata)
+        for f in glob.glob(os.path.join(sdata, "**", "*.parquet"), recursive=True)
+    }
+    assert on_disk - listed  # orphaned victim-bearing originals linger
+    out = ivf_index.purge_ivf_snapshots(spark, path, victims)
+    assert out["orphans_gced"] == len(on_disk - listed)
+    assert out["files_rewritten"] == 0  # manifest files were already clean
+    snap = spark.read.parquet(sdata)
+    assert snap.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert snap.count() == 200 - len(victims)
