@@ -3855,6 +3855,61 @@ def q_url_domain_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.block_by_domain(docs, bl).select("doc_id", "source", "url")
 
 
+def q_url_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ incremental crawl dedup by canonical URL (urls.url_dedup_incremental):
+    the new batch (doc_id % 5 == 0) anti-joins the CORPUS's canonical-key
+    table (built from the other docs' messy URLs via url_dedup_keep_best).
+    The injection makes every spelling variant of a page canonicalize
+    IDENTICALLY (case/www/port, trailing slash, tracking params, param
+    order), so a recrawl of an already-held page is dropped even though
+    its raw URL string never matched — the gate result contains real
+    drops, not a vacuous pass-through."""
+    from penr_oz_agent_memory_rust_spark.operators import urls
+
+    m = _recrawl_urls(spark, sf_dir)
+    old = m.filter(F.col("doc_id") % 5 > 0)
+    batch = m.filter(F.col("doc_id") % 5 == 0)
+    seen = urls.url_dedup_keep_best(
+        old.withColumn("score", F.lit(1.0)), F.col("score")
+    ).select("canonical_url")
+    return urls.url_dedup_incremental(batch, seen).select(
+        "doc_id", "url", "canonical_url"
+    )
+
+
+def _recrawl_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy-URL injection for the INCREMENTAL gate: every spelling
+    variant of a page canonicalizes to the SAME key (scheme/www/port,
+    trailing slash, tracking params, param order all normalize away),
+    pages group docs in TENS (docs 10k..10k+9 are recrawls of page k —
+    host derives from the page, not the doc), and docs with
+    doc_id % 20 == 0 get a FRESH page nobody else has. So the batch
+    (doc_id % 5 == 0) contains both genuine recrawls (dropped: an old
+    doc holds their canonical key) and fresh pages (kept) at ANY sf."""
+    page = F.when(
+        F.col("doc_id") % 20 == 0, F.lit(100000) + F.col("doc_id")
+    ).otherwise(F.floor(F.col("doc_id") / 10))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("HTTP://WWW."))
+            .when(F.col("doc_id") % 4 == 1, F.lit("http://"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("http://www."))
+            .otherwise(F.lit("")),
+            F.lit("site"),
+            (page % 7).cast("string"),
+            F.lit(".example.com"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            page.cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x&b=2&a=1#frag"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit("?b=2&a=1")),
+        ).alias("url"),
+    )
+
+
 def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ deterministic training-shard assignment: global shuffle order by
     md5('r2' || doc_id), exact fixed-size shards of 64 via the bucketed
@@ -5369,6 +5424,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "source_curation": q_source_curation,
         "asof_global": q_asof_global,
         "url_domain_block": q_url_domain_block,
+        "url_dedup_incremental": q_url_dedup_incremental,
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "skew_report": q_skew_report,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
@@ -8648,6 +8704,31 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, url FROM m
         WHERE source || '.com' NOT IN ('src0.com', 'src3.com', 'src7.com')
+    """
+    _recrawl_url_sql = """
+        SELECT doc_id,
+               (CASE doc_id % 4 WHEN 0 THEN 'HTTP://WWW.'
+                                WHEN 1 THEN 'http://'
+                                WHEN 2 THEN 'http://www.' ELSE '' END)
+               || 'site' || (pg % 7)::VARCHAR || '.example.com'
+               || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+               || '/p/' || pg::VARCHAR
+               || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+               || (CASE doc_id % 3 WHEN 0 THEN '?utm_source=x&b=2&a=1#frag'
+                                   WHEN 1 THEN '?a=1&b=2'
+                                   ELSE '?b=2&a=1' END) AS url
+        FROM (SELECT doc_id,
+                     CASE WHEN doc_id % 20 = 0 THEN 100000 + doc_id
+                          ELSE CAST(floor(doc_id / 10) AS BIGINT) END AS pg
+              FROM documents)
+    """
+    d["url_dedup_incremental"] = f"""
+        WITH m AS ({_recrawl_url_sql}),
+        c AS ({_url_canon_steps} FROM m)
+        SELECT doc_id, url, canonical_url FROM c
+        WHERE doc_id % 5 = 0
+          AND canonical_url NOT IN (
+            SELECT DISTINCT canonical_url FROM c WHERE doc_id % 5 > 0)
     """
     d["hard_negatives"] = f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 12),

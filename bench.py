@@ -57,6 +57,7 @@ HEADLINE = [
     "url_canonicalize",
     "url_dedup",
     "url_domain_block",
+    "url_dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_ngram_suite",
     "dedup_simhash",

@@ -180,3 +180,32 @@ def block_by_domain(
     return (
         docs.withColumn("__dom", dom).join(bl, "__dom", "anti").drop("__dom")
     )
+
+
+def url_dedup_incremental(
+    new_docs: DataFrame,
+    seen_canonical: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical_url",
+) -> DataFrame:
+    """Incremental crawl dedup: drop new-batch documents whose CANONICAL
+    URL is already in the corpus's stored canonical-key table (the
+    url_dedup_keep_best output, maintained across ingests — the URL twin
+    of dedup_incremental's fingerprint anti-join). Within-batch
+    duplicates are the caller's url_dedup_keep_best pass; this stage is
+    the batch-vs-corpus half.
+
+    Shape: the batch side canonicalizes inline (map-only) and anti-joins
+    the key table ON the canonical string — both sides shuffle on the
+    key, O(batch + matched keys); at 100 TB the key table is the
+    deduped corpus's URL column, orders of magnitude smaller than the
+    corpus itself, and a bloom/stats-pruned versioned table serves it
+    incrementally (the same layout dedup_incremental uses). Output: the
+    surviving new docs + their canonical_url column."""
+    out = new_docs.withColumn(
+        "canonical_url", canonicalize_url_expr(F.col(url_col))
+    )
+    keys = seen_canonical.select(
+        F.col(canonical_col).alias("canonical_url")
+    ).distinct()
+    return out.join(keys, "canonical_url", "anti")

@@ -169,3 +169,21 @@ def test_canonicalize_edge_cases_total_and_idempotent(spark):
     assert got["ftp://files.example.com/x"] == "ftp://files.example.com/x"
     assert got["http://[::1]:8080/v6"] == "http://[::1]:8080/v6"
     assert got["http://exämple.com/päth?ü=1"] == "http://exämple.com/päth?ü=1"
+
+
+def test_url_dedup_incremental_drops_recrawls_keeps_fresh(spark):
+    seen = spark.createDataFrame(
+        [("http://a.com/p?x=1",), ("http://b.com/q",)], "canonical_url string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.a.com/p/?utm_source=z&x=1"),  # recrawl of seen
+            (2, "http://b.com/q#frag"),                    # recrawl of seen
+            (3, "http://c.com/new"),                       # fresh
+        ],
+        "doc_id bigint, url string",
+    )
+    out = urls.url_dedup_incremental(batch, seen).collect()
+    assert [(r["doc_id"], r["canonical_url"]) for r in out] == [
+        (3, "http://c.com/new")
+    ]
