@@ -8,6 +8,9 @@ loop, composing the ingest/quality/dedup/versioning layers end to end:
     day 1  a JSONL batch lands with corrupt lines:
              read_jsonl_rescued   -> parse what parses, QUARANTINE the rest
              gopher_ok_expr       -> drop low-quality docs inline (no join)
+             url_dedup_incremental -> recrawls of stored pages dropped by
+                                        CANONICAL URL before any content
+                                        hashing (the cheapest dedup tier)
              minhash_lsh_incremental -> near-dups vs the STORED index
                                         (O(batch): counts companion)
              append survivors + band rows + touched counts, exactly-once
@@ -29,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F, types as T
 
-from penr_oz_agent_memory_rust_spark.operators import dedup, text_ops
+from penr_oz_agent_memory_rust_spark.operators import dedup, text_ops, urls
 from penr_oz_agent_memory_rust_spark.session import get_spark
 from penr_oz_agent_memory_rust_spark.sources.tables import (
     load_table,
@@ -146,6 +149,46 @@ def main() -> None:
     quarantined = tallies["quarantined"]
     parsed = raw.filter(F.col("_corrupt_record").isNull()).select("doc_id", "text")
     quality1 = parsed.filter(text_ops.gopher_ok_expr(F.col("text"), **GOPHER_KW))
+
+    # URL front stage BEFORE any content hashing: recrawls of pages the
+    # corpus already holds are dropped by canonical URL alone (the crawl
+    # metadata layer — synthesized here since the demo table has no URL
+    # column; every 7th batch doc is a recrawl spelling variant of a
+    # stored doc's URL, everything else gets a fresh page)
+    def with_urls(df, recrawl_of=None):
+        page = (
+            F.when(F.col("doc_id") % 7 == 0, F.col("doc_id") % 36)
+            if recrawl_of is not None
+            else F.col("doc_id") % 36
+        )
+        return df.withColumn(
+            "url",
+            F.concat(
+                F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://WWW.")).otherwise(
+                    F.lit("http://")
+                ),
+                F.lit("crawl.example.com"),
+                F.lit("/page/"),
+                F.when(page.isNotNull(), page).otherwise(
+                    F.lit(1000000) + F.col("doc_id")
+                ).cast("string"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=d#f")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        )
+
+    seen_urls = urls.url_dedup_keep_best(
+        with_urls(corpus.read()), F.lit(1.0)
+    ).select("canonical_url")
+    n_before_url = quality1.count()
+    quality1 = urls.url_dedup_incremental(
+        with_urls(quality1, recrawl_of=True), seen_urls
+    ).select("doc_id", "text")
+    print(
+        f"day 1 URL stage: {n_before_url} quality -> {quality1.count()} "
+        f"after canonical-URL dedup vs the stored corpus"
+    )
 
     stored_bands, stored_counts = index.read(), counts.read()
     cands = dedup.minhash_lsh_incremental(

@@ -37,6 +37,9 @@ SHOWCASE = {
     "retention_cohorts": "two hash-aggs + co-partitioned join, no windows",
     "ivfpq_ann": "IVF-PQ search: PartitionFilters prune to probed cells; ADC over code rows; k'-bounded rerank join",
     "kmeans_assign": "k-means assignment as pure codegen argmin: no Exchange, no Python",
+    "url_dedup": "canonical-URL keep-best: map-only regexp canonicalization -> one shuffle on the key -> min_by argmax (no window)",
+    "url_domain_block": "domain blocklist: pure-regexp domain extract + broadcast LeftAnti; corpus never shuffles",
+    "url_dedup_incremental": "incremental crawl dedup: inline canonicalize + anti-join against the stored canonical-key table",
     "centroid_classifier": "classifier scoring: posexplode dim-agg for weights, map-only sigmoid scan",
     "line_dedup": "C4-style segment dedup: fp hash-agg first-occurrence + equi-join, per-doc rebuild (no global sort)",
     "dup_span_coverage": "span-duplication profile: gram df hash-agg -> semi-join, zero pair expansion",
