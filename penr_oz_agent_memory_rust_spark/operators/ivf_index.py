@@ -416,27 +416,47 @@ def purge_ivf_snapshots(
         if not matched_uris:
             continue
         n_touched += 1
-        renames = {}
+        # ONE job rewrites every matched file of this snapshot (not one
+        # job per file — an erasure batch touching 1,000 files must not
+        # pay 1,000 Spark job latencies): survivors of all matched files
+        # are read together, keyed by a hash of their SOURCE file, and a
+        # repartition on that key + partitionBy write emits one
+        # replacement file per source file under __src=<hash>/ in the
+        # tmp dir; the driver maps hash -> original rel path and moves
+        # each replacement in beside its original.
+        import hashlib as _hashlib
+
+        rel_by_hash = {}
         for uri in matched_uris:
             local = _uri_to_local(uri)
             rel = os.path.relpath(local, sdata)
-            keep = (
-                spark.read.option("basePath", sdata)
-                .parquet(uri)
-                .filter(~F.col(id_col).isin(doc_ids))
-                .drop("ivf_cell")
-            )
-            tmp = os.path.join(snapdir, "__purge-tmp")
-            keep.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = glob.glob(os.path.join(tmp, "*.parquet"))
+            # keyed by the NORMALIZED ABSOLUTE path — the same value the
+            # SQL-side regexp_replace produces from _metadata.file_path
+            rel_by_hash[_hashlib.md5(local.encode()).hexdigest()] = rel
+        tmp = os.path.join(snapdir, "__purge-tmp")
+        (
+            spark.read.option("basePath", sdata)
+            .parquet(*matched_uris)
+            .withColumn("__src", F.md5(F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/")))
+            .filter(~F.col(id_col).isin(doc_ids))
+            .drop("ivf_cell")
+            .repartition(len(matched_uris), "__src")
+            .write.mode("overwrite")
+            .partitionBy("__src")
+            .parquet(tmp)
+        )
+        renames = {}
+        for h, rel in rel_by_hash.items():
+            part = glob.glob(os.path.join(tmp, f"__src={h}", "*.parquet"))
             new_rel = None
             if part:  # some survivors: move the replacement in beside the old
                 new_name = f"purged-{_uuid.uuid4().hex}.parquet"
                 new_rel = os.path.join(os.path.dirname(rel), new_name)
                 os.rename(part[0], os.path.join(sdata, new_rel))
-            shutil.rmtree(tmp, ignore_errors=True)
             renames[rel] = new_rel
             n_rewritten += 1
+        shutil.rmtree(tmp, ignore_errors=True)
         # manifest swap first (it only ever references complete files),
         # victim-bearing originals unlinked last
         manifest["files"] = sorted(
