@@ -3910,6 +3910,35 @@ def _recrawl_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ crawl-frontier link extraction (urls.extract_links): one row per
+    href (double- AND single-quoted) with a stable per-doc occurrence
+    index — the step feeding the canonicalize -> block -> dedup frontier
+    loop. Injected markup: every doc gets a double-quoted absolute link;
+    even docs add a single-quoted relative one."""
+    from penr_oz_agent_memory_rust_spark.operators import urls
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit('<a href="http://'),
+            F.col("source"),
+            F.lit(".com/p/"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit('">x</a> '),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("<a href='/rel/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("'>r</a>"),
+                ),
+            ).otherwise(F.lit("<p>none</p>")),
+        ).alias("text"),
+    )
+    return urls.extract_links(docs)
+
+
 def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ deterministic training-shard assignment: global shuffle order by
     md5('r2' || doc_id), exact fixed-size shards of 64 via the bucketed
@@ -5425,6 +5454,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "asof_global": q_asof_global,
         "url_domain_block": q_url_domain_block,
         "url_dedup_incremental": q_url_dedup_incremental,
+        "extract_links": q_extract_links,
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "skew_report": q_skew_report,
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
@@ -8730,6 +8760,28 @@ def oracle_sql() -> dict[str, str]:
           AND canonical_url NOT IN (
             SELECT DISTINCT canonical_url FROM c WHERE doc_id % 5 > 0)
     """
+    d["extract_links"] = '''
+        WITH m AS (
+          SELECT doc_id,
+                 '<a href="http://' || source || '.com/p/'
+                 || (doc_id % 10)::VARCHAR || '">x</a> '
+                 || (CASE WHEN doc_id % 2 = 0
+                     THEN concat('<a href=', chr(39), '/rel/',
+                                 doc_id::VARCHAR, chr(39), '>r</a>')
+                     ELSE '<p>none</p>' END) AS t
+          FROM documents
+        ), l AS (
+          SELECT doc_id,
+                 list_concat(
+                   regexp_extract_all(t, 'href\s*=\s*"([^"]*)"', 1),
+                   regexp_extract_all(t,
+                     concat('href\s*=\s*', chr(39), '([^', chr(39), ']*)', chr(39)), 1)) AS links
+          FROM m
+        )
+        SELECT doc_id, unnest(links) AS link,
+               CAST(generate_subscripts(links, 1) - 1 AS BIGINT) AS link_pos
+        FROM l
+    '''
     d["hard_negatives"] = f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 12),
         scored AS (

@@ -58,6 +58,7 @@ HEADLINE = [
     "url_dedup",
     "url_domain_block",
     "url_dedup_incremental",
+    "extract_links",
     "dedup_minhash_lsh",
     "dedup_ngram_suite",
     "dedup_simhash",

@@ -209,3 +209,29 @@ def url_dedup_incremental(
         F.col(canonical_col).alias("canonical_url")
     ).distinct()
     return out.join(keys, "canonical_url", "anti")
+
+
+def extract_links(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-frontier link extraction: one row per href in the document's
+    markup — the step between strip_markup's content extraction and this
+    module's canonicalize/block/dedup chain (extract -> canonicalize ->
+    block_by_domain -> url_dedup_incremental is the frontier loop every
+    crawler runs). Matches double- and single-quoted href attributes;
+    relative links (no scheme, no leading host) are emitted as-is for the
+    caller to resolve against the page URL — resolution needs the BASE
+    url, which is row metadata, not markup. Pure JVM regexp, one
+    explode; no UDF. Output: (id, link, link_pos) with link_pos the
+    0-based occurrence index (stable dedup/tiebreak key downstream)."""
+    t = F.col(text_col)
+    both = F.concat(
+        F.expr(f"regexp_extract_all({text_col}, 'href\\\\s*=\\\\s*\"([^\"]*)\"', 1)"),
+        F.expr(f"regexp_extract_all({text_col}, \"href\\\\s*=\\\\s*'([^']*)'\", 1)"),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(both).alias("link_pos", "link"),
+    ).select(id_col, "link", F.col("link_pos").cast("bigint").alias("link_pos"))

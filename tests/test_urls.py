@@ -187,3 +187,24 @@ def test_url_dedup_incremental_drops_recrawls_keeps_fresh(spark):
     assert [(r["doc_id"], r["canonical_url"]) for r in out] == [
         (3, "http://c.com/new")
     ]
+
+
+def test_extract_links_both_quote_styles(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, '<a href="http://a.com/x">x</a> <a href=\'http://b.com/y\'>y</a>'),
+            (2, '<p>no links</p>'),
+            (3, '<a href = "/relative/path">r</a>'),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = urls.extract_links(docs).collect()
+    got = {(r["doc_id"], r["link"]) for r in out}
+    assert got == {
+        (1, "http://a.com/x"),
+        (1, "http://b.com/y"),
+        (3, "/relative/path"),
+    }
+    # positions are a stable per-doc sequence
+    pos = sorted(r["link_pos"] for r in out if r["doc_id"] == 1)
+    assert pos == [0, 1]
