@@ -518,9 +518,13 @@ def q_funnel_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile — over the same SQL calibration and band CTEs
     (operators/dedup.py:plan_dedup_funnel)."""
     docs = _docs(spark, sf_dir)
-    cal = dedup.minhash_calibration(docs, n_hashes=12, bands=4)
+    # ONE signature build feeds both the calibration and the bucket-size
+    # distribution (identical values; they were two independent
+    # shingle+minhash pipelines before r10 — see OPTIMIZATION_r10.md)
+    sigs = dedup.minhash_signatures(docs, n_hashes=12).localCheckpoint(eager=True)
+    cal = dedup.minhash_calibration(docs, n_hashes=12, bands=4, sigs=sigs)
     counts = dedup.lsh_bucket_counts(
-        dedup.lsh_band_rows(docs, n_hashes=12, bands=4)
+        dedup.lsh_band_rows(docs, n_hashes=12, bands=4, sigs=sigs)
     )
     return dedup.plan_dedup_funnel(
         cal, counts, 12, target_jaccard=0.8, recall_floor=0.9
@@ -3464,12 +3468,21 @@ def q_knn_self_all_pairs_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded, self-match included — same semantics as the blocked path).
     The full-corpus blocked BLAS gate stays rows-only (f32 scores); this
     twin pins the VALUES the blocked path's rank order is tested against
-    in tests/test_knn.py."""
+    in tests/test_knn.py.
+
+    The corpus side is cpu_rebalance()d: the small-file scan is ONE
+    partition, so the 500×500 interpreted f64 dot aggregate otherwise
+    runs on a single core (r10 profile: a 4.3 s single-task stage was
+    the query's entire cost; spread across the session's cores it is
+    ~0.15 s) — the same fix _build_knn_edges_500 carries, and a no-op at
+    real scale where the scan already has >= defaultParallelism splits."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
     q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     out = knn.expr_knn_join(
         q,
-        emb.select(F.col("vec_id"), F.col("embedding").alias("vec")),
+        hashing.cpu_rebalance(
+            emb.select(F.col("vec_id"), F.col("embedding").alias("vec"))
+        ),
         k=3,
         precision="f64",
         query_id="qid",

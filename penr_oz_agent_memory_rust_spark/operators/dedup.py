@@ -185,6 +185,7 @@ def minhash_est_pairs(
     threshold: float = 0.0,
     max_bucket: int | None = None,
     shingle_words: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """★ LSH candidate pairs WITH the signature-agreement Jaccard
     ESTIMATE: est_jaccard = fraction of the n_hashes minhash functions on
@@ -212,9 +213,15 @@ def minhash_est_pairs(
     if n_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
     r = n_hashes // bands
-    sigs = minhash_signatures(
-        docs, id_col, text_col, n_hashes, shingle_words
-    ).localCheckpoint(eager=True)
+    # `sigs`: a caller that ALSO needs the signatures (e.g. q_funnel_plan
+    # builds calibration + band rows from the same docs) can pass a
+    # pre-materialized minhash_signatures frame so the shingle+minhash
+    # pipeline runs once instead of once per consumer (r10). The caller
+    # owns materialization; identical values either way.
+    if sigs is None:
+        sigs = minhash_signatures(
+            docs, id_col, text_col, n_hashes, shingle_words
+        ).localCheckpoint(eager=True)
     band_cols = [
         F.concat_ws(
             ":", F.lit(str(b)), *[F.col(f"h{b * r + j}").cast("string") for j in range(r)]
@@ -264,6 +271,7 @@ def minhash_calibration(
     bands: int = 4,
     shingle_words: int = 3,
     sample_mod: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """★ estimator calibration: for every (optionally sampled) LSH
     candidate pair, the signature-agreement ESTIMATE joined with the
@@ -281,11 +289,17 @@ def minhash_calibration(
     the exact sets — don't put it on the ingest path; run it on a sample,
     pick thresholds, and ship those."""
     est = minhash_est_pairs(
-        docs, id_col, text_col, n_hashes, bands, shingle_words=shingle_words
+        docs, id_col, text_col, n_hashes, bands, shingle_words=shingle_words,
+        sigs=sigs,
     )
     if sample_mod is not None:
         pk = F.concat(F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string"))
         est = est.filter(F.pmod(hashing.md5_long(pk), F.lit(sample_mod)) == 0)
+    # NOT checkpointed (r10 A/B): the a/b probes each evaluate the shingle
+    # UDF once, but materializing the corpus-wide array frame costs more
+    # (write barrier + reads) than the second ~0.45 s pass it saves —
+    # measured 2.5 s -> 3.2 s with an eager checkpoint here, so the
+    # duplicate evaluation is the cheaper shape for this offline tool.
     sets = _shingle_arrays(docs, id_col, text_col, shingle_words, "word")
     sa = sets.select(F.col("did").alias("a"), F.col("shs").alias("__sa"))
     sb = sets.select(F.col("did").alias("b"), F.col("shs").alias("__sb"))
@@ -532,6 +546,7 @@ def lsh_band_rows(
     n_hashes: int = 12,
     bands: int = 4,
     shingle_words: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """The STORABLE payload of an LSH near-dup index: one (id, bucket) row
     per document per band, where bucket = "band_idx:" + the ":"-joined
@@ -542,7 +557,8 @@ def lsh_band_rows(
     work is never repaid. Output: (id_col, bucket)."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_words)
+    if sigs is None:  # see minhash_est_pairs: callers may share one sig build
+        sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_words)
     # ":"-separated so band equality is exactly component-wise equality:
     # the hash values are variable-width decimal bigints, and an unseparated
     # concat would alias e.g. (1, 234) with (12, 34) into one bucket
@@ -943,8 +959,12 @@ def _ngram_pair_stats(
     a < b: the shared core of ngram_jaccard_pairs / ngram_containment_pairs.
 
     Design (r7, replacing a posting-list self-join): shingles are hashed to
-    portable 60-bit bigints (fixed-width keys shuffle and compare far
-    cheaper than strings, and the oracle computes the identical hash), then
+    fixed-width bigints (which shuffle and compare far cheaper than
+    strings) with the native xxhash64 — the hash is an in-plan grouping
+    key only, never output, so oracle parity rests on gram STRING
+    identity, not on both engines computing the same hash (r10: replaced
+    portable md5, whose per-gram digest+hex+conv dominated this stage's
+    CPU), then
     candidate pairs come from ONE groupBy on the shingle hash with in-bucket
     pair expansion — the same shape as minhash_lsh_pairs, for the same
     reason: a self-join evaluates the whole shingle pipeline once per side
@@ -998,8 +1018,15 @@ def _ngram_pair_stats(
                   f"size >= 2^31"),
         )
         k = F.when(guard.isNull(), did * pk + sz)
+        # xxhash64, not md5_long: the gram hash is a pure in-plan grouping
+        # key here (outputs expose only ids/sizes/counts, and the oracle
+        # derives them from gram STRING identity), so the portable-hash
+        # requirement does not apply — and the native codegen hash avoids
+        # one MessageDigest + hex + conv per gram occurrence, the dominant
+        # CPU of this stage in the r10 profile (37.7 s executor CPU at
+        # sf0.1 for dedup_ngram_suite, most of it md5)
         sh = arr.select(k.alias("k"), F.explode("shs").alias("s")).select(
-            "k", hashing.md5_long(F.col("s")).alias("sh")
+            "k", F.xxhash64("s").alias("sh")
         )
         members = (
             sh.groupBy("sh")
@@ -1030,7 +1057,7 @@ def _ngram_pair_stats(
         )
     sh = arr.select(
         "did", F.size("shs").alias("sz"), F.explode("shs").alias("s")
-    ).select("did", "sz", hashing.md5_long(F.col("s")).alias("sh"))
+    ).select("did", "sz", F.xxhash64("s").alias("sh"))  # internal key only, see above
     expand = (
         "flatten(transform(ms, (x, i) -> "
         "transform(slice(ms, i + 2, size(ms) - i - 1), "
@@ -1097,6 +1124,7 @@ def ngram_jaccard_verify(
     unit: str = "word",
     a_col: str = "a",
     b_col: str = "b",
+    materialize_pairs: bool = True,
 ) -> DataFrame:
     """★ exact n-gram Jaccard for a GIVEN candidate pair list — the dedup
     funnel's verify tier as a composable operator:
@@ -1113,7 +1141,25 @@ def ngram_jaccard_verify(
     per pair. Cost scales with |pairs| + |docs in pairs| — after the est
     tier that is orders of magnitude below a corpus-wide exact pass.
     Degenerate docs (no shingles) fail closed (null jaccard filtered).
-    Output: (a, b, jaccard), jaccard >= threshold, rounded 6dp."""
+    Output: (a, b, jaccard), jaccard >= threshold, rounded 6dp.
+
+    Materialization (r10): `pairs` is typically the tail of an expensive
+    candidate pipeline (the whole est tier in the funnel) and this plan
+    consumes it THREE times (a-ids, b-ids, the final join), while the
+    pair-doc shingle frame is consumed twice (a/b probes) — without a
+    barrier the optimizer re-evaluates each consumer's subtree from
+    scratch (r10 plan audit of dedup_funnel_verify: two full
+    ArrowEvalPython shingle subtrees and three est-pipeline replays).
+    `pairs` is bounded by the operator's contract (candidates post-prune),
+    so an eager localCheckpoint of it is safe at any corpus size and
+    collapses the plan to three small-frame joins; the pair-doc shingle
+    frame stays lazy (its two probe-side evaluations overlap as
+    concurrent AQE stages, and a barrier there measured slower —
+    r10 A/B). `materialize_pairs=False` keeps the old fully-lazy shape
+    for callers whose pair pipeline is cheap."""
+    pairs = pairs.select(F.col(a_col), F.col(b_col))
+    if materialize_pairs:
+        pairs = pairs.localCheckpoint(eager=True)
     ids = (
         pairs.select(F.col(a_col).alias(id_col))
         .unionByName(pairs.select(F.col(b_col).alias(id_col)))
@@ -1531,7 +1577,19 @@ def _gram_hash_rows(
     __i is the 0-based gram index (gram i covers 1-based tokens
     [i+1, min(i+k, n_tokens)]); __gh is the portable 60-bit md5 hash —
     identical to md5_long(concat_ws(' ', slice(tokens, i+1, k))) — computed
-    in one Arrow pass so only longs ever hit the wire."""
+    in one Arrow pass so only longs ever hit the wire.
+
+    Deliberately NOT materialized (r10 A/B): callers consume the frame
+    2-3 times (gram df/keeper aggregate + occurrence join sides), so an
+    eager localCheckpoint here looks like it should save two Arrow gram
+    passes — but the duplicate subtrees execute as CONCURRENT AQE stages
+    and overlap on idle cores, while a checkpoint is a serializing
+    barrier job; measured: strip_boilerplate 2.7 -> 2.9 s, dup_span
+    2.0 -> 2.2 s, remove_dup_spans 2.5 -> 2.8 s, curate_funnel
+    9.7 -> 11.5 s WITH the checkpoint, so it was reverted. At real scale
+    the duplicate passes cost real I/O, but there the right fix is the
+    caller materializing its INPUT once (e.g. a curated snapshot), not a
+    barrier inside every call."""
     import hashlib as _hl
 
     from pyspark.sql import types as T
@@ -2031,8 +2089,16 @@ def curate_funnel(
         max_bucket=max_bucket,
     )
     kept = est.filter(F.col("est_jaccard") >= est_threshold).select("a", "b")
+    # materialize_pairs=False: inside the funnel the est tier's expensive
+    # part (signatures) is already checkpointed, so the re-evaluated tail
+    # is cheap band arithmetic whose duplicate subtrees overlap as
+    # concurrent AQE stages; a pairs barrier here serializes the funnel
+    # and measured slower (interleaved A/B: 9.24 vs 8.79 s), while the
+    # standalone verify gate (arbitrary caller-supplied pair pipeline)
+    # keeps the default materialization (2.85 vs 3.00 s the other way).
     verified = ngram_jaccard_verify(
-        survivors, kept, id_col=id_col, text_col=text_col, threshold=jaccard
+        survivors, kept, id_col=id_col, text_col=text_col, threshold=jaccard,
+        materialize_pairs=False,
     )
     return neardup_keep_best(
         survivors,

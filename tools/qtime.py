@@ -42,7 +42,7 @@ def main() -> None:
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def _warm(v: pd.Series) -> pd.Series:
+    def _warm(v):
         import numpy as np
 
         return v * np.float64(1.0)
