@@ -1888,12 +1888,20 @@ def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     GENERATION is the cost; the mutual filter adds one edge-sized
     semi-join."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
-    edges = knn.expr_knn_join(
-        emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")),
+    # scored via the exact-fold Arrow kernel (r10, bit-identical values;
+    # see arrow_all_pairs_cosine_f64); round + top-6 + self-filter stay in
+    # the JVM plan exactly as the expr strategy had them
+    scored = knn.arrow_all_pairs_cosine_f64(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
-        k=6,
-        round_to=6,
-    ).filter(F.col("query_id") != F.col("id"))
+        emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")),
+        query_id="query_id",
+        query_vec="qvec",
+        corpus_id="id",
+        corpus_vec="vec",
+    ).select("query_id", "id", F.round(F.col("score"), 6).alias("score"))
+    edges = knn.top_k_per_group(scored, ["query_id"], "score", 6, tiebreak="id").filter(
+        F.col("query_id") != F.col("id")
+    )
     return knn.mutual_knn_filter(edges).orderBy("u", "v")
 
 
@@ -3213,74 +3221,33 @@ def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_edges_500(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-shaped exact top-5 cosine kNN edge list over vec_id < 500 —
     shared by the graph-algorithm gates (knn_pagerank, label_propagation,
-    knn_graph_triangles). Norms are pre-projected per VECTOR (500 rows per
-    side) so the per-PAIR work is one interpreted dot aggregate instead of
-    three — same f64 expression tree as cosine_f64 (dot/(sqrt·sqrt)), so
-    the 6dp-rounded scores are bit-identical to the _dk_cos oracle; A/B at
-    sf0.1 (min of 3, same session): triangles 5.3 -> 2.8 s, pagerank
-    5.4 -> 2.3 s, label_propagation 4.9 -> 2.2 s. The edge list is WRITTEN
-    once per sf_dir and scanned thereafter (the binq/quantized-table cache
-    pattern): the construction is deterministic, four gates consume it,
-    and each was re-paying the 250k-pair expr-cosine per bench round."""
-    import hashlib as _hl
-    import tempfile as _tf
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        ident = f"knn_edges_500|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
-    except OSError:
-        ident = f"knn_edges_500|{sf_dir}"
-    path = os.path.join(
-        _tf.gettempdir(), f"__knn_edges_{_hl.md5(ident.encode()).hexdigest()[:12]}"
-    )
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return spark.read.parquet(path)
-    _build_knn_edges_500(spark, sf_dir).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    knn_graph_triangles, knn_graph_walks). Built IN-QUERY on every call
+    (r10): the pre-r10 code wrote the edge list to a tempdir once per
+    sf_dir and scanned it thereafter, which made every bench invocation
+    after the first skip the construction — a persisted intermediate
+    keyed on the test data, i.e. exactly the cross-run result caching an
+    optimization round must not do. The construction itself is now cheap
+    enough not to need the cache: scoring runs through
+    knn.arrow_all_pairs_cosine_f64 (ONE vectorized Arrow pass,
+    bit-identical f64 fold — see its docstring) instead of 250k
+    interpreted per-pair dot aggregates, and the 6dp rounding stays in
+    the JVM plan so the scores feeding the top-5 are unchanged."""
+    return _build_knn_edges_500(spark, sf_dir)
 
 
 def _build_knn_edges_500(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
-    pre = emb.select(
-        "vec_id",
-        "embedding",
-        similarity.norm_f64(F.col("embedding")).alias("__n"),
-    )
-    q = F.broadcast(
-        pre.select(
-            F.col("vec_id").alias("src"),
-            F.col("embedding").alias("qv"),
-            F.col("__n").alias("qn"),
-        )
+    scored = knn.arrow_all_pairs_cosine_f64(
+        emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("ev")),
+        emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("qv")),
+        query_id="src",
+        query_vec="qv",
+        corpus_id="dst",
+        corpus_vec="ev",
     )
     scored = (
-        # rebalance: the small-file scan is ONE partition, which would run
-        # the 500×499 expr-cosine broadcast-NL join on a single core
-        # (measured 15 s cold; ~1.5 s spread across the session's cores)
-        hashing.cpu_rebalance(
-            pre.select(
-                F.col("vec_id").alias("dst"),
-                F.col("embedding").alias("ev"),
-                F.col("__n").alias("en"),
-            )
-        )
-        .crossJoin(q)
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.round(
-                similarity.cosine_f64_prenormed(
-                    similarity.dot_f64(F.col("ev"), F.col("qv")),
-                    F.col("en"),
-                    F.col("qn"),
-                    F.size("ev") == F.size("qv"),
-                ),
-                6,
-            ).alias("score"),
-        )
-        .filter(F.col("score").isNotNull())
+        scored.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.round(F.col("score"), 6).alias("score"))
     )
     return knn.top_k_per_group(scored, ["src"], "score", 5, tiebreak="dst").select(
         "src", "dst"
@@ -3297,58 +3264,25 @@ def q_knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same 12 as CTEs (operators/graph_stats.py)."""
     from penr_oz_agent_memory_rust_spark.operators.graph_stats import kcore
 
-    import hashlib as _hl
-    import tempfile as _tf
-
-    src_file = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src_file)
-        ident = f"thresh_edges_500|{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
-    except OSError:
-        ident = f"thresh_edges_500|{sf_dir}"
-    path = os.path.join(
-        _tf.gettempdir(), f"__thresh_edges_{_hl.md5(ident.encode()).hexdigest()[:12]}"
+    # built in-query on every call (r10) — the pre-r10 tempdir edge cache
+    # was a persisted intermediate keyed on the test data (see
+    # _knn_edges_500); the vectorized exact kernel makes it unnecessary
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
+    scored = knn.arrow_all_pairs_cosine_f64(
+        emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("ev")),
+        emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("qv")),
+        query_id="src",
+        query_vec="qv",
+        corpus_id="dst",
+        corpus_vec="ev",
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
-        pre = emb.select(
-            "vec_id", "embedding", similarity.norm_f64(F.col("embedding")).alias("__n")
-        )
-        q = F.broadcast(
-            pre.select(
-                F.col("vec_id").alias("src"),
-                F.col("embedding").alias("qv"),
-                F.col("__n").alias("qn"),
-            )
-        )
-        edges = (
-            hashing.cpu_rebalance(
-                pre.select(
-                    F.col("vec_id").alias("dst"),
-                    F.col("embedding").alias("ev"),
-                    F.col("__n").alias("en"),
-                )
-            )
-            .crossJoin(q)
-            .filter(F.col("src") != F.col("dst"))
-            .select(
-                "src",
-                "dst",
-                F.round(
-                    similarity.cosine_f64_prenormed(
-                        similarity.dot_f64(F.col("ev"), F.col("qv")),
-                        F.col("en"),
-                        F.col("qn"),
-                        F.size("ev") == F.size("qv"),
-                    ),
-                    6,
-                ).alias("score"),
-            )
-            .filter(F.col("score") > 0.3)
-            .select("src", "dst")
-        )
-        edges.write.mode("overwrite").parquet(path)
-    return kcore(spark.read.parquet(path), k=3, max_iters=12).orderBy("id")
+    edges = (
+        scored.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.round(F.col("score"), 6).alias("score"))
+        .filter(F.col("score") > 0.3)
+        .select("src", "dst")
+    )
+    return kcore(edges, k=3, max_iters=12).orderBy("id")
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3470,28 +3404,24 @@ def q_knn_self_all_pairs_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin pins the VALUES the blocked path's rank order is tested against
     in tests/test_knn.py.
 
-    The corpus side is cpu_rebalance()d: the small-file scan is ONE
-    partition, so the 500×500 interpreted f64 dot aggregate otherwise
-    runs on a single core (r10 profile: a 4.3 s single-task stage was
-    the query's entire cost; spread across the session's cores it is
-    ~0.15 s) — the same fix _build_knn_edges_500 carries, and a no-op at
-    real scale where the scan already has >= defaultParallelism splits."""
+    Scored via knn.arrow_all_pairs_cosine_f64 (r10): one vectorized
+    Arrow pass with the bit-identical f64 fold instead of 250k
+    interpreted per-pair dot aggregates (which ran as a 4.3 s
+    single-task stage on the one-partition small-file scan); the 6dp
+    round and the per-query top-3 stay in the JVM plan, so ranked values
+    and tie-breaks are unchanged (oracle-verified bit-exact)."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
-    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    out = knn.expr_knn_join(
-        q,
-        hashing.cpu_rebalance(
-            emb.select(F.col("vec_id"), F.col("embedding").alias("vec"))
-        ),
-        k=3,
-        precision="f64",
+    scored = knn.arrow_all_pairs_cosine_f64(
+        emb.select(F.col("vec_id"), F.col("embedding").alias("vec")),
+        emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")),
         query_id="qid",
         query_vec="qv",
         corpus_id="vec_id",
         corpus_vec="vec",
-        round_to=6,
+    ).select("qid", "vec_id", F.round(F.col("score"), 6).alias("score"))
+    return knn.top_k_per_group(scored, ["qid"], "score", 3, tiebreak="vec_id").select(
+        "qid", "vec_id", "score"
     )
-    return out.select("qid", "vec_id", "score")
 
 
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4749,8 +4679,14 @@ def q_jl_exact_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from penr_oz_agent_memory_rust_spark.operators.topk import top_k_per_group
 
     emb = _emb(spark, sf_dir)
-    proj = _proj.project_embeddings_expr(
-        emb.select("vec_id", "embedding"), 64, 16, round_dp=6
+    # projection via the exact-fold Arrow twin (r10): bit-identical values
+    # to project_embeddings_expr (see project_rows_arrow_exact), with the
+    # 6dp HALF_UP round kept as a JVM transform — the 16×64-literal
+    # expression tree made driver planning the gate's dominant cost
+    proj = _proj.project_rows_arrow_exact(
+        emb.select("vec_id", "embedding"), "vec_id", 64, 16
+    ).select(
+        "vec_id", F.transform("proj", lambda x: F.round(x, 6)).alias("proj")
     )
     corpus = proj.select("vec_id", F.col("proj").alias("vec"))
     queries = proj.filter(F.col("vec_id") < 8).select(

@@ -2126,27 +2126,43 @@ def source_overlap(
     contamination — shared boilerplate, quoted passages — is the common
     real-world case and whole-doc hashing misses it entirely.)
 
-    Shape: one shingle pass to distinct (source, sh) — corpus-sized but
-    map-side combinable; the pair expansion is a self-equi-join ON sh
-    whose per-key fan-out is bounded by n_sources², never by corpus size;
-    the per-source totals are an n_sources-row frame broadcast back.
-    Output: (src_a, src_b, n_overlap, n_a, n_b, jaccard)."""
-    fps = (
-        hashing.word_shingle_rows(
-            docs.select(source_col, text_col), source_col, text_col, n
-        )
-        .select(F.col(source_col).alias("src"), F.col("sh").alias("fp"))
-        .distinct()
+    Shape (r10 rewrite — the pre-r10 self-equi-join ON sh evaluated the
+    whole shingle pipeline once per join side and once more for the
+    totals; the r10 plan audit counted 8 ArrowEvalPython nodes): ONE
+    shingle pass → xxhash64 gram key (in-plan only; outputs depend on
+    gram string identity) → groupBy(key) collect_set(source) — the
+    member set is bounded by n_sources, and collect_set dedups so no
+    separate distinct shuffle exists — → in-bucket pair expansion that
+    INCLUDES the self-pair (x,x), so one tiny (a, b, cnt) aggregate
+    carries both the overlap counts (a < b) and the per-source distinct
+    totals (a = b); that frame is n_sources² rows, eagerly checkpointed
+    so its two consumers don't replay the corpus pipeline, then joined
+    back broadcast. Output: (src_a, src_b, n_overlap, n_a, n_b, jaccard)
+    — identical pairs and values to the self-join form."""
+    sh = hashing.word_shingle_rows(
+        docs.select(source_col, text_col), source_col, text_col, n
+    ).select(F.col(source_col).alias("src"), F.xxhash64("sh").alias("fp"))
+    members = sh.groupBy("fp").agg(F.sort_array(F.collect_set("src")).alias("ms"))
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 1, size(ms) - i), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
     )
-    tot = fps.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
-    ov = (
-        fps.alias("a")
-        .join(
-            fps.alias("b"),
-            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.src") < F.col("b.src")),
-        )
-        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    counts = (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("src"), F.col("cnt").alias("n")
+    )
+    ov = counts.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("src_a"), F.col("b").alias("src_b"),
+        F.col("cnt").alias("n_overlap"),
     )
     return (
         ov.join(F.broadcast(tot.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))), "src_a")

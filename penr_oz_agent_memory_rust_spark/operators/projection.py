@@ -71,6 +71,56 @@ def project_embeddings_expr(
     return df.withColumn(out_col, F.array(*comps))
 
 
+def project_rows_arrow_exact(
+    df: DataFrame,
+    id_col: str,
+    in_dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    seed: int = 42,
+    id_type: str = "bigint",
+) -> DataFrame:
+    """(id, proj) with values BIT-IDENTICAL to project_embeddings_expr at
+    round_dp=None, computed in one vectorized Arrow pass (r10): the expr
+    form's 16×64-literal tree costs interpreted per-element evaluation
+    AND a plan large enough that driver analysis dominated the jl gate
+    (~170 KB formatted plan). The fold is reproduced exactly — f64
+    products, left-to-right adds from 0.0 — by looping over INPUT dims
+    while vectorizing across rows and output dims. Rounding is left to
+    the caller as a JVM expression (Spark round is HALF_UP; numpy's is
+    banker's). Rows whose vector is NULL or whose length != in_dim yield
+    [NULL]*out_dim, matching zip_with's pad-with-null fold."""
+    P64 = _proj_matrix(in_dim, out_dim, seed).astype(np.float64)
+
+    def project(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids = tbl[id_col]
+            vecs = tbl[vec_col]
+            good_idx = [i for i, v in enumerate(vecs) if v is not None and len(v) == in_dim]
+            out = [[None] * out_dim] * len(vecs)
+            if good_idx:
+                V = np.asarray([vecs[i] for i in good_idx], dtype=np.float64)
+                acc = np.zeros((V.shape[0], out_dim), dtype=np.float64)
+                for i in range(in_dim):
+                    acc = acc + V[:, i : i + 1] * P64[i, :]
+                for row, i in enumerate(good_idx):
+                    out[i] = acc[row].tolist()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: pa.array(ids),
+                    out_col: pa.array(out, type=pa.list_(pa.float64())),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        project, f"{id_col} {id_type}, {out_col} array<double>"
+    )
+
+
 def project_embeddings(
     df: DataFrame,
     out_dim: int,

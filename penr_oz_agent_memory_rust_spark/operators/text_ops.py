@@ -307,28 +307,49 @@ def cdc_chunk_documents(
     base = hashing.cpu_rebalance(docs).select(
         F.col(id_col), norm.alias("__norm"), F.length(norm).alias("__n")
     ).filter(F.col("__n") >= 1)
-    # boundary positions: gram ENDS at i (1-based), i < n (no empty tail)
+    # materialize the normalized text once (r10): `base` is consumed by
+    # the boundary UDF, the body-chunk join, and the tail branch, and the
+    # 3-regex normalization was re-evaluated in each (warm profile: the
+    # final 64-task union stage spent ~23 s CPU, nearly all of it
+    # re-normalizing). One write + three column-pruned reads wins at any
+    # scale vs three full normalize passes.
+    base = base.localCheckpoint(eager=True)
+    # boundary positions: gram ENDS at i (1-based), i < n (no empty tail).
+    # Computed in ONE Arrow pass per doc (r10): the pre-r10 plan exploded
+    # every character position and carried the WHOLE normalized text into
+    # each exploded row to evaluate substring+md5 there — O(len²) bytes
+    # of row materialization per document (≈5 GB at sf0.1) for an
+    # O(len) decision. The UDF evaluates the identical predicate
+    # (int(md5(utf8(norm[i-gram:i])).hexdigest()[:15], 16) % modulus == 0
+    # — md5_long of the same substring; Spark substring and Python slices
+    # are both codepoint-based) and emits only the ~1/modulus boundary
+    # sliver.
+    import hashlib as _hl
+
+    from pyspark.sql import types as _T
+
+    @F.pandas_udf(_T.ArrayType(_T.IntegerType()))
+    def _cdc_bounds(norms: pd.Series) -> pd.Series:
+        def bnds(s):
+            if s is None:
+                return []
+            n = len(s)
+            out = []
+            for i in range(gram, n):  # i is the 1-based gram END position
+                h = int(_hl.md5(s[i - gram : i].encode()).hexdigest()[:15], 16)
+                if h % modulus == 0:
+                    out.append(i)
+            return out
+
+        return norms.map(bnds)
+
     bounds = (
-        base.filter(F.col("__n") >= gram + 1)
-        .select(
-            id_col,
-            "__norm",
-            "__n",
-            F.explode(F.sequence(F.lit(gram), F.col("__n") - 1)).alias("__i"),
-        )
-        .filter(
-            hashing.md5_long(F.expr(f"substring(__norm, __i - {gram - 1}, {gram})"))
-            % modulus
-            == 0
-        )
-        .select(id_col, F.col("__i").alias("__b"))
+        base.select(id_col, F.explode(_cdc_bounds("__norm")).alias("__b"))
         # bounds feeds BOTH the chunk window and the per-doc tail agg;
         # materialize the ~1/modulus boundary sliver once so the
-        # per-position md5 explode runs once, not once per consumer
-        # (neutral at sf0.1 where the explode is seconds, but the explode
-        # is the dominant cost at corpus scale). The sliver is bounded
-        # (corpus_chars/modulus rows of two ints), unlike the corpus
-        # scan, which stays re-scannable.
+        # per-position pass runs once, not once per consumer. The sliver
+        # is bounded (corpus_chars/modulus rows of two ints), unlike the
+        # corpus scan, which stays re-scannable.
         .localCheckpoint(eager=True)
     )
     w = Window.partitionBy(id_col).orderBy("__b")
