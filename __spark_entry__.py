@@ -3712,7 +3712,7 @@ def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, and fragment vary by doc_id residues, while doc_id % 50 picks
     the underlying page — so ~10 docs per source collapse to one
     canonical page."""
-    return _docs(spark, sf_dir).select(
+    return hashing.cpu_rebalance(_docs(spark, sf_dir)).select(
         "doc_id",
         F.concat(
             F.when(F.col("doc_id") % 4 == 0, F.lit("HTTP://WWW."))
@@ -3828,11 +3828,14 @@ def _recrawl_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     host derives from the page, not the doc), and docs with
     doc_id % 20 == 0 get a FRESH page nobody else has. So the batch
     (doc_id % 5 == 0) contains both genuine recrawls (dropped: an old
-    doc holds their canonical key) and fresh pages (kept) at ANY sf."""
+    doc holds their canonical key) and fresh pages (kept) at ANY sf.
+    cpu_rebalance'd (r10): the downstream canonicalizer is a long
+    regexp_replace chain that otherwise runs on the single-partition
+    small-file scan (1.25 s single-task stage in the profile)."""
     page = F.when(
         F.col("doc_id") % 20 == 0, F.lit(100000) + F.col("doc_id")
     ).otherwise(F.floor(F.col("doc_id") / 10))
-    return _docs(spark, sf_dir).select(
+    return hashing.cpu_rebalance(_docs(spark, sf_dir)).select(
         "doc_id",
         F.concat(
             F.when(F.col("doc_id") % 4 == 0, F.lit("HTTP://WWW."))

@@ -91,10 +91,16 @@ def semantic_decontaminate(
             similarity.norm_f64(F.col(vec_col)).alias("__tn"),
         )
     )
-    left = train.select(
-        id_col,
-        F.col(vec_col).alias("__v"),
-        similarity.norm_f64(F.col(vec_col)).alias("__n"),
+    # rebalance: a small-file scan arrives as ONE partition, which runs
+    # the whole train×test interpreted-cosine scan on a single core (r10
+    # profile: a 4.4 s single-task stage was the gate's entire cost);
+    # no-op at real scale where the train scan already has many splits
+    left = hashing.cpu_rebalance(
+        train.select(
+            id_col,
+            F.col(vec_col).alias("__v"),
+            similarity.norm_f64(F.col(vec_col)).alias("__n"),
+        )
     )
     sim = similarity.cosine_f64_prenormed(
         similarity.dot_f64(F.col("__v"), F.col("__tv")),
@@ -896,7 +902,11 @@ def pmi_collocations(
     join, broadcastable when the vocab is); N and M ride in as broadcast
     1-row frames; the final top-k is a bounded heap
     (TakeOrderedAndProject), never a global sort."""
-    toks = docs.select(
+    # rebalance: the bigram and unigram branches each evaluate the 3-regex
+    # normalize + split, and a single-file scan would run both on one core
+    # (r10 profile: two concurrent 1.5 s single-task stages); no-op at
+    # real scale (same contract as word_shingle_rows)
+    toks = hashing.cpu_rebalance(docs).select(
         F.split(hashing.normalized_text(F.col(text_col)), " ").alias("__ws")
     ).filter(F.size("__ws") >= 2)
     pairs = toks.select(

@@ -103,6 +103,7 @@ def train_bucket_model(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1024,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Add-one-smoothed bucket log-probabilities over the corpus:
     (bucket, logp) with exactly n_buckets rows — ln((c_b + 1) / (T + B)),
@@ -110,8 +111,11 @@ def train_bucket_model(
     buckets their smoothed floor, so the scoring join never needs an outer
     join or a null path. The 1-row total is crossJoined in (the deliberate
     broadcast-1-row pattern) to keep the plan fully declarative."""
+    # `grams`: callers that also need the per-doc gram rows (dsir_select
+    # scores the SAME raw corpus it models) pass one shared frame so the
+    # corpus-wide Arrow hashing pass runs once, not once per consumer (r10)
     counts = (
-        hashed_gram_rows(docs, id_col, text_col, n_buckets)
+        (grams if grams is not None else hashed_gram_rows(docs, id_col, text_col, n_buckets))
         .groupBy("bucket")
         .agg(F.sum("c").alias("c"))
     )
@@ -136,6 +140,7 @@ def importance_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1024,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc DSIR log importance weight: (id, logratio).
     logratio = Σ over the doc's gram occurrences of
@@ -147,7 +152,8 @@ def importance_weights(
             raw_model.select("bucket", F.col("logp").alias("__lr")), "bucket"
         )
     )
-    grams = hashed_gram_rows(raw_docs, id_col, text_col, n_buckets)
+    if grams is None:
+        grams = hashed_gram_rows(raw_docs, id_col, text_col, n_buckets)
     return (
         grams.join(model, "bucket")
         .groupBy(id_col)
@@ -199,8 +205,17 @@ def dsir_select(
     seed: int = 97,
 ) -> DataFrame:
     """The end-to-end DSIR pipeline: train both bucket models, weight every
-    raw doc, Gumbel-top-k resample. Output: (id, logratio, gkey) × k."""
+    raw doc, Gumbel-top-k resample. Output: (id, logratio, gkey) × k.
+
+    The raw corpus's hashed-gram rows feed BOTH its bucket model and the
+    per-doc weights; one eagerly-materialized frame serves both (r10) —
+    one corpus hashing pass instead of two, identical values."""
     tm = train_bucket_model(target_docs, id_col, text_col, n_buckets)
-    rm = train_bucket_model(raw_docs, id_col, text_col, n_buckets)
-    w = importance_weights(raw_docs, tm, rm, id_col, text_col, n_buckets)
+    grams_raw = hashed_gram_rows(
+        raw_docs, id_col, text_col, n_buckets
+    ).localCheckpoint(eager=True)
+    rm = train_bucket_model(raw_docs, id_col, text_col, n_buckets, grams=grams_raw)
+    w = importance_weights(
+        raw_docs, tm, rm, id_col, text_col, n_buckets, grams=grams_raw
+    )
     return importance_resample(w, k, seed, id_col)

@@ -223,7 +223,13 @@ def perceptual_hash(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "phash": hashes}
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
+    from penr_oz_agent_memory_rust_spark.functions import hashing
+
+    # rebalance: a single-file scan arrives as ONE partition, which runs
+    # the whole per-row decode+aHash batch stage on a single core (r10
+    # profile: a 2.3 s single-task stage dominated media_phash_dedup);
+    # no-op at real scale where the media scan already has many splits
+    return hashing.cpu_rebalance(media.select("media_id", "kind", "payload")).mapInPandas(
         run, schema="media_id string, kind string, phash array<bigint>"
     )
 
