@@ -37,14 +37,52 @@ def undirected_edges(
     return edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
 
 
+def _local_triangle_stats(rows, round_dp: int) -> list:
+    """Driver-local mirror of triangle_stats over collected DISTINCT
+    undirected (a, b) rows: per-edge common-neighbor closure with c > b
+    so every triangle is counted exactly once, then the identical
+    clustering arithmetic — (2.0 * T) / (d * (d - 1.0)) in f64, HALF_UP
+    rounded like Spark's round(). Returns sorted (id, degree, triangles,
+    clustering)."""
+    from penr_oz_agent_memory_rust_spark.operators.pagerank import _round_half_up
+
+    adj: dict = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for a, b in rows:
+        lo, hi = (a, b) if a < b else (b, a)
+        for c in adj[lo] & adj[hi]:
+            if c > hi:
+                tri[lo] += 1
+                tri[hi] += 1
+                tri[c] += 1
+    out = []
+    for n in sorted(adj):
+        d = len(adj[n])
+        t = tri[n]
+        cl = _round_half_up((2.0 * t) / (d * (d - 1.0)), round_dp) if d >= 2 else 0.0
+        out.append((n, d, t, cl))
+    return out
+
+
 def triangle_stats(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     round_dp: int = 6,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Per-node (id, degree, triangles, clustering) over the undirected
     version of `edges`. clustering = 2*T / (d*(d-1)) for d >= 2, else 0.
+
+    `local_threshold` (r10): at or below this many distinct undirected
+    edges the whole computation runs driver-locally (the size-probed
+    strategy split of connected_components/kcore/pagerank/label_prop;
+    equality pinned in tests/test_graph_stats.py). Counts are integers
+    and the clustering arithmetic is replicated op-for-op, so the local
+    values are bit-identical. Set 0 to force the distributed plan.
 
     Degree-ordered enumeration: orient each edge (a,b) as u -> v where
     (deg(u), u) < (deg(v), v); wedges (u,v),(u,w) with (deg(v),v) <
@@ -53,6 +91,30 @@ def triangle_stats(
     residual skew; no node ranks are materialized (no global window).
     """
     und = undirected_edges(edges, src_col, dst_col).persist()
+    if local_threshold > 0:
+        probe = und.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            und.unpersist()
+            rows = _local_triangle_stats([(r["a"], r["b"]) for r in probe], round_dp)
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            from penr_oz_agent_memory_rust_spark.localdata import local_df
+
+            id_type = edges.schema[src_col].dataType
+            schema = StructType(
+                [
+                    StructField("id", id_type, True),
+                    StructField("degree", LongType(), True),
+                    StructField("triangles", LongType(), True),
+                    StructField("clustering", DoubleType(), True),
+                ]
+            )
+            return local_df(edges.sparkSession, rows, schema).coalesce(1)
     deg = (
         und.select(F.col("a").alias("id"))
         .unionByName(und.select(F.col("b").alias("id")))
@@ -189,12 +251,33 @@ def deterministic_walks(
     return res
 
 
+def _local_kcore(rows, k: int, max_iters: int) -> list:
+    """Driver-local synchronous peel over collected symmetrized-distinct
+    (src, dst) rows — the same rounds as the distributed loop: every
+    round drops ALL nodes of degree < k at once, recomputes, stops at
+    the fixpoint or after max_iters. Returns sorted (id, degree)."""
+    adj: dict = {}
+    for u, v in rows:
+        adj.setdefault(u, set()).add(v)
+    for _ in range(max_iters):
+        doomed = [n for n, nb in adj.items() if len(nb) < k]
+        if not doomed:
+            break
+        for n in doomed:
+            adj.pop(n)
+        doomed_set = set(doomed)
+        for nb in adj.values():
+            nb -= doomed_set
+    return sorted((n, len(nb)) for n, nb in adj.items())
+
+
 def kcore(
     edges: DataFrame,
     k: int,
     max_iters: int = 20,
     src_col: str = "src",
     dst_col: str = "dst",
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """★ k-core decomposition: iteratively peel nodes of degree < k until
     fixpoint — the standard dense-community extractor (a node in the
@@ -210,6 +293,18 @@ def kcore(
     `max_iters` peels compute exactly the fixpoint whenever convergence
     happens earlier — which makes the operator oracle-mirrorable by a
     fixed CTE unroll. Returns (id, degree) for the surviving core.
+
+    `local_threshold` (r10): at or below this many symmetrized edges the
+    peel runs as a driver-local loop over the collected edge list — the
+    same size-probed strategy split connected_components has carried
+    since r5, for the same reason: each distributed peel is a
+    checkpoint-barrier + count job (the r10 profile counted 76 jobs for
+    a 9-round peel at sf0.1, nearly all scheduling), while the candidate
+    graph after thresholding is orders of magnitude smaller than the
+    corpus at any scale. The distributed loop below is the >threshold
+    path, unchanged. Both paths run the identical synchronous rounds
+    (equality pinned in tests/test_graph_stats.py). Set 0 to force
+    distributed.
     """
     # eager localCheckpoint per round, NOT persist: each peel references
     # the previous edge frame three times (degree agg + two semi-joins),
@@ -217,13 +312,32 @@ def kcore(
     # driver on plan STRINGS alone. Checkpointing materializes the edge
     # frame and truncates lineage, the same pattern as label_prop /
     # pagerank / deepwalk.
-    cur = (
+    sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if local_threshold > 0:
+        # probe and fetch in ONE evaluation (the connected_components
+        # pattern): persist first so an overflowing probe leaves the
+        # partitions cached for the distributed path
+        sym = sym.persist()
+        probe = sym.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            sym.unpersist()
+            rows = _local_kcore([(r["src"], r["dst"]) for r in probe], k, max_iters)
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            from penr_oz_agent_memory_rust_spark.localdata import local_df
+
+            id_type = edges.schema[src_col].dataType
+            schema = StructType(
+                [StructField("id", id_type, True), StructField("degree", LongType(), True)]
+            )
+            return local_df(edges.sparkSession, rows, schema).coalesce(1)
+    cur = sym.localCheckpoint(eager=True)
+    sym.unpersist()  # no-op unless the probe overflowed above
     # fixpoint on the EDGE count, not a per-round distinct-node count: a
     # peeled node always had >= 1 edge (degree-0 nodes never appear in an
     # edge list), so the edge count is stable iff the survivor set is —

@@ -30,6 +30,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _local_label_prop(edge_rows, seed_rows, iters: int) -> list:
+    """Driver-local mirror of the distributed loop: per iteration every
+    node takes the most common label among its DIRECTED-after-mirroring
+    neighbors' previous labels (a duplicated (a,b)+(b,a) input pair
+    weights 2, same as the vote-count join), ties to smallest label,
+    seeds clamped, no-labeled-neighbor keeps previous. Returns sorted
+    (id, label) for every node in the edge list."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)  # incoming vote sources per node, with multiplicity
+    nodes = set()
+    for u, v in edge_rows:
+        nbrs[v].append(u)
+        nbrs[u].append(v)
+        nodes.add(u)
+        nodes.add(v)
+    seed = {i: int(l) for i, l in seed_rows}
+    labels = {nd: seed.get(nd) for nd in nodes}
+    for _ in range(iters):
+        new = {}
+        for nd in nodes:
+            if nd in seed:
+                new[nd] = seed[nd]
+                continue
+            votes = Counter(
+                labels[s] for s in nbrs[nd] if labels.get(s) is not None
+            )
+            if votes:
+                # max count, ties to smallest label — max of (cnt, -label)
+                new[nd] = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            else:
+                new[nd] = labels[nd]
+        labels = new
+    return sorted(labels.items())
+
+
 def label_propagation(
     edges: DataFrame,
     seeds: DataFrame,
@@ -38,6 +74,7 @@ def label_propagation(
     dst_col: str = "dst",
     id_col: str = "id",
     label_col: str = "label",
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Propagate integer labels from `seeds` (id, label) over the
     undirected graph given by `edges`. Returns (id, label) for every node
@@ -50,7 +87,38 @@ def label_propagation(
     neighbor's label carries weight 2. Dedupe the edge list first for
     strict unweighted LPA; the operator does not hide a distinct() here
     because at scale that is a second full edge shuffle the caller may
-    not want to pay."""
+    not want to pay.
+
+    `local_threshold` (r10): at or below this many input edges the
+    propagation runs as a driver-local loop over the collected edge +
+    seed lists — the connected_components/kcore size-probed strategy
+    split, for the same reason (each distributed iteration is a
+    checkpoint barrier + several AQE jobs; the r10 profile counted 34
+    jobs for 3 iterations on a 2.5k-edge gate graph). Votes, clamping,
+    tie-breaks and the keep-previous fallback are the identical
+    synchronous rounds (equality pinned in tests/test_label_prop.py);
+    labels are integers, so there is no float-order concern. Set 0 to
+    force the distributed loop (the >threshold path, unchanged)."""
+    if local_threshold > 0:
+        src0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+        probe = src0.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            src0.unpersist()
+            seed_rows = [
+                (r[0], r[1])
+                for r in seeds.select(id_col, F.col(label_col).cast("bigint")).collect()
+            ]
+            rows = _local_label_prop([(r["src"], r["dst"]) for r in probe], seed_rows, iters)
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            from penr_oz_agent_memory_rust_spark.localdata import local_df
+
+            id_type = edges.schema[src_col].dataType
+            schema = StructType(
+                [StructField("id", id_type, True), StructField("label", LongType(), True)]
+            )
+            return local_df(edges.sparkSession, rows, schema).coalesce(1)
+        src0.unpersist()  # overflow: fall through to the distributed loop
     bidir = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(

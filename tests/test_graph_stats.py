@@ -153,3 +153,46 @@ def test_kcore_cascade_requires_iteration(spark):
     edges2 = spark.createDataFrame(ring, "src bigint, dst bigint")
     core = {r["id"]: r["degree"] for r in kcore(edges2, k=2).collect()}
     assert core == {i: 2 for i in range(1, 6)}
+
+
+def test_kcore_local_and_distributed_paths_agree(spark):
+    """r10: kcore grew a size-probed driver-local peel (the
+    connected_components strategy split); both physical paths must
+    produce the identical (id, degree) fixpoint, including cascades."""
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import kcore
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    cases = [
+        (clique + [(4, 5), (5, 6)], 3),
+        (clique + [(4, 5), (5, 6)], 2),
+        ([(i, i + 1) for i in range(1, 5)] + [(5, 1)], 2),  # ring
+        ([(i, i + 1) for i in range(1, 5)], 2),  # cascades to empty
+    ]
+    for rows, k in cases:
+        edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+        local = sorted(
+            (r["id"], r["degree"]) for r in kcore(edges, k=k).collect()
+        )
+        dist = sorted(
+            (r["id"], r["degree"])
+            for r in kcore(edges, k=k, local_threshold=0).collect()
+        )
+        assert local == dist, (k, rows, local, dist)
+
+
+def test_triangle_stats_local_and_distributed_paths_agree(spark):
+    """r10: triangle_stats grew a size-probed driver-local path; both
+    physical paths must be bit-identical (integer counts; clustering
+    replicates Spark's f64 ops + HALF_UP round)."""
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import (
+        triangle_stats,
+    )
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    rows = clique + [(4, 5), (5, 6), (6, 4), (6, 1), (7, 1)]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    local = sorted(tuple(r) for r in triangle_stats(edges).collect())
+    dist = sorted(
+        tuple(r) for r in triangle_stats(edges, local_threshold=0).collect()
+    )
+    assert local == dist, (local, dist)

@@ -72,3 +72,31 @@ def test_duplicate_directed_edge_acts_as_weight(spark):
     s2 = _seeds(spark, [(1, 9), (2, 4)])
     out2 = {r["id"]: r["label"] for r in label_propagation(e2, s2, iters=1).collect()}
     assert out2[0] == 9
+
+
+def test_label_prop_local_and_distributed_paths_agree(spark):
+    """r10: label_propagation grew a size-probed driver-local loop; both
+    physical paths must produce identical labels — including weighted
+    votes from duplicated mirror pairs, clamped seeds, tie-breaks, and
+    the keep-previous fallback."""
+    from penr_oz_agent_memory_rust_spark.operators.label_prop import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 1), (6, 1)],
+        "src bigint, dst bigint",
+    )
+    seeds = spark.createDataFrame([(1, 7), (5, 9)], "id bigint, label bigint")
+    for iters in (1, 2, 3):
+        local = sorted(
+            (r["id"], r["label"])
+            for r in label_propagation(edges, seeds, iters=iters).collect()
+        )
+        dist = sorted(
+            (r["id"], r["label"])
+            for r in label_propagation(
+                edges, seeds, iters=iters, local_threshold=0
+            ).collect()
+        )
+        assert local == dist, (iters, local, dist)

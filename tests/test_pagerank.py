@@ -62,3 +62,32 @@ def test_deterministic_across_runs(spark):
     a = sorted(pagerank(e, iters=4).collect())
     b = sorted(pagerank(e, iters=4).collect())
     assert a == b
+
+
+def test_pagerank_local_and_distributed_paths_agree(spark):
+    """r10: pagerank grew a size-probed driver-local power iteration.
+    Because every iteration's 12dp round puts values ON the rounding
+    grid, downstream small-integer arithmetic lands exactly on half-grain
+    points, where f64 sum ORDER decides the last digit — so the two
+    physical paths (and the SQL oracle, whose sums have a third order)
+    can differ by one 1e-12 grain. The gates compare at 6dp, which
+    absorbs it; this test pins exactly that contract: agreement at 6dp
+    AND a worst-case gap of one grain."""
+    from penr_oz_agent_memory_rust_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1), (2, 1)],
+        "src bigint, dst bigint",
+    )
+    for iters in (1, 3, 5):
+        local = {
+            r["id"]: r["rank"] for r in pagerank(edges, iters=iters).collect()
+        }
+        dist = {
+            r["id"]: r["rank"]
+            for r in pagerank(edges, iters=iters, local_threshold=0).collect()
+        }
+        assert set(local) == set(dist), (iters, local, dist)
+        for nd in local:
+            assert abs(local[nd] - dist[nd]) <= 1.001e-12, (iters, nd, local[nd], dist[nd])
+            assert round(local[nd], 6) == round(dist[nd], 6)
