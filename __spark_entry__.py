@@ -2778,15 +2778,18 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     to same-user views in the preceding hour, both streams watermarked so
     join state is evicted once rows can no longer match. Inner join on
     bounded availableNow input emits exactly the batch interval join —
-    the SQL oracle. 8 state partitions: per-partition state-store commit
-    overhead is fixed per micro-batch, and the measured A/B at this
-    bounded scale is 2.9-3.2 s vs 7.7-11.2 s at the session's 32 (see
-    _stream_shuffle_partitions)."""
+    the SQL oracle. 4 state partitions: per-partition state-store commit
+    overhead is fixed per micro-batch; the r9 A/B measured 2.9-3.2 s at
+    8 vs 7.7-11.2 s at the session's 32, and the r10 interleaved A/B
+    (min of 3) 2.64 / 2.87 / 3.81 s at 2 / 4 / 8 — 4 keeps ≥25k state
+    rows per partition at this volume while shedding most of the commit
+    overhead; a production stream sizes this to event volume via the
+    same parameter (see _stream_shuffle_partitions)."""
     from penr_oz_agent_memory_rust_spark.sources.tables import testdata_path
     from penr_oz_agent_memory_rust_spark.streaming.ingest import run_interval_join_once
 
     return run_interval_join_once(
-        spark, testdata_path(sf_dir, "events"), shuffle_partitions=8
+        spark, testdata_path(sf_dir, "events"), shuffle_partitions=4
     )
 
 
@@ -2805,7 +2808,7 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_interval_join_once(
         spark,
         testdata_path(sf_dir, "events"),
-        shuffle_partitions=8,
+        shuffle_partitions=4,  # same sizing A/B as the inner gate
         how="leftOuter",
         name="__stream_ssj_outer",
     )
