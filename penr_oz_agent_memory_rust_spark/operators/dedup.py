@@ -1760,7 +1760,10 @@ def _rewrite_without_cut_spans(
             out_t.append(" ".join(tok for tok, d in zip(toks, drop) if not d))
         return pd.DataFrame({"n_removed": out_n, "text_clean": out_t})
 
-    joined = docs.select(F.col(id_col), F.col(text_col)).join(
+    # rebalance: the docs side is a single-partition small-file scan, so
+    # the Arrow rewrite below otherwise runs as ONE task (r10 funnel
+    # profile: a 1.3 s single-task stage); no-op at real scale
+    joined = hashing.cpu_rebalance(docs.select(F.col(id_col), F.col(text_col))).join(
         cut_starts, id_col, "left"
     )
     return joined.select(
