@@ -152,28 +152,68 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: hash function j is a 5-hex-char (20-bit)
     slice of a seed-prefixed md5 — 6 independent functions per md5, so only
-    ceil(n/6) digests per (doc, shingle) row. Each slice is converted to a
-    BIGINT before the min: min over the numeric value picks the same shingle
-    as lexicographic min over the fixed-width hex (so the SQL oracle's
-    hex-min candidates are identical), and min(bigint) aggregates with
-    HashAggregate while min(string) falls back to SortAggregate — the
-    numeric form removes two full sorts of the exploded shingle rows from
-    the plan. Output: (doc_id, h0..h{n-1}) as bigints."""
-    sh = hashing.word_shingle_rows(docs, id_col, text_col, shingle_words)
+    ceil(n/6) digests per (doc, shingle). Output: (doc_id, h0..h{n-1}) as
+    bigints, one row per non-null-text doc.
+
+    Shape (r11): the per-doc minimum is computed inside ONE Arrow pass —
+    shingle the text, md5 each shingle, fold the min per hash function —
+    instead of exploding corpus-wide (id, shingle) rows, evaluating the
+    md5s as JVM expressions, and hash-aggregating min() back to one row
+    per doc. The values are bit-identical (hashlib.md5 == Spark md5;
+    int(hexdigest[5j:5j+5],16) == conv(substring(md5,1+5j,5),16,10); min
+    over the same set), but the exploded shingle rows — the largest
+    intermediate of every minhash consumer, ~tokens-per-doc rows per doc —
+    never exist, and the groupBy(id) exchange they fed disappears from
+    the plan of every consumer (guide §2.3 shuffle fewer bytes / §2.4
+    remove shuffles / §4.2 batch the Python work). NULL text yields no
+    row (the explode-of-null semantics of the previous shape) — enforced
+    by filtering the INPUT column before the UDF, so the predicate pushes
+    to the scan and the optimizer never duplicates the UDF to evaluate a
+    filter on its output (guide §4.4)."""
+    import hashlib as _hl
+
+    from pyspark.sql import types as T
+
     n_groups = (n_hashes + 5) // 6
-    grouped = sh.select(
-        F.col(id_col),
-        *[hashing.seeded_md5(F.col("sh"), g).alias(f"g{g}") for g in range(n_groups)],
+    docs = hashing.cpu_rebalance(docs.filter(F.col(text_col).isNotNull()))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sigs(texts: pd.Series) -> pd.Series:
+        md5 = _hl.md5
+        prefixes = [f"{g}|".encode() for g in range(n_groups)]
+        # slice j of group g lives in hex chars [5*(j%6), 5*(j%6)+5) ==
+        # bits [100-20*(j%6), 120-20*(j%6)) of the first 15 digest bytes
+        shifts = [100 - 20 * (j % 6) for j in range(n_hashes)]
+        groups = [j // 6 for j in range(n_hashes)]
+
+        def sig(t):
+            toks = t.lower().split(" ")
+            if len(toks) <= shingle_words:
+                shingles = {" ".join(toks)}
+            else:
+                shingles = {
+                    " ".join(toks[i : i + shingle_words])
+                    for i in range(len(toks) - shingle_words + 1)
+                }
+            mins = [1 << 21] * n_hashes  # slices are 20-bit values
+            for sh in shingles:
+                b = sh.encode()
+                ds = [
+                    int.from_bytes(md5(prefixes[g] + b).digest()[:15], "big")
+                    for g in range(n_groups)
+                ]
+                for j in range(n_hashes):
+                    v = (ds[groups[j]] >> shifts[j]) & 0xFFFFF
+                    if v < mins[j]:
+                        mins[j] = v
+            return mins
+
+        return texts.map(sig)
+
+    sigged = docs.select(F.col(id_col), _sigs(F.col(text_col)).alias("__sig"))
+    return sigged.select(
+        F.col(id_col), *[F.col("__sig")[j].alias(f"h{j}") for j in range(n_hashes)]
     )
-    aggs = [
-        F.min(
-            F.conv(F.substring(F.col(f"g{j // 6}"), 1 + 5 * (j % 6), 5), 16, 10).cast(
-                "bigint"
-            )
-        ).alias(f"h{j}")
-        for j in range(n_hashes)
-    ]
-    return grouped.groupBy(id_col).agg(*aggs)
 
 
 def minhash_est_pairs(
