@@ -216,6 +216,90 @@ def minhash_signatures(
     )
 
 
+def _stripped_minhash_sigs(
+    docs: DataFrame,
+    cut_starts: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_hashes: int = 12,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Fused strip+sign pass (r11, guide §4.2/§2.3): rebuild each doc's
+    boilerplate-stripped token stream AND fold its MinHash signature in
+    ONE Arrow pass — used by curate_funnel, where the strip tier's
+    `text_clean` has exactly one consumer (the est tier's signatures), so
+    the cleaned corpus text never needs to cross Python→JVM→Python at
+    all; only (id, h0..h{n-1}) longs leave the worker.
+
+    Bit-parity: token drop is op-for-op `_rewrite_without_cut_spans`
+    (lower().split(' '), numpy drop mask over [s, s+k-1]); the signature
+    is minhash_signatures' fold over the shingles of
+    `' '.join(kept)` — and resplit(' '.join(kept)) == kept for non-empty
+    kept (tokens cannot contain spaces) == [''] for empty kept, which is
+    exactly what minhash_signatures' split(' ') sees on the rewritten
+    text. Null text yields no row (minhash_signatures' input filter),
+    enforced on the INPUT column so the predicate pushes to the scan."""
+    import hashlib as _hl
+
+    from pyspark.sql import types as T
+
+    n_groups = (n_hashes + 5) // 6
+    docs = hashing.cpu_rebalance(
+        docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.col(text_col)
+        )
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _strip_sign(texts: pd.Series, cuts: pd.Series) -> pd.Series:
+        md5 = _hl.md5
+        prefixes = [f"{g}|".encode() for g in range(n_groups)]
+        shifts = [100 - 20 * (j % 6) for j in range(n_hashes)]
+        groups = [j // 6 for j in range(n_hashes)]
+
+        def sig(toks):
+            if len(toks) <= shingle_words:
+                shingles = {" ".join(toks)}
+            else:
+                shingles = {
+                    " ".join(toks[i : i + shingle_words])
+                    for i in range(len(toks) - shingle_words + 1)
+                }
+            mins = [1 << 21] * n_hashes
+            for sh in shingles:
+                b = sh.encode()
+                ds = [
+                    int.from_bytes(md5(prefixes[g] + b).digest()[:15], "big")
+                    for g in range(n_groups)
+                ]
+                for j in range(n_hashes):
+                    v = (ds[groups[j]] >> shifts[j]) & 0xFFFFF
+                    if v < mins[j]:
+                        mins[j] = v
+            return mins
+
+        out = []
+        for t, cs in zip(texts, cuts):
+            toks = t.lower().split(" ")
+            if cs is not None and len(cs) > 0:
+                drop = np.zeros(len(toks), dtype=bool)
+                for s in cs:  # 0-based gram start covers tokens [s, s+k-1]
+                    drop[s : s + k] = True
+                toks = [tok for tok, d in zip(toks, drop) if not d] or [""]
+            out.append(sig(toks))
+        return pd.Series(out)
+
+    joined = docs.join(cut_starts, id_col, "left")
+    sigged = joined.select(
+        F.col(id_col),
+        _strip_sign(F.col(text_col), F.col("__cuts")).alias("__sig"),
+    )
+    return sigged.select(
+        F.col(id_col), *[F.col("__sig")[j].alias(f"h{j}") for j in range(n_hashes)]
+    )
+
+
 def minhash_est_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1851,6 +1935,17 @@ def strip_boilerplate_spans(
     shuffles once. A boilerplate gram costs its occurrence count, never
     occurrence² — the cost moves OUT of the quadratic LSH stage into this
     linear one."""
+    cut_starts = _boilerplate_cut_starts(docs, id_col, text_col, k, min_df)
+    return _rewrite_without_cut_spans(docs, cut_starts, id_col, text_col, k)
+
+
+def _boilerplate_cut_starts(
+    docs: DataFrame, id_col: str, text_col: str, k: int, min_df: int
+) -> DataFrame:
+    """(id, __cuts) — per-doc sorted 0-based gram-start positions of every
+    k-gram with document frequency >= min_df. The df/cut pipeline of
+    strip_boilerplate_spans, shared (r11) with curate_funnel's fused
+    strip+sign pass."""
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
     base = _gram_hash_rows(docs, id_col, text_col, k)
@@ -1860,12 +1955,11 @@ def strip_boilerplate_spans(
         .filter(F.col("__df") >= min_df)
         .select("__gh")
     )
-    cut_starts = (
+    return (
         base.join(hot, "__gh", "left_semi")
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_set(F.col("__i"))).alias("__cuts"))
     )
-    return _rewrite_without_cut_spans(docs, cut_starts, id_col, text_col, k)
 
 
 def exact_dedup_keep_best(
@@ -2117,20 +2211,42 @@ def curate_funnel(
             F.regexp_replace(F.col("text_clean"), "\n", " ").alias(text_col),
         )
     if strip_min_df is not None:
-        cand_input = strip_boilerplate_spans(
-            strip_input, id_col, text_col, k=strip_k, min_df=strip_min_df
-        ).select(F.col(id_col), F.col("text_clean").alias(text_col))
+        # r11 fusion (guide §4.2/§2.3): inside the funnel the strip
+        # tier's text_clean has exactly ONE consumer — the est tier's
+        # signatures — so the rewrite and the signature fold run as one
+        # Arrow pass (_stripped_minhash_sigs) and the cleaned corpus text
+        # never crosses the Python/JVM boundary; the standalone
+        # strip_boilerplate gate (whose OUTPUT is text_clean) keeps the
+        # rewrite pass. Same signature values as
+        # minhash_signatures(strip(text)) — bit-parity argument in the
+        # fused pass's docstring; oracle-verified on the funnel gate.
+        cuts = _boilerplate_cut_starts(
+            strip_input, id_col, text_col, strip_k, strip_min_df
+        )
+        sigs = _stripped_minhash_sigs(
+            strip_input, cuts, id_col, text_col, strip_k, n_hashes
+        ).localCheckpoint(eager=True)
+        est = minhash_est_pairs(
+            strip_input,
+            id_col=id_col,
+            text_col=text_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            threshold=0.0,
+            max_bucket=max_bucket,
+            sigs=sigs,
+        )
     else:
         cand_input = strip_input.select(F.col(id_col), F.col(text_col))
-    est = minhash_est_pairs(
-        cand_input,
-        id_col=id_col,
-        text_col=text_col,
-        n_hashes=n_hashes,
-        bands=bands,
-        threshold=0.0,
-        max_bucket=max_bucket,
-    )
+        est = minhash_est_pairs(
+            cand_input,
+            id_col=id_col,
+            text_col=text_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            threshold=0.0,
+            max_bucket=max_bucket,
+        )
     kept = est.filter(F.col("est_jaccard") >= est_threshold).select("a", "b")
     # materialize_pairs=False: inside the funnel the est tier's expensive
     # part (signatures) is already checkpointed, so the re-evaluated tail

@@ -32,6 +32,7 @@ TakeOrderedAndProject, never a global sort.
 from __future__ import annotations
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
 from penr_oz_agent_memory_rust_spark.functions import hashing
@@ -211,9 +212,17 @@ def dsir_select(
     per-doc weights; one eagerly-materialized frame serves both (r10) —
     one corpus hashing pass instead of two, identical values."""
     tm = train_bucket_model(target_docs, id_col, text_col, n_buckets)
+    # r11 (recovery semantics): the raw-gram frame is LARGER than the
+    # corpus (one row per (doc, distinct bucket)), so it is materialized
+    # with persist(DISK_ONLY) — recomputable from lineage on executor
+    # loss — rather than localCheckpoint, whose executor-local blocks are
+    # unrecoverable and whose write is corpus-sized. Both consumers (the
+    # raw bucket model and the per-doc weights) still share ONE corpus
+    # hashing pass: the first action populates the cache, the second
+    # reads it.
     grams_raw = hashed_gram_rows(
         raw_docs, id_col, text_col, n_buckets
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.DISK_ONLY)
     rm = train_bucket_model(raw_docs, id_col, text_col, n_buckets, grams=grams_raw)
     w = importance_weights(
         raw_docs, tm, rm, id_col, text_col, n_buckets, grams=grams_raw

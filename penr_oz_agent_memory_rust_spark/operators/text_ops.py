@@ -313,7 +313,16 @@ def cdc_chunk_documents(
     # final 64-task union stage spent ~23 s CPU, nearly all of it
     # re-normalizing). One write + three column-pruned reads wins at any
     # scale vs three full normalize passes.
-    base = base.localCheckpoint(eager=True)
+    # r11 (recovery semantics): this frame is CORPUS-sized, so it uses
+    # persist(DISK_ONLY) — recomputable from lineage if an executor (and
+    # its local blocks) is lost — instead of localCheckpoint, which
+    # truncates lineage onto executor-local storage and makes an executor
+    # loss fatal to the job at cluster scale. The BOUNDED frames below
+    # (the ~1/modulus boundary sliver) keep the eager checkpoint: tiny,
+    # and the barrier there also cuts the plan the window re-reads.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.DISK_ONLY)
     # boundary positions: gram ENDS at i (1-based), i < n (no empty tail).
     # Computed in ONE Arrow pass per doc (r10): the pre-r10 plan exploded
     # every character position and carried the WHOLE normalized text into
@@ -330,15 +339,32 @@ def cdc_chunk_documents(
 
     @F.pandas_udf(_T.ArrayType(_T.IntegerType()))
     def _cdc_bounds(norms: pd.Series) -> pd.Series:
+        # r11 (guide §4.2 hoist Python-loop overhead; the predicate is
+        # output-semantic so the HASH cannot change, only its evaluation):
+        # int(hexdigest()[:15], 16) == the top 60 bits of the digest ==
+        # int.from_bytes(digest()[:8]) >> 4 — digest() skips the 32-char
+        # hex-string format + parse per position. normalized_text strips
+        # to [a-z0-9 ], so the text is ASCII by construction and byte
+        # slicing == codepoint slicing; encode ONCE per doc and slice
+        # bytes (guarded by isascii() so a future non-ASCII normalizer
+        # falls back to the bit-identical per-codepoint slice).
+        md5 = _hl.md5
+        from_bytes = int.from_bytes
+
         def bnds(s):
             if s is None:
                 return []
             n = len(s)
             out = []
-            for i in range(gram, n):  # i is the 1-based gram END position
-                h = int(_hl.md5(s[i - gram : i].encode()).hexdigest()[:15], 16)
-                if h % modulus == 0:
-                    out.append(i)
+            if s.isascii():
+                b = s.encode()
+                for i in range(gram, n):  # i is the 1-based gram END position
+                    if (from_bytes(md5(b[i - gram : i]).digest()[:8], "big") >> 4) % modulus == 0:
+                        out.append(i)
+            else:
+                for i in range(gram, n):
+                    if (from_bytes(md5(s[i - gram : i].encode()).digest()[:8], "big") >> 4) % modulus == 0:
+                        out.append(i)
             return out
 
         return norms.map(bnds)

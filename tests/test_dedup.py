@@ -719,6 +719,41 @@ def test_curate_funnel_default_equals_no_strip_output(spark):
     assert 1 in with_strip and len(with_strip & {1, 2, 3}) == 1  # cluster collapsed
 
 
+def test_stripped_minhash_sigs_equals_sign_of_stripped_text(spark):
+    """r11 fusion pin: the fused strip+sign Arrow pass must produce
+    BIT-IDENTICAL signatures to the two-pass composition it replaced
+    (minhash_signatures over strip_boilerplate_spans' text_clean) — for
+    docs with cuts, docs without cuts, a doc that strips to '' (all
+    tokens covered), and a short doc below the shingle width."""
+    docs = _funnel_corpus(spark)
+    # add a doc that is ENTIRELY boilerplate (strips to '') and a short one
+    extra = spark.createDataFrame(
+        [(100, "subscribe to the newsletter for weekly updates now"),
+         (101, "two words")],
+        "doc_id bigint, text string",
+    )
+    docs = docs.unionByName(extra)
+    k, min_df = 5, 3
+    cuts = dedup._boilerplate_cut_starts(docs, "doc_id", "text", k, min_df)
+    fused = {
+        r["doc_id"]: tuple(r[f"h{j}"] for j in range(12))
+        for r in dedup._stripped_minhash_sigs(
+            docs, cuts, "doc_id", "text", k, 12
+        ).collect()
+    }
+    stripped = dedup.strip_boilerplate_spans(docs, k=k, min_df=min_df).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    twopass = {
+        r["doc_id"]: tuple(r[f"h{j}"] for j in range(12))
+        for r in dedup.minhash_signatures(stripped, n_hashes=12).collect()
+    }
+    assert fused == twopass
+    # the boilerplate-only doc must be in both (signature of ''), so the
+    # degenerate all-cut path is actually exercised
+    assert 100 in fused
+
+
 def test_curate_funnel_strip_cuts_candidate_mass(spark):
     """The est tier over stripped text sees strictly fewer candidate pairs
     on a boilerplate-heavy corpus (the 10M-probe effect at toy scale)."""
