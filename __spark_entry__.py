@@ -2875,9 +2875,13 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ the per-document text-analysis suite in ONE scan: language-ID,
     whitespace + BPE-ish token counts, quality score, fingerprint, and
-    Gopher-style repetition — all native expressions, single projection,
-    no shuffle."""
-    docs = _docs(spark, sf_dir)
+    Gopher-style repetition — all native expressions, single projection.
+    r11: cpu_rebalance first — the five regex passes per row made this
+    the most expensive map-only projection in the suite, and the
+    single-file scan ran it as ONE task (profile: one 3.2 s task on a
+    32-core box); the rebalance is a no-op at real scale where the scan
+    already has >= defaultParallelism partitions."""
+    docs = hashing.cpu_rebalance(_docs(spark, sf_dir))
     t = F.col("text")
     toks = hashing.word_tokens(t)
     total = F.size(toks).cast("double")

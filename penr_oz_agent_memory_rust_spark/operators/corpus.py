@@ -902,30 +902,59 @@ def pmi_collocations(
     join, broadcastable when the vocab is); N and M ride in as broadcast
     1-row frames; the final top-k is a bounded heap
     (TakeOrderedAndProject), never a global sort."""
-    # rebalance: the bigram and unigram branches each evaluate the 3-regex
-    # normalize + split, and a single-file scan would run both on one core
-    # (r10 profile: two concurrent 1.5 s single-task stages); no-op at
+    # rebalance: the explode below evaluates the 3-regex normalize +
+    # split, and a single-file scan would run it on one core; no-op at
     # real scale (same contract as word_shingle_rows)
     toks = hashing.cpu_rebalance(docs).select(
         F.split(hashing.normalized_text(F.col(text_col)), " ").alias("__ws")
     ).filter(F.size("__ws") >= 2)
-    pairs = toks.select(
+    # ONE kind-tagged explode emits the doc's unigrams AND adjacent
+    # bigrams together (r11, guide §2.4): the pre-r11 shape ran the
+    # normalize+split corpus pass once per branch (two map stages; the
+    # multi-consumer reduce side was always served by ReuseExchange, and
+    # still is) — same counts, one corpus pass, one exchange.
+    terms = toks.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__ws") - 1),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("__ws"), i),
-                    F.element_at(F.col("__ws"), i + 1),
+            F.concat(
+                F.transform(
+                    F.col("__ws"),
+                    lambda w: F.struct(F.lit("u").alias("k"), w.alias("t")),
+                ),
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__ws") - 1),
+                    lambda i: F.struct(
+                        F.lit("b").alias("k"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("__ws"), i),
+                            F.element_at(F.col("__ws"), i + 1),
+                        ).alias("t"),
+                    ),
                 ),
             )
-        ).alias("bg")
+        ).alias("e")
     )
-    uni = toks.select(F.explode("__ws").alias("w")).groupBy("w").agg(
+    counts = terms.groupBy(F.col("e.k").alias("k"), F.col("e.t").alias("t")).agg(
         F.count(F.lit(1)).alias("c")
     )
+    # persist: the count table has FIVE consumers (uni→w1/w2/n_tok,
+    # bic→filter/m_pairs) and the k= filters push below the exchange,
+    # which would split the corpus explode back into one pass per branch
+    # (the r11 plan audit showed 3 heavy explode stages without this).
+    # DISK_ONLY because the bigram vocabulary is unbounded at corpus
+    # scale — recomputable from lineage, no executor memory pressure.
+    # Interleaved A/B (min-of-4): pre-r11 two-explode shape 2.66 s,
+    # combined explode 1.54 s, combined + persist 1.23 s.
+    from pyspark import StorageLevel
+
+    counts = counts.persist(StorageLevel.DISK_ONLY)
+    uni = counts.filter(F.col("k") == "u").select(
+        F.col("t").alias("w"), F.col("c")
+    )
     n_tok = uni.agg(F.sum("c").alias("n"))
-    bic = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    bic = counts.filter(F.col("k") == "b").select(
+        F.col("t").alias("bg"), F.col("c").alias("c12")
+    )
     m_pairs = bic.agg(F.sum("c12").alias("m"))
     scored = (
         bic.filter(F.col("c12") >= min_count)

@@ -2248,16 +2248,17 @@ def curate_funnel(
             max_bucket=max_bucket,
         )
     kept = est.filter(F.col("est_jaccard") >= est_threshold).select("a", "b")
-    # materialize_pairs=False: inside the funnel the est tier's expensive
-    # part (signatures) is already checkpointed, so the re-evaluated tail
-    # is cheap band arithmetic whose duplicate subtrees overlap as
-    # concurrent AQE stages; a pairs barrier here serializes the funnel
-    # and measured slower (interleaved A/B: 9.24 vs 8.79 s), while the
-    # standalone verify gate (arbitrary caller-supplied pair pipeline)
-    # keeps the default materialization (2.85 vs 3.00 s the other way).
+    # materialize_pairs: the r10 A/B (9.24 vs 8.79 s) had the lazy kept
+    # list winning in-funnel, because the replayed est tail overlapped on
+    # idle cores while a barrier serialized. After the r11 sig Arrow pass
+    # + strip+sign fusion the balance INVERTED — the est tail is now the
+    # dominant remaining plan, and verify replays it 3× (a-ids, b-ids,
+    # final join) plus the components probe. Re-run interleaved A/B
+    # (min-of-4 / means): kept checkpointed 7.06/9.6 s, lazy 9.56/13.1 s,
+    # verified-checkpoint variants in between — so the funnel now uses
+    # the verify tier's DEFAULT eager pair materialization.
     verified = ngram_jaccard_verify(
         survivors, kept, id_col=id_col, text_col=text_col, threshold=jaccard,
-        materialize_pairs=False,
     )
     return neardup_keep_best(
         survivors,

@@ -2162,6 +2162,139 @@ def url_probe() -> None:
 
 
 
+def core_scaling_probe() -> None:
+    """Core-scaling probe for the suite's top-cost operators
+    (`python scale_probe.py cores`; SCALE_CORE_DOCS overrides N, default
+    300k): at sf0.1 the whole bench is fixed-overhead-bound (the r10
+    driver measured 8 cores ≈ 32 cores on the suite total), so this runs
+    the expensive operators on a synthetic corpus big enough that task
+    time dominates scheduling, at WHATEVER core count $SPARK_GRAFT_CPUS
+    says — run it once at 32 and once at 8 and compare the per-op walls
+    (recorded in PLANS.md §core-scaling). Inputs materialize to parquet
+    first (every op computes from parquet, nothing warm-started); each op
+    runs twice and the MIN is reported so one-off stragglers on a shared
+    VM don't masquerade as serial sections."""
+    import shutil
+    import tempfile
+
+    from penr_oz_agent_memory_rust_spark.operators import (
+        importance,
+        text_ops,
+    )
+    from penr_oz_agent_memory_rust_spark.operators.graph_stats import kcore, triangle_stats
+    from penr_oz_agent_memory_rust_spark.operators.label_prop import label_propagation
+    from penr_oz_agent_memory_rust_spark.operators.pagerank import pagerank
+
+    n_docs = int(os.environ.get("SCALE_CORE_DOCS", "300000"))
+    spark = get_spark(app_name="poz-core-scaling")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "?")
+    root = tempfile.mkdtemp(prefix="corescale-")
+    report: dict = {"n_docs": n_docs, "cpus": cpus, "times_sec": {}, "out_rows": {}}
+
+    # corpus with sources + the stopword tail (same shape as funnel_probe)
+    _synth_skewed_corpus(spark, n_docs).select(
+        "doc_id",
+        F.concat(F.lit("s"), F.pmod(F.col("doc_id"), F.lit(8)).cast("string")).alias(
+            "source"
+        ),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) < 6,
+            F.concat(F.col("text"), F.lit(" the and that have with")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).write.mode("overwrite").parquet(f"{root}/docs")
+    docs = spark.read.parquet(f"{root}/docs")
+    # deterministic sparse graph: ~6 undirected edges per node over
+    # n_docs/3 nodes — big enough that the DISTRIBUTED arms
+    # (local_threshold=0) run real per-iteration joins
+    n_nodes = max(1000, n_docs // 3)
+    spark.range(n_nodes).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 3), j -> struct(id AS src, "
+                f"pmod(id * 37 + j * 101, {n_nodes}) AS dst))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").filter(F.col("src") != F.col("dst")).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/edges")
+    edges = spark.read.parquet(f"{root}/edges")
+
+    def run(name, fn):
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            out = fn()
+            out.write.format("noop").mode("overwrite").save()
+            times.append(round(time.time() - t0, 2))
+        report["times_sec"][name] = min(times)
+        print(json.dumps({name: times}), flush=True)
+
+    min_df = max(2, n_docs // 100)
+    run(
+        "pipeline_curate_funnel",
+        lambda: dedup.curate_funnel(
+            docs,
+            min_words=1,
+            min_stopword_hits=1,
+            strip_k=5,
+            strip_min_df=min_df,
+            n_hashes=12,
+            bands=4,
+            est_threshold=0.5,
+            max_bucket=200,
+            jaccard=0.3,
+        ),
+    )
+    run("cdc_chunking", lambda: text_ops.cdc_chunk_documents(docs))
+    run(
+        "dsir_select",
+        lambda: importance.dsir_select(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0),
+            docs,
+            k=1000,
+        ),
+    )
+    run("source_overlap", lambda: dedup.source_overlap(docs))
+    run(
+        "ngram_jaccard_pairs",
+        lambda: dedup.ngram_jaccard_pairs(
+            docs, threshold=0.2, max_doc_freq=200
+        ),
+    )
+    run(
+        "dedup_minhash_lsh",
+        lambda: dedup.minhash_lsh_pairs(docs, max_bucket=200),
+    )
+    run(
+        "kcore_distributed",
+        lambda: kcore(edges, k=3, max_iters=6, local_threshold=0),
+    )
+    run(
+        "pagerank_distributed",
+        lambda: pagerank(edges, iters=3, local_threshold=0),
+    )
+    run(
+        "label_prop_distributed",
+        lambda: label_propagation(
+            edges,
+            spark.range(0, n_nodes, 10).select(
+                F.col("id"), F.pmod(F.col("id"), F.lit(7)).alias("label")
+            ),
+            iters=3,
+            local_threshold=0,
+        ),
+    )
+    run(
+        "triangles_distributed",
+        lambda: triangle_stats(edges, local_threshold=0),
+    )
+    print(json.dumps(report))
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark(app_name="poz-scale-probe")
     t = {}
@@ -2355,6 +2488,8 @@ if __name__ == "__main__":
         companion_decay_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "funnel":
         funnel_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "cores":
+        core_scaling_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "chrome":
         chrome_strip_probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "ivf_takedown":
