@@ -2221,7 +2221,15 @@ def core_scaling_probe() -> None:
     ).parquet(f"{root}/edges")
     edges = spark.read.parquet(f"{root}/edges")
 
+    # SCALE_CORE_OPS: comma-list to run a subset (e.g. the ops whose
+    # 100k-doc ratio was scheduling-bound, re-probed at a larger N)
+    only = {
+        s for s in os.environ.get("SCALE_CORE_OPS", "").split(",") if s
+    }
+
     def run(name, fn):
+        if only and name not in only:
+            return
         times = []
         for _ in range(2):
             t0 = time.time()
